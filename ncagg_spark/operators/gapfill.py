@@ -1,0 +1,94 @@
+"""Gap filling — regularize a deduped series to one record per cadence slot
+over [min_bound, max_bound) (G1-G4, G7 in SURVEY.md §2.6).
+
+Reference semantics being re-expressed: wherever successive records are
+farther apart than the cadence tolerance, synthetic fill records are
+inserted so the output lands on a regular 1/hz grid; leading/trailing gaps
+against the bounds are filled too (ncagg/aggregator.py:119-234,
+ncagg/aggrelist.py:140-189). Data variables in fill records carry the fill
+value — here, null; the index variable carries a synthesized timestamp.
+
+Spark-first formulation: build the complete slot grid with
+``spark.range(n_buckets)`` (distributed, no driver loop) and LEFT JOIN the
+deduped data on the slot id. Slots with no match become fill rows.
+
+Fill-timestamp anchoring — two modes, both from the reference:
+  * ``anchor="grid"`` (default): fill ts = origin + bucket * step. This is
+    the scalable default; timestamps are exact grid points.
+  * ``anchor="previous"``: fill ts continues from the last real record
+    (ncagg/aggregator.py:171-175: stamps "continue from the previous
+    node"), falling back to the grid when no real record precedes (the
+    leading-fill case, :176-191). Implemented with an unpartitioned
+    running ``last(ignorenulls)`` window — exact reference parity, but the
+    window is a single-direction scan; prefer "grid" at 100 TB or
+    partition the window by day.
+
+Scale notes: the grid join is an equi-join on a dense integer key — with
+AQE it is a shuffle join whose partitions are perfectly balanced (the grid
+side is uniform by construction). The grid side is generated, never
+materialized. For a day at 10 Hz the grid is 864k rows; for a year at
+10 kHz it is 3e11 rows — still fine, since spark.range parallelizes and
+the join key is dense.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ncagg_spark.operators.dedup import BUCKET_COL
+
+FILL_FLAG_COL = "is_fill"
+
+
+def gap_fill(
+    spark: SparkSession,
+    df: DataFrame,
+    index_col: str,
+    *,
+    origin_us: int,
+    step_us: int,
+    n_buckets: int,
+    anchor: str = "grid",
+    bucket_col: str = BUCKET_COL,
+    keep_bucket: bool = False,
+) -> DataFrame:
+    """Left-join deduped data onto the full slot grid; emit fill rows for
+    empty slots. Returns one row per slot in [0, n_buckets), with
+    ``is_fill`` marking synthesized rows.
+    """
+    if anchor not in ("grid", "previous"):
+        raise ValueError(f"unknown anchor mode: {anchor}")
+
+    grid = spark.range(n_buckets).withColumnRenamed("id", bucket_col)
+    joined = grid.join(df, on=bucket_col, how="left")
+
+    grid_ts = F.timestamp_micros(
+        F.lit(origin_us) + F.col(bucket_col) * F.lit(step_us)
+    )
+    real_ts = F.col(index_col)
+    is_fill = real_ts.isNull()
+
+    if anchor == "grid":
+        ts_out = F.coalesce(real_ts, grid_ts)
+    else:
+        w = (
+            Window.orderBy(bucket_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        last_real_ts = F.last(F.when(~is_fill, real_ts), ignorenulls=True).over(w)
+        last_real_bkt = F.last(
+            F.when(~is_fill, F.col(bucket_col)), ignorenulls=True
+        ).over(w)
+        anchored = F.timestamp_micros(
+            F.unix_micros(last_real_ts)
+            + (F.col(bucket_col) - last_real_bkt) * F.lit(step_us)
+        )
+        ts_out = F.coalesce(real_ts, anchored, grid_ts)
+
+    # flag first: once index_col is overwritten, the null-check would see
+    # the coalesced timestamp and always be false.
+    out = joined.withColumn(FILL_FLAG_COL, is_fill).withColumn(index_col, ts_out)
+    if not keep_bucket:
+        out = out.drop(bucket_col)
+    return out

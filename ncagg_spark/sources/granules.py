@@ -1,0 +1,49 @@
+"""Granule source: read N parquet granule files as one DataFrame with
+provenance.
+
+Reference equivalent: InputFileNode construction + union
+(ncagg/aggrelist.py:192-215; file list handling ncagg/cli.py:123-149).
+The reference opens files lazily and reads only needed variables; Spark's
+parquet source gives both (column pruning, predicate pushdown, footer-stat
+file skipping) for free — confirm with .explain("formatted"):
+PushedFilters + ReadSchema.
+
+Missing-column tolerance (P4): mergeSchema=true unions schemas across
+granules; columns absent in a file read as null — exactly the reference's
+fill-for-missing-variable semantics (ncagg/aggregator.py:337-340).
+
+Scale notes: at 100 TB, granules should be laid out under
+date-partitioned directories (dt=YYYY-MM-DD/) so bounds predicates become
+partition pruning; this reader passes paths/globs straight to the Hadoop
+FS layer, which handles that.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+GRANULE_COL = "granule"
+
+
+def read_granules(
+    spark: SparkSession,
+    paths: str | Sequence[str],
+    *,
+    merge_schema: bool = True,
+    with_provenance: bool = True,
+    columns: Sequence[str] | None = None,
+) -> DataFrame:
+    """Read one-or-many granule parquet paths (files, dirs, or globs)."""
+    if isinstance(paths, str):
+        paths = [paths]
+    df = spark.read.option("mergeSchema", str(merge_schema).lower()).parquet(
+        *paths
+    )
+    if columns:
+        df = df.select(*columns)
+    if with_provenance:
+        df = df.withColumn(GRANULE_COL, F.input_file_name())
+    return df

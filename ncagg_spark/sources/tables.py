@@ -1,0 +1,59 @@
+"""Table loader that papers over parquet TIMESTAMP(NANOS).
+
+The driver's testdata stores timestamps as nanosecond-precision INT64
+(pyarrow timestamp[ns]) which Spark cannot read as a timestamp; with
+``spark.sql.legacy.parquet.nanosAsLong=true`` they arrive as LongType
+nanos. This loader inspects the parquet schema with pyarrow, then converts
+those columns to TimestampType via integer microsecond truncation —
+matching DuckDB's ns->us truncation exactly, which matters for oracle
+hash parity.
+
+Schema inspection reads only file metadata (no data IO) — cheap even for
+100 TB tables (one footer read).
+"""
+
+from __future__ import annotations
+
+import pyarrow.dataset as pa_ds
+import pyarrow.types as pat
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    schema = pa_ds.dataset(path, format="parquet").schema
+    return [
+        f.name
+        for f in schema
+        if pat.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
+def load_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet table, converting nanos-timestamp columns to
+    TimestampType (microsecond truncation, DuckDB-compatible)."""
+    df = spark.read.parquet(path)
+    for name in _nanos_timestamp_cols(path):
+        df = df.withColumn(
+            name, F.timestamp_micros(F.expr(f"`{name}` div 1000"))
+        )
+    return df
+
+
+def load_sf_tables(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> dict[str, DataFrame]:
+    """Load the driver's star-schema tables from an sf directory."""
+    names = names or [
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ]
+    return {n: load_table(spark, f"{sf_dir}/{n}.parquet") for n in names}
