@@ -29,12 +29,27 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ncagg_spark.functions.hashing import (
+    MERSENNE31,
     band_hashes,
     hamming_distance64,
-    minhash_signature,
-    simhash64,
+    hash64,
+    minhash_perms,
 )
 from ncagg_spark.pipeline.text import fingerprint, tokenize, word_ngrams
+
+
+def _spread_small_input(df: DataFrame, id_col: str) -> DataFrame:
+    """Hash-repartition by id when the input has fewer partitions than the
+    cluster has slots — a handful of small granule files would otherwise
+    serialize the (CPU-heavy) hashing into one task. A no-op at scale,
+    where the scan already yields >= parallelism partitions; and since the
+    groupBy(id) downstream needs hashpartitioning(id) anyway, this moves
+    the one unavoidable shuffle BEFORE the hash work instead of adding one.
+    """
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism, F.col(id_col))
+    return df
 
 
 def exact_duplicates(
@@ -73,11 +88,43 @@ def minhash_signatures(
     num_perm: int = 16,
     seed: int = 42,
 ) -> DataFrame:
-    """(id, sig array<long>) — MinHash over word n-gram shingles."""
+    """(id, sig array<long>) — MinHash over word n-gram shingles.
+
+    Relational formulation: explode shingles -> one md5 per distinct
+    shingle -> groupBy(id).agg(min(perm_i(h)) x num_perm). Everything is
+    whole-stage codegen with map-side partial aggregation (the 16 mins
+    combine before the shuffle), and ``sig`` is MATERIALIZED at the
+    aggregate — downstream element_at/banding reads an attribute instead
+    of re-evaluating the signature expression.
+
+    (The expression-tree alternative — array_min over F.transform — is
+    ~16x slower downstream: higher-order-function subtrees are excluded
+    from Spark's subexpression elimination, so every element_at of the
+    sig re-runs all the hashing.)
+
+    Docs with fewer than shingle_n tokens get an all-null signature
+    (explode_outer keeps them; min over the null hash is null), matching
+    array_min-over-empty semantics and the DuckDB oracle.
+    """
     shingles = F.array_distinct(word_ngrams(tokenize(text_col), shingle_n))
-    return df.select(
-        F.col(id_col),
-        minhash_signature(shingles, num_perm, seed).alias("sig"),
+    exploded = df.select(
+        F.col(id_col), F.explode_outer(shingles).alias("__shingle")
+    )
+    exploded = _spread_small_input(exploded, id_col)
+    hashed = exploded.select(
+        F.col(id_col), (hash64(F.col("__shingle")) % MERSENNE31).alias("__h")
+    )
+    aggs = [
+        F.min(
+            (F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MERSENNE31)
+        ).alias(f"__s{i}")
+        for i, (a, b) in enumerate(minhash_perms(num_perm, seed))
+    ]
+    sig_cols = [F.col(f"__s{i}") for i in range(num_perm)]
+    return (
+        hashed.groupBy(id_col)
+        .agg(*aggs)
+        .select(F.col(id_col), F.array(*sig_cols).alias("sig"))
     )
 
 
@@ -160,10 +207,33 @@ def ngram_jaccard(
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, simhash long) — 32-bit SimHash over whitespace tokens."""
-    return df.select(
-        F.col(id_col), simhash64(tokenize(text_col)).alias("simhash")
+    """(id, simhash long) — 32-bit SimHash over whitespace tokens.
+
+    Relational formulation (same rationale as minhash_signatures): explode
+    tokens -> one md5 per token occurrence -> groupBy(id) with 32 bit-vote
+    sums (map-side combine) -> assemble the signature from the vote signs.
+    Duplicate tokens vote multiple times, matching the expression-level
+    simhash64() and the DuckDB oracle. Empty docs get simhash 0.
+    """
+    bits = 32
+    exploded = df.select(
+        F.col(id_col), F.explode_outer(tokenize(text_col)).alias("__tok")
     )
+    exploded = _spread_small_input(exploded, id_col)
+    hashed = exploded.select(F.col(id_col), hash64(F.col("__tok")).alias("__h"))
+    votes = [
+        F.sum(
+            F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"__v{j}")
+        for j in range(bits)
+    ]
+    g = hashed.groupBy(id_col).agg(*votes)
+    acc = F.lit(0).cast("long")
+    for j in range(bits):
+        acc = acc + F.when(
+            F.col(f"__v{j}") > 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return g.select(F.col(id_col), acc.alias("simhash"))
 
 
 def simhash_near_duplicates(

@@ -1,0 +1,80 @@
+"""Text-analysis operators: tokenization, n-grams, fingerprint, language
+ID, quality score. All pure Catalyst expressions — tests pin the exact
+semantics the DuckDB oracle mirrors.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from ncagg_spark.pipeline.text import (
+    detect_language,
+    fingerprint,
+    mean_token_length,
+    quality_score,
+    token_count,
+    tokenize,
+    word_ngrams,
+)
+
+
+def _one(spark, text, expr):
+    return spark.createDataFrame([(text,)], "text string").select(
+        expr.alias("v")
+    ).collect()[0]["v"]
+
+
+def test_tokenize_collapses_whitespace(spark):
+    assert _one(spark, "  a\tb\n c  ", tokenize("text")) == ["a", "b", "c"]
+    assert _one(spark, "", tokenize("text")) == []
+    assert _one(spark, "   ", tokenize("text")) == []
+
+
+def test_token_count(spark):
+    assert _one(spark, "one two three", token_count("text")) == 3
+
+
+def test_word_ngrams(spark):
+    got = _one(spark, "a b c d", word_ngrams(tokenize("text"), 3))
+    assert got == ["a b c", "b c d"]
+    # shorter than n -> empty, never a descending-sequence artifact
+    assert _one(spark, "a b", word_ngrams(tokenize("text"), 3)) == []
+
+
+def test_fingerprint_is_md5_of_normalized_text(spark):
+    got = _one(spark, "  Hello   world ", fingerprint("text"))
+    assert got == hashlib.md5(b"Hello world").hexdigest()
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    a = _one(spark, "x y z", fingerprint("text"))
+    b = _one(spark, "x\n  y\tz", fingerprint("text"))
+    assert a == b
+
+
+def test_mean_token_length(spark):
+    got = _one(spark, "ab cdef", mean_token_length(tokenize("text")))
+    assert got == pytest.approx(3.0)
+    assert _one(spark, "", mean_token_length(tokenize("text"))) == 0.0
+
+
+def test_detect_language(spark):
+    en = "the cat sat on the mat and it is nice to see the dog"
+    fr = "le chat et la souris et les oiseaux du jardin sont dans la maison"
+    de = "der hund und die katze und das haus von dem mann"
+    assert _one(spark, en, detect_language("text")) == "en"
+    assert _one(spark, fr, detect_language("text")) == "fr"
+    assert _one(spark, de, detect_language("text")) == "de"
+    assert _one(spark, "zzz qqq xxx", detect_language("text")) == "und"
+    assert _one(spark, "", detect_language("text")) == "und"
+
+
+def test_quality_score_bounds_and_monotonicity(spark):
+    good = "the quick brown fox jumps over the lazy dog and it is a fine day in the park"
+    bad = "x"
+    qg = _one(spark, good, quality_score("text"))
+    qb = _one(spark, bad, quality_score("text"))
+    assert 0.0 <= qb < qg <= 1.0

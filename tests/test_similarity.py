@@ -1,0 +1,94 @@
+"""Similarity search: brute-force exact top-k vs a numpy oracle; SRP-LSH
+and IVF approximate variants checked for shape, determinism, and recall
+against the exact result.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from ncagg_spark.pipeline.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    srp_lsh_topk,
+)
+
+DIM = 8
+N = 40
+
+
+@pytest.fixture()
+def vectors(spark):
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.gauss(0.0, 1.0) for _ in range(DIM)]) for i in range(N)
+    ]
+    return rows, spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _cosine(a, b):
+    d = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return d / (na * nb)
+
+
+def _exact_topk(rows, qid, k):
+    q = dict(rows)[qid]
+    scored = [
+        (round(_cosine(q, v), 6), i) for i, v in rows if i != qid
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    return [i for _, i in scored[:k]]
+
+
+def test_brute_force_matches_numpy_oracle(vectors):
+    rows, df = vectors
+    queries = df.filter("vec_id < 3")
+    got = brute_force_topk(df, queries, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    for qid in range(3):
+        mine = [n for _, n in sorted(by_q[qid])]
+        assert mine == _exact_topk(rows, qid, 5)
+
+
+def test_brute_force_excludes_self_and_ranks_dense(vectors):
+    _, df = vectors
+    got = brute_force_topk(df, df.filter("vec_id = 0"), k=3).collect()
+    assert all(r["neighbor_id"] != 0 for r in got)
+    assert sorted(r["rank"] for r in got) == [1, 2, 3]
+
+
+def test_srp_lsh_subset_of_corpus_and_deterministic(vectors):
+    _, df = vectors
+    a = srp_lsh_topk(df, df.filter("vec_id < 3"), k=5, n_planes=4, dim=DIM).collect()
+    b = srp_lsh_topk(df, df.filter("vec_id < 3"), k=5, n_planes=4, dim=DIM).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert all(r["neighbor_id"] != r["query_id"] for r in a)
+
+
+def test_ivf_recall_against_exact(vectors):
+    rows, df = vectors
+    queries = df.filter("vec_id < 5")
+    exact = {
+        qid: set(_exact_topk(rows, qid, 3)) for qid in range(5)
+    }
+    got = ivf_topk(df, queries, k=3, n_cells=4, n_probe=4).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # probing ALL cells == exhaustive search -> recall must be 1
+    for qid in range(5):
+        assert by_q[qid] == exact[qid]
+
+
+def test_ivf_partial_probe_is_subset(vectors):
+    _, df = vectors
+    got = ivf_topk(df, df.filter("vec_id < 3"), k=3, n_cells=8, n_probe=2).collect()
+    assert all(r["rank"] <= 3 for r in got)
+    assert all(r["query_id"] != r["neighbor_id"] for r in got)
