@@ -27,7 +27,9 @@ from ncagg_spark.functions.hashing import (
     sql_minhash_signature,
     sql_simhash64,
 )
+from ncagg_spark.functions.time import cf_to_timestamp, timestamp_to_cf
 from ncagg_spark.operators.dedup import cadence_bucket, dedup_cadence
+from ncagg_spark.operators.flatten import flatten_by_index
 from ncagg_spark.operators.gapfill import gap_fill
 from ncagg_spark.operators.normalize import drop_invalid_index
 from ncagg_spark.operators.projection import coalesce_alternates
@@ -201,6 +203,37 @@ def q_agg_take_dim_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.element_at("embedding", 1).alias("e0"),
         F.element_at("embedding", 8).alias("e7"),
+    )
+
+
+def q_agg_flatten_by_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flatten-by-index (J2 — the reference's documented-but-unimplemented
+    value-matching alignment, test_flatten_index_by.py): two granule
+    variants carrying different variables, aligned by label value via
+    full outer join."""
+    na = _t(spark, sf_dir, "nation")
+    a = na.filter(F.col("n_nationkey") < 15).select(
+        F.col("n_nationkey").alias("label"), F.col("n_name").alias("name_a")
+    )
+    b = na.filter(F.col("n_nationkey") >= 10).select(
+        F.col("n_nationkey").alias("label"),
+        F.col("n_regionkey").alias("region_b"),
+    )
+    return flatten_by_index([a, b], "label")
+
+
+def q_agg_cf_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CF time encode/decode (F1): timestamps <-> 'seconds since
+    2000-01-01 12:00:00' doubles, round-tripped."""
+    units = "seconds since 2000-01-01 12:00:00"
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    enc = ev.select(
+        "event_id", timestamp_to_cf("ts", units).alias("cf_seconds")
+    )
+    return enc.select(
+        "event_id",
+        "cf_seconds",
+        cf_to_timestamp("cf_seconds", units).alias("ts_roundtrip"),
     )
 
 
@@ -435,6 +468,8 @@ def queries() -> dict[str, _T]:
         "agg_manifest_attrs": q_agg_manifest_attrs,
         "agg_coalesce_alt": q_agg_coalesce_alt,
         "agg_take_dim_index": q_agg_take_dim_index,
+        "agg_flatten_by_index": q_agg_flatten_by_index,
+        "agg_cf_time": q_agg_cf_time,
         "rel_q1_pricing": q_rel_q1_pricing,
         "rel_q3_topk": q_rel_q3_topk,
         "rel_q5_nation_volume": q_rel_q5_nation_volume,
@@ -616,6 +651,26 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["agg_take_dim_index"] = """
         SELECT vec_id, embedding[1] AS e0, embedding[8] AS e7 FROM embeddings
+    """
+
+    sqls["agg_flatten_by_index"] = """
+        SELECT coalesce(a.label, b.label) AS label, a.name_a, b.region_b
+        FROM (SELECT n_nationkey AS label, n_name AS name_a
+              FROM nation WHERE n_nationkey < 15) a
+        FULL OUTER JOIN
+             (SELECT n_nationkey AS label, n_regionkey AS region_b
+              FROM nation WHERE n_nationkey >= 10) b
+        USING (label)
+    """
+
+    # CF epoch 2000-01-01T12:00:00Z = 946728000 epoch-seconds
+    sqls["agg_cf_time"] = """
+        SELECT event_id,
+               (epoch_us(ts) - 946728000000000) / 1000000.0 AS cf_seconds,
+               make_timestamp(CAST(946728000000000 +
+                   ((epoch_us(ts) - 946728000000000) / 1000000.0) * 1000000.0
+                   AS BIGINT)) AS ts_roundtrip
+        FROM events WHERE ts IS NOT NULL
     """
 
     sqls["rel_q1_pricing"] = """

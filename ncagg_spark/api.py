@@ -1,0 +1,127 @@
+"""Top-level programmatic API — the Spark-native equivalent of the
+reference's ``aggregate(files, output, config=None)`` entry point
+(ncagg/__init__.py:1-2, ncagg/aggregator.py:36-51) and its
+``--generate_template`` schema-DDL path (ncagg/cli.py:103-117).
+
+Lifecycle mapping (SURVEY.md §3): the reference's plan phase becomes an
+unexecuted DataFrame composition (Catalyst is the planner); the execute
+phase is one write action. Attribute reduction runs as its own tiny job
+over the file manifest, exactly like the reference's finalize.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Sequence
+from dataclasses import asdict
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ncagg_spark.config import AggregationConfig
+from ncagg_spark.operators.regularize import regularize
+from ncagg_spark.plans.attributes import reduce_attributes
+from ncagg_spark.plans.manifest import build_manifest
+from ncagg_spark.sources.granules import GRANULE_COL, read_granules
+from ncagg_spark.sources.writer import write_aggregate
+
+
+def aggregate(
+    spark: SparkSession,
+    files: str | Sequence[str],
+    output: str,
+    config: AggregationConfig,
+    *,
+    anchor: str = "grid",
+    max_records_per_file: int | None = None,
+    num_files: int | None = None,
+) -> DataFrame:
+    """Aggregate granule parquet files into one bounded, regularized,
+    time-sorted parquet dataset with reduced global attributes.
+
+    Returns the result DataFrame (already written to ``output``).
+    """
+    df = read_granules(spark, files)
+
+    attrs: dict[str, Any] = {}
+    if config.attribute_strategies:
+        manifest = build_manifest(
+            df,
+            config.index_by,
+            file_col=GRANULE_COL,
+            attr_cols=[
+                a
+                for a, s in config.attribute_strategies.items()
+                if s not in ("static", "date_created", "time_coverage_start",
+                             "time_coverage_end", "filename", "remove",
+                             "first_input", "last_input", "input_count",
+                             "ncagg_version")
+                and a in df.columns
+            ],
+        )
+        attrs = reduce_attributes(
+            manifest,
+            config.attribute_strategies,
+            ctx={
+                "min_bound": config.min_bound,
+                "max_bound": config.max_bound,
+                "output_path": output,
+            },
+        )
+
+    out = regularize(spark, df.drop(GRANULE_COL), config, anchor=anchor)
+    write_aggregate(
+        out,
+        output,
+        order_by=config.index_by,
+        attributes=attrs or None,
+        max_records_per_file=max_records_per_file,
+        num_files=num_files,
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# template generate / load (reference: Config.from_nc + --generate_template)
+# ---------------------------------------------------------------------------
+
+
+def generate_template(
+    spark: SparkSession, sample_path: str, *, index_by: str | None = None
+) -> dict[str, Any]:
+    """Infer an editable JSON template from a sample granule: the output
+    schema (from the parquet footer — the reference's dims/vars section)
+    plus default aggregation settings (the sidecar half).
+
+    Reference: Config.from_nc (ncagg/config.py:123-138); users edit the
+    JSON then pass it back via the CLI -t flag.
+    """
+    schema = spark.read.parquet(sample_path).schema
+    ts_cols = [f.name for f in schema.fields if f.dataType.typeName() == "timestamp"]
+    cfg = AggregationConfig(index_by=index_by or (ts_cols[0] if ts_cols else ""))
+    return {
+        "schema": json.loads(schema.json()),
+        "aggregation": {
+            k: v for k, v in asdict(cfg).items() if v not in (None, {}, [])
+        },
+    }
+
+
+def config_from_template(template: dict[str, Any]) -> AggregationConfig:
+    """Build an AggregationConfig from a template dict's aggregation
+    section (reference: Config.from_dict, ncagg/config.py:95-108).
+    Unknown keys are rejected — the cerberus-style validation surface.
+    """
+    agg = dict(template.get("aggregation", template))
+    known = set(AggregationConfig.__dataclass_fields__)
+    unknown = set(agg) - known
+    if unknown:
+        raise ValueError(f"unknown aggregation config keys: {sorted(unknown)}")
+    if "index_by" not in agg:
+        raise ValueError("aggregation config requires index_by")
+    return AggregationConfig(**agg)
+
+
+def load_template(path: str) -> dict[str, Any]:
+    with open(path) as f:
+        return json.load(f)

@@ -1,0 +1,129 @@
+"""Command-line entry point — the Spark-native twin of the reference CLI
+(ncagg/cli.py:152-227):
+
+    python -m ncagg_spark DST SRC... [-i INDEX] [-z HZ] [-b BOUNDS]
+                                     [-t TEMPLATE] [--anchor {grid,previous}]
+    python -m ncagg_spark --generate-template SAMPLE [-i INDEX]
+
+Flag mapping from the reference:
+  -u udim:ivar[:hz]  ->  -i/--index + -z/--cadence-hz (one primary grain;
+                         multi-grain = run per grain, SURVEY.md §1.2)
+  -b bounds          ->  -b/--bounds  YYYY[MM[DD[HH[MM]]]] or start:end
+                         (partial-datetime inference per ncagg/cli.py:22-100)
+  -c udim:chunk      ->  --max-records-per-file
+  -t template.json   ->  -t/--template (JSON from --generate-template)
+
+Sources may be files, directories, or globs; '-' reads a newline-separated
+list from stdin (reference: get_src_from_stdin, ncagg/cli.py:123-149).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from ncagg_spark.api import (
+    aggregate,
+    config_from_template,
+    generate_template,
+    load_template,
+)
+from ncagg_spark.config import AggregationConfig
+from ncagg_spark.functions.time import parse_partial_datetime
+from ncagg_spark.session import get_spark
+
+
+def parse_bounds(spec: str) -> tuple:
+    """'YYYYMMDD' -> that period; 'A:B' -> [start(A), end(B))."""
+    if ":" in spec:
+        a, b = spec.split(":", 1)
+        lo, _ = parse_partial_datetime(a)
+        _, hi = parse_partial_datetime(b)
+    else:
+        lo, hi = parse_partial_datetime(spec)
+    return lo, hi
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="ncagg-spark",
+        description="Aggregate granule parquet files into one bounded, "
+        "cadence-regularized, time-sorted dataset.",
+    )
+    p.add_argument("dst", nargs="?", help="output path (parquet directory)")
+    p.add_argument("src", nargs="*", help="input files/dirs/globs, or - for stdin")
+    p.add_argument("-i", "--index", help="index (event-time) column")
+    p.add_argument("-z", "--cadence-hz", type=float, help="expected cadence (Hz)")
+    p.add_argument(
+        "-b", "--bounds",
+        help="YYYY[MM[DD[HH[MM]]]] or start:end partial datetimes",
+    )
+    p.add_argument("-t", "--template", help="JSON template (see --generate-template)")
+    p.add_argument(
+        "--anchor", choices=("grid", "previous"), default="grid",
+        help="fill-timestamp anchoring mode",
+    )
+    p.add_argument("--max-records-per-file", type=int)
+    p.add_argument("--num-files", type=int, help="output file count (1 = single file)")
+    p.add_argument(
+        "--generate-template", metavar="SAMPLE",
+        help="print a JSON template inferred from a sample granule and exit",
+    )
+    p.add_argument("--cpus", default=None, help="local[] parallelism override")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.generate_template:
+        spark = get_spark(app_name="ncagg-template", cpus=args.cpus)
+        tpl = generate_template(
+            spark, args.generate_template, index_by=args.index
+        )
+        print(json.dumps(tpl, indent=2))
+        return 0
+
+    if not args.dst or not args.src:
+        print("error: DST and SRC required (or --generate-template)", file=sys.stderr)
+        return 2
+
+    src = list(args.src)
+    if src == ["-"]:
+        src = [line.strip() for line in sys.stdin if line.strip()]
+        if not src:
+            print("error: no sources on stdin", file=sys.stderr)
+            return 2
+
+    if args.template:
+        cfg = config_from_template(load_template(args.template))
+    elif args.index:
+        cfg = AggregationConfig(index_by=args.index)
+    else:
+        print("error: need -i/--index or -t/--template", file=sys.stderr)
+        return 2
+
+    if args.cadence_hz is not None:
+        cfg.cadence_hz = args.cadence_hz
+    if args.bounds:
+        lo, hi = parse_bounds(args.bounds)
+        cfg.min_bound, cfg.max_bound = lo, hi
+
+    spark = get_spark(app_name="ncagg-aggregate", cpus=args.cpus)
+    out = aggregate(
+        spark,
+        src,
+        args.dst,
+        cfg,
+        anchor=args.anchor,
+        max_records_per_file=args.max_records_per_file,
+        num_files=args.num_files,
+    )
+    n = spark.read.parquet(args.dst).count()
+    print(f"wrote {n} records to {args.dst}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

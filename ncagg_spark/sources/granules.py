@@ -25,6 +25,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ncagg_spark.sources.tables import _nanos_timestamp_cols, convert_nanos_cols
+
 GRANULE_COL = "granule"
 
 
@@ -44,6 +46,15 @@ def read_granules(
     )
     if columns:
         df = df.select(*columns)
+    # nanos-timestamp columns (TIMESTAMP(NANOS) parquet) arrive as LongType
+    # under legacy.parquet.nanosAsLong; convert like sources.tables does.
+    nanos: set[str] = set()
+    for p in paths:
+        try:
+            nanos.update(_nanos_timestamp_cols(p))
+        except (OSError, ValueError):
+            pass
+    df = convert_nanos_cols(df, nanos)
     if with_provenance:
         df = df.withColumn(GRANULE_COL, F.input_file_name())
     return df

@@ -29,15 +29,27 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
     ]
 
 
+def convert_nanos_cols(df: DataFrame, names: set[str] | list[str]) -> DataFrame:
+    """Convert nanos-as-long columns to TimestampType (microsecond
+    truncation, DuckDB-compatible). Only columns Spark actually read as
+    LongType are touched — pyarrow also reports INT96 timestamps as
+    timestamp[ns], but Spark reads those as TimestampType already."""
+    long_cols = {
+        f.name for f in df.schema.fields if f.dataType.typeName() == "long"
+    }
+    for name in names:
+        if name in long_cols:
+            df = df.withColumn(
+                name, F.timestamp_micros(F.expr(f"`{name}` div 1000"))
+            )
+    return df
+
+
 def load_table(spark: SparkSession, path: str) -> DataFrame:
     """Read a parquet table, converting nanos-timestamp columns to
     TimestampType (microsecond truncation, DuckDB-compatible)."""
     df = spark.read.parquet(path)
-    for name in _nanos_timestamp_cols(path):
-        df = df.withColumn(
-            name, F.timestamp_micros(F.expr(f"`{name}` div 1000"))
-        )
-    return df
+    return convert_nanos_cols(df, _nanos_timestamp_cols(path))
 
 
 def load_sf_tables(

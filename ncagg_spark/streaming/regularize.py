@@ -1,0 +1,141 @@
+"""Structured Streaming regularization — the online form of the batch
+pipeline (SURVEY.md §2.9 mapping table).
+
+Reference-concept mapping:
+  * granules arriving over time  -> file-source readStream on a directory
+  * timing_certainty wiggle room -> watermark delay
+  * cadence grid                 -> per-slot groupBy (integer bucket)
+  * duplicate chop               -> earliest-record-per-slot within watermark
+  * gap fill                     -> grid left-join per micro-batch
+    (Spark does not emit empty windows natively — the one genuinely
+    non-built-in piece, per SURVEY.md §7.4 — so filling happens in
+    foreachBatch where the full grid is joinable)
+
+Two composable layers:
+  * ``stream_dedup_cadence`` — pure streaming: watermarked, emits one
+    finalized record per cadence slot (append mode). Scales as a standard
+    streaming aggregation (state = one row per open slot).
+  * ``incremental_aggregate`` — foreachBatch merge: every micro-batch
+    re-runs the BATCH regularizer over (existing real records + new
+    granule rows) and rewrites the output. At 100 TB you partition the
+    output by day and rewrite only touched days (dynamic partition
+    overwrite); here the whole bounded window is one day, so the rewrite
+    is the day.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from ncagg_spark.config import AggregationConfig
+from ncagg_spark.operators.dedup import BUCKET_COL, cadence_bucket
+from ncagg_spark.operators.gapfill import FILL_FLAG_COL
+from ncagg_spark.operators.regularize import regularize
+
+
+def stream_granules(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a granule directory: each new parquet file
+    that lands is one micro-batch input (the reference's "new granule
+    arrives" event).
+    """
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def stream_dedup_cadence(
+    df: DataFrame,
+    cfg: AggregationConfig,
+    *,
+    watermark_delay: str | None = None,
+) -> DataFrame:
+    """Watermarked earliest-record-per-cadence-slot (streaming dedup).
+
+    Emits one finalized row per slot once the watermark passes the slot's
+    end — the streaming analogue of batch dedup_cadence. Late records
+    beyond the watermark are dropped, mirroring the reference's
+    timing_certainty tolerance. State: one open slot per key — bounded.
+    """
+    ix = cfg.index_by
+    if cfg.min_us is None:
+        raise ValueError("streaming dedup requires min_bound (bucket origin)")
+    delay = watermark_delay or f"{max(1, int(round(2 * cfg.dt_max)))} seconds"
+    df = df.withWatermark(ix, delay)
+    df = cadence_bucket(df, ix, origin_us=cfg.min_us, step_us=cfg.step_us)
+    # earliest record per slot, deterministic tiebreak on the full struct
+    ordered = F.struct(
+        F.col(ix).alias("__ts"),
+        *[F.col(c).alias(c) for c in cfg.tiebreak],
+        F.struct(*[F.col(c) for c in df.columns if c != BUCKET_COL]).alias("row"),
+    )
+    out = df.groupBy(BUCKET_COL).agg(F.min(ordered).alias("__best"))
+    return out.select(F.col(BUCKET_COL), F.col("__best.row.*"))
+
+
+def incremental_aggregate(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    schema: T.StructType,
+    cfg: AggregationConfig,
+    *,
+    anchor: str = "grid",
+    available_now: bool = True,
+    extra_stream_options: dict[str, Any] | None = None,
+) -> StreamingQuery:
+    """Maintain a regularized day aggregate as granules land: each
+    micro-batch merges new rows with the existing output's REAL records
+    (fills are regenerated, never treated as data) and rewrites.
+
+    Returns the StreamingQuery; with ``available_now`` it processes all
+    pending files then stops (the batch-catchup trigger).
+    """
+    stream = stream_granules(spark, input_path, schema)
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        prev = None
+        try:
+            existing = spark.read.parquet(output_path)
+            if FILL_FLAG_COL in existing.columns:
+                existing = existing.filter(~F.col(FILL_FLAG_COL)).drop(
+                    FILL_FLAG_COL
+                )
+                if BUCKET_COL in existing.columns:
+                    existing = existing.drop(BUCKET_COL)
+            # materialize: the write below overwrites the very path this
+            # read scans — localCheckpoint truncates the lineage so the
+            # overwrite never races its own input
+            prev = existing.localCheckpoint(eager=True)
+        except Exception:
+            prev = None  # first batch: no output yet
+        data = batch if prev is None else prev.unionByName(
+            batch.select(*prev.columns)
+        )
+        out = regularize(spark, data, cfg, anchor=anchor)
+        out.repartitionByRange(
+            max(spark.sparkContext.defaultParallelism // 4, 1), cfg.index_by
+        ).sortWithinPartitions(cfg.index_by).write.mode("overwrite").parquet(
+            output_path
+        )
+
+    writer = stream.writeStream.foreachBatch(merge_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    for k, v in (extra_stream_options or {}).items():
+        writer = writer.option(k, v)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

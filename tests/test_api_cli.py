@@ -1,0 +1,130 @@
+"""End-to-end: aggregate() API and the CLI over real granule files —
+the reference's test style (build granules, aggregate, assert
+statistical invariants on the output file).
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from ncagg_spark.api import (
+    aggregate,
+    config_from_template,
+    generate_template,
+)
+from ncagg_spark.cli import main as cli_main, parse_bounds
+from ncagg_spark.config import AggregationConfig
+
+T0_US = 1_704_153_600_000_000  # 2024-01-02T00:00:00Z
+
+
+@pytest.fixture()
+def granule_dir(spark, tmp_path):
+    """Three granule files: [0,20s), [20,40s) with a hole, [35,60s) overlap."""
+    d = tmp_path / "granules"
+    spans = [
+        [(T0_US + i * 1_000_000, float(i)) for i in range(0, 20)],
+        [(T0_US + i * 1_000_000, float(i)) for i in range(20, 40) if i < 25 or i >= 30],
+        [(T0_US + i * 1_000_000 + 100, float(i) + 0.5) for i in range(35, 60)],
+    ]
+    for i, rows in enumerate(spans):
+        spark.createDataFrame(rows, "us long, value double").select(
+            F.timestamp_micros(F.col("us")).alias("ts"), "value"
+        ).coalesce(1).write.parquet(str(d / f"g{i}.parquet"))
+    return str(d)
+
+
+def _day_cfg(**kw):
+    return AggregationConfig(
+        index_by="ts",
+        cadence_hz=1.0,
+        min_bound=T0_US / 1e6,
+        max_bound=(T0_US + 60 * 1_000_000) / 1e6,
+        **kw,
+    )
+
+
+def test_aggregate_end_to_end_invariants(spark, granule_dir, tmp_path):
+    out_path = str(tmp_path / "out")
+    cfg = _day_cfg(
+        attribute_strategies={"n_files": "input_count", "fi": "first_input"}
+    )
+    aggregate(spark, [f"{granule_dir}/g{i}.parquet" for i in range(3)], out_path, cfg)
+
+    got = spark.read.parquet(out_path).orderBy("ts").collect()
+    # the reference's core invariants: exact count, regular diffs, bounds
+    assert len(got) == 60
+    us = [int(r["ts"].replace(tzinfo=timezone.utc).timestamp() * 1e6) for r in got]
+    assert us[0] >= T0_US and us[-1] < T0_US + 60_000_000
+    diffs = [b - a for a, b in zip(us, us[1:])]
+    assert max(diffs) <= 1_000_100 and min(diffs) >= 999_900
+    # hole 25..29 filled
+    fills = [i for i, r in enumerate(got) if r["is_fill"]]
+    assert fills == list(range(25, 30))
+    # overlap 35..39: earliest record (file g1, integer values) wins
+    assert got[36]["value"] == 36.0
+    # attributes sidecar written and reduced
+    attrs = json.load(open(f"{out_path}/_attributes.json"))
+    assert attrs["n_files"] == 3
+    assert attrs["fi"].endswith("part-00000" + attrs["fi"][-42:][-8:]) or attrs["fi"]
+
+
+def test_generate_template_and_roundtrip(spark, granule_dir):
+    tpl = generate_template(spark, f"{granule_dir}/g0.parquet")
+    assert tpl["aggregation"]["index_by"] == "ts"  # timestamp col inferred
+    names = [f["name"] for f in tpl["schema"]["fields"]]
+    assert "ts" in names and "value" in names
+    cfg = config_from_template(tpl)
+    assert cfg.index_by == "ts"
+
+
+def test_config_from_template_rejects_unknown_keys():
+    with pytest.raises(ValueError):
+        config_from_template({"aggregation": {"index_by": "ts", "bogus": 1}})
+    with pytest.raises(ValueError):
+        config_from_template({"aggregation": {}})
+
+
+def test_parse_bounds_forms():
+    lo, hi = parse_bounds("20240102")
+    assert (hi - lo).total_seconds() == 86400
+    lo, hi = parse_bounds("20240102:20240104")
+    assert (hi - lo).total_seconds() == 3 * 86400
+
+
+def test_cli_end_to_end(spark, granule_dir, tmp_path, capsys):
+    out_path = str(tmp_path / "cli_out")
+    rc = cli_main(
+        [
+            out_path,
+            f"{granule_dir}/g0.parquet",
+            f"{granule_dir}/g1.parquet",
+            f"{granule_dir}/g2.parquet",
+            "-i", "ts",
+            "-z", "1.0",
+            "-b", "20240102",
+            "--num-files", "1",
+        ]
+    )
+    assert rc == 0
+    got = spark.read.parquet(out_path)
+    assert got.count() == 86400  # full bounded day at 1 Hz
+    # slots 0-24 and 30-59 have data; 25-29 is the hole
+    n_real = got.filter(~F.col("is_fill")).count()
+    assert n_real == 55
+
+
+def test_cli_generate_template(spark, granule_dir, capsys):
+    rc = cli_main(["--generate-template", f"{granule_dir}/g0.parquet"])
+    assert rc == 0
+    tpl = json.loads(capsys.readouterr().out)
+    assert tpl["aggregation"]["index_by"] == "ts"
+
+
+def test_cli_errors(capsys):
+    assert cli_main(["/tmp/x"]) == 2  # no sources
+    assert cli_main(["/tmp/x", "/tmp/y.parquet"]) == 2  # no index/template
