@@ -266,9 +266,11 @@ def q_rel_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,4)")
     cutoff = F.lit("1998-03-15").cast("timestamp")
+    # no forced broadcast: customer scales with SF (150k x SF rows) — at
+    # 100 TB it must shuffle-join; AQE auto-broadcasts it at small SF.
     j = (
         li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
         .filter(
             (F.col("c_mktsegment") == "BUILDING")
             & (F.col("o_orderdate") < cutoff)
@@ -290,10 +292,13 @@ def q_rel_q5_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     su = _t(spark, sf_dir, "supplier")
     na = _t(spark, sf_dir, "nation")
     dec = lambda c: F.col(c).cast("decimal(18,4)")
+    # broadcast only nation (25 rows at every SF); customer/supplier scale
+    # with SF and must be joinable by shuffle at 100 TB (AQE broadcasts
+    # them automatically when they fit).
     j = (
         li.join(od, li.l_orderkey == od.o_orderkey)
         .join(cu, od.o_custkey == cu.c_custkey)
-        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(na), F.col("s_nationkey") == na.n_nationkey)
     )
@@ -307,7 +312,7 @@ def q_rel_q5_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_rel_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu = _t(spark, sf_dir, "customer")
     od = _t(spark, sf_dir, "orders")
-    j = od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+    j = od.join(cu, od.o_custkey == cu.c_custkey)
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )
@@ -332,11 +337,93 @@ def q_rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_rel_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no 1998 orders — anti join against a filtered right
+    side (non-empty at every sf, unlike no-orders-at-all customers)."""
     cu = _t(spark, sf_dir, "customer")
-    od = _t(spark, sf_dir, "orders")
+    od = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
     return cu.join(
         od, cu.c_custkey == od.o_custkey, how="anti"
     ).select("c_custkey", "c_name")
+
+
+def q_rel_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers shipping any high-quantity line item (left semi join)."""
+    su = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return su.join(li, su.s_suppkey == li.l_suppkey, how="semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+def q_rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_rel_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops: nations with customers INTERSECT nations with suppliers,
+    unioned with (nations with customers EXCEPT nations with suppliers)
+    tagged — exercises both operators in one stable result."""
+    cu = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk")
+    )
+    su = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nk")
+    )
+    both = cu.intersect(su).withColumn("tag", F.lit("both"))
+    only_cu = cu.subtract(su).withColumn("tag", F.lit("cust_only"))
+    return both.union(only_cu)
+
+
+def q_rel_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS via SQL (Catalyst rewrites to semi join):
+    orders having at least one returned line item."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM v_orders
+        WHERE EXISTS (SELECT 1 FROM v_lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        """
+    )
+
+
+def q_rel_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders above the global average total price."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders2")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               CAST(o_totalprice AS DOUBLE) AS totalprice
+        FROM v_orders2
+        WHERE o_totalprice > (SELECT avg(CAST(o_totalprice AS DECIMAL(18,4)))
+                              FROM v_orders2)
+        """
+    )
+
+
+def q_rel_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-frame window: 7-row moving average of daily order totals
+    per priority (rows between 6 preceding and current)."""
+    od = _t(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.to_date("o_orderdate").cast("string").alias("day"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("total"))
+    w = Window.partitionBy("prio").orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "prio",
+        "day",
+        F.round(F.avg(F.col("total").cast("double")).over(w), 4).alias("avg7"),
+    )
 
 
 def q_rel_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -405,6 +492,36 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= threshold) over a
+    bounded corpus slice — the exact-threshold baseline the LSH variants
+    approximate. Exact + SQL-expressible, so fully oracle-checked."""
+    from ncagg_spark.functions.vectors import dot, l2_norm
+
+    em = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    a = em.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        l2_norm("embedding").alias("na"),
+    )
+    b = em.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        l2_norm("embedding").alias("nb"),
+    )
+    pairs = (
+        F.broadcast(a)
+        .crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(dot("va", "vb") / (F.col("na") * F.col("nb")), 6),
+        )
+        .filter(F.col("cosine") >= 0.2)
+    )
+    return pairs.select("id_a", "id_b", "cosine")
 
 
 def q_emb_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -476,6 +593,12 @@ def queries() -> dict[str, _T]:
         "rel_window_topk": q_rel_window_topk,
         "rel_rollup": q_rel_rollup,
         "rel_anti_join": q_rel_anti_join,
+        "rel_semi_join": q_rel_semi_join,
+        "rel_cube": q_rel_cube,
+        "rel_intersect_except": q_rel_intersect_except,
+        "rel_exists_subquery": q_rel_exists_subquery,
+        "rel_scalar_subquery": q_rel_scalar_subquery,
+        "rel_moving_avg": q_rel_moving_avg,
         "rel_union_distinct": q_rel_union_distinct,
         "doc_exact_duplicates": q_doc_exact_duplicates,
         "doc_text_stats": q_doc_text_stats,
@@ -484,6 +607,7 @@ def queries() -> dict[str, _T]:
         "doc_lsh_pairs": q_doc_lsh_pairs,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_simhash": q_doc_simhash,
+        "emb_near_dup": q_emb_near_dup,
         "emb_brute_topk": q_emb_brute_topk,
         "emb_srp_topk": q_emb_srp_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
@@ -735,7 +859,64 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["rel_anti_join"] = """
         SELECT c_custkey, c_name FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '1998-01-01')
+    """
+
+    sqls["rel_semi_join"] = """
+        SELECT s_suppkey, s_name FROM supplier
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_suppkey = s_suppkey AND l_quantity >= 45)
+    """
+
+    sqls["rel_cube"] = """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               count(*) AS n_rows
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """
+
+    sqls["rel_intersect_except"] = """
+        SELECT nk, 'both' AS tag FROM (
+            SELECT c_nationkey AS nk FROM customer
+            INTERSECT
+            SELECT s_nationkey AS nk FROM supplier
+        )
+        UNION ALL
+        SELECT nk, 'cust_only' AS tag FROM (
+            SELECT c_nationkey AS nk FROM customer
+            EXCEPT
+            SELECT s_nationkey AS nk FROM supplier
+        )
+    """
+
+    sqls["rel_exists_subquery"] = """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    """
+
+    sqls["rel_scalar_subquery"] = """
+        SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(CAST(o_totalprice AS DECIMAL(18,4)))
+                              FROM orders)
+    """
+
+    sqls["rel_moving_avg"] = """
+        WITH daily AS (
+            SELECT o_orderpriority AS prio,
+                   CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT prio, day,
+               round(avg(CAST(total AS DOUBLE)) OVER (
+                   PARTITION BY prio ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS avg7
+        FROM daily
     """
 
     sqls["rel_union_distinct"] = """
@@ -789,6 +970,15 @@ def oracle_sql() -> dict[str, str]:
     sqls["doc_simhash"] = f"""
         WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents)
         SELECT doc_id, {sql_simhash64('toks')} AS simhash FROM t
+    """
+
+    cos_ab = _sql_cosine("a.embedding", "b.embedding")
+    sqls["emb_near_dup"] = f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({cos_ab}, 6) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE a.vec_id < 200 AND b.vec_id < 200
+          AND round({cos_ab}, 6) >= 0.2
     """
 
     cos = _sql_cosine("q.embedding", "c.embedding")

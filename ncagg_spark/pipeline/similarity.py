@@ -21,12 +21,13 @@ broadcast as literal arrays — deterministic, no fit state.
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ncagg_spark.functions.vectors import cosine_similarity, dot
+from ncagg_spark.functions.vectors import dot, l2_norm
 
 
 def brute_force_topk(
@@ -44,18 +45,28 @@ def brute_force_topk(
     are excluded. Ties broken by neighbor id ascending (deterministic).
     """
     query_id_col = query_id_col or id_col
+    # norms computed ONCE per row on each join side (join inputs are
+    # materialization points — per-pair work is then a single dot+divide,
+    # not three array reductions)
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(vec_col).alias("q_norm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(vec_col).alias("c_norm"),
     )
     scored = (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
-            "cosine", F.round(cosine_similarity("q_vec", "c_vec"), 6)
+            "cosine",
+            F.round(
+                dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")), 6
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -110,11 +121,13 @@ def srp_lsh_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        l2_norm(vec_col).alias("c_norm"),
         srp_bucket(F.col(vec_col), planes).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        l2_norm(vec_col).alias("q_norm"),
         srp_bucket(F.col(vec_col), planes).alias("bucket"),
     )
     scored = (
@@ -122,7 +135,10 @@ def srp_lsh_topk(
         .join(c, on="bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
-            "cosine", F.round(cosine_similarity("q_vec", "c_vec"), 6)
+            "cosine",
+            F.round(
+                dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")), 6
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -166,18 +182,31 @@ def assign_cells(
     """Assign each vector to its max-cosine centroid (broadcast argmax —
     centroid count is small by construction).
 
+    Two norm eliminations: centroids are unit-scaled DRIVER-SIDE (their
+    norms are constants), and the row's own norm divides every candidate
+    equally so it cannot change the argmax — assignment reduces to argmax
+    over plain dot products, no norms evaluated at all.
+
     argmax via array_max over (score, cell) structs — linear expression
     size; a nested when-chain would duplicate subtrees exponentially.
     """
     entries = []
     for cell_id, vec in centroids:
-        lit_vec = F.array(*[F.lit(float(x)) for x in vec])
-        score = cosine_similarity(F.col(vec_col), lit_vec)
+        unit = _unit_scale(vec)
+        lit_vec = F.array(*[F.lit(x) for x in unit])
         entries.append(
-            F.struct(score.alias("s"), F.lit(cell_id).cast("int").alias("c"))
+            F.struct(
+                dot(F.col(vec_col), lit_vec).alias("s"),
+                F.lit(cell_id).cast("int").alias("c"),
+            )
         )
     best = F.array_max(F.array(*entries))
     return df.withColumn(out_col, best["c"])
+
+
+def _unit_scale(vec: list[float]) -> list[float]:
+    n = math.sqrt(sum(float(x) * float(x) for x in vec)) or 1.0
+    return [float(x) / n for x in vec]
 
 
 def ivf_topk(
@@ -199,18 +228,21 @@ def ivf_topk(
     )
     c = assign_cells(
         corpus.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            l2_norm(vec_col).alias("c_norm"),
         ),
         cents,
         vec_col="c_vec",
         out_col="cell",
     )
-    # query probes: rank centroids per query, keep n_probe
+    # query probes: rank centroids per query, keep n_probe. Same norm
+    # eliminations as assign_cells — ranking by dot against unit centroids.
     probes = None
     for cell_id, vec in cents:
-        lit_vec = F.array(*[F.lit(float(x)) for x in vec])
+        lit_vec = F.array(*[F.lit(x) for x in _unit_scale(vec)])
         entry = F.struct(
-            cosine_similarity(F.col(vec_col), lit_vec).alias("s"),
+            dot(F.col(vec_col), lit_vec).alias("s"),
             F.lit(cell_id).cast("int").alias("c"),
         )
         probes = F.array(entry) if probes is None else F.concat(probes, F.array(entry))
@@ -218,6 +250,7 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        l2_norm(vec_col).alias("q_norm"),
         F.explode(F.transform(probe_cells, lambda p: p["c"])).alias("cell"),
     )
     scored = (
@@ -225,7 +258,10 @@ def ivf_topk(
         .join(c, on="cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
-            "cosine", F.round(cosine_similarity("q_vec", "c_vec"), 6)
+            "cosine",
+            F.round(
+                dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")), 6
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
