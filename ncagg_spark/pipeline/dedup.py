@@ -107,10 +107,13 @@ def minhash_signatures(
     array_min-over-empty semantics and the DuckDB oracle.
     """
     shingles = F.array_distinct(word_ngrams(tokenize(text_col), shingle_n))
-    exploded = df.select(
+    # spread BEFORE shingling: tokenize/ngram generation is the CPU-heavy
+    # step and must not run in the handful of scan tasks a small file
+    # yields; shuffling raw docs is cheap relative to it
+    base = _spread_small_input(df.select(id_col, text_col), id_col)
+    exploded = base.select(
         F.col(id_col), F.explode_outer(shingles).alias("__shingle")
     )
-    exploded = _spread_small_input(exploded, id_col)
     hashed = exploded.select(
         F.col(id_col), (hash64(F.col("__shingle")) % MERSENNE31).alias("__h")
     )
@@ -216,10 +219,10 @@ def simhash_signatures(
     simhash64() and the DuckDB oracle. Empty docs get simhash 0.
     """
     bits = 32
-    exploded = df.select(
+    base = _spread_small_input(df.select(id_col, text_col), id_col)
+    exploded = base.select(
         F.col(id_col), F.explode_outer(tokenize(text_col)).alias("__tok")
     )
-    exploded = _spread_small_input(exploded, id_col)
     hashed = exploded.select(F.col(id_col), hash64(F.col("__tok")).alias("__h"))
     votes = [
         F.sum(
