@@ -33,11 +33,14 @@ from ncagg_spark.operators.flatten import flatten_by_index
 from ncagg_spark.operators.gapfill import gap_fill
 from ncagg_spark.operators.normalize import drop_invalid_index
 from ncagg_spark.operators.projection import coalesce_alternates
+from ncagg_spark.operators.flatten import block_diagonal_union, flatten_overlay
 from ncagg_spark.pipeline.dedup import (
+    exact_dedup,
     exact_duplicates,
     minhash_lsh_candidates,
     minhash_signatures,
     ngram_jaccard,
+    simhash_near_duplicates,
     simhash_signatures,
 )
 from ncagg_spark.pipeline.similarity import brute_force_topk, ivf_topk, srp_lsh_topk
@@ -204,6 +207,30 @@ def q_agg_take_dim_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("embedding", 1).alias("e0"),
         F.element_at("embedding", 8).alias("e7"),
     )
+
+
+def q_agg_block_diagonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-diagonal multi-unlim-dim default (SURVEY §1.2): two granule
+    variants with disjoint data columns unioned with null padding."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select(
+        "event_id", F.col("value").alias("click_value")
+    )
+    b = ev.filter(F.col("event_type") == "view").select(
+        "event_id", F.col("value").alias("view_value")
+    )
+    return block_diagonal_union([a, b])
+
+
+def q_agg_flatten_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flatten:true overlay (offset-0 per file): two files' rows aligned
+    by per-file position; earlier file wins per column."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & (F.col("event_id") < 2000)
+    )
+    f1 = ev.filter(F.col("event_id") % 2 == 0).select("event_id", "value")
+    f2 = ev.filter(F.col("event_id") % 2 == 1).select("event_id", "value")
+    return flatten_overlay([f1, f2], order_by="event_id")
 
 
 def q_agg_flatten_by_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -494,6 +521,21 @@ def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures(_t(spark, sf_dir, "documents"))
 
 
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep one representative (min doc_id) per identical-text group."""
+    return exact_dedup(_t(spark, sf_dir, "documents")).select("doc_id")
+
+
+def q_doc_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs via pigeonhole block self-join.
+    max_hamming=3 with 4 blocks keeps the pigeonhole guarantee complete
+    (a pair within distance 3 must agree on >=1 of 4 blocks), so the
+    sub-quadratic join returns EXACTLY what the oracle's quadratic scan
+    finds."""
+    sigs = simhash_signatures(_t(spark, sf_dir, "documents"))
+    return simhash_near_duplicates(sigs, max_hamming=3)
+
+
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= threshold) over a
     bounded corpus slice — the exact-threshold baseline the LSH variants
@@ -586,6 +628,8 @@ def queries() -> dict[str, _T]:
         "agg_coalesce_alt": q_agg_coalesce_alt,
         "agg_take_dim_index": q_agg_take_dim_index,
         "agg_flatten_by_index": q_agg_flatten_by_index,
+        "agg_block_diagonal": q_agg_block_diagonal,
+        "agg_flatten_overlay": q_agg_flatten_overlay,
         "agg_cf_time": q_agg_cf_time,
         "rel_q1_pricing": q_rel_q1_pricing,
         "rel_q3_topk": q_rel_q3_topk,
@@ -607,6 +651,8 @@ def queries() -> dict[str, _T]:
         "doc_lsh_pairs": q_doc_lsh_pairs,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_simhash": q_doc_simhash,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_simhash_near_dup": q_doc_simhash_near_dup,
         "emb_near_dup": q_emb_near_dup,
         "emb_brute_topk": q_emb_brute_topk,
         "emb_srp_topk": q_emb_srp_topk,
@@ -703,6 +749,23 @@ def _sql_cosine(a: str, b: str) -> str:
     )
 
 
+def _sql_srp_bucket(vec: str, n_planes: int = 8, dim: int = 64) -> str:
+    """DuckDB twin of similarity.srp_bucket: same deterministic planes
+    (seed 42), same left-to-right double arithmetic, so the bucket ids are
+    bit-identical. Plane literals printed with repr() round-trip exactly."""
+    from ncagg_spark.pipeline.similarity import random_hyperplanes
+
+    terms = []
+    for i, plane in enumerate(random_hyperplanes(n_planes, dim, 42)):
+        lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        dotp = (
+            f"list_sum(list_transform(list_zip({vec}, {lit}), "
+            "x -> x[1]::DOUBLE * x[2]::DOUBLE))"
+        )
+        terms.append(f"(CASE WHEN {dotp} > 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
 def oracle_sql() -> dict[str, str]:
     sqls: dict[str, str] = {}
 
@@ -775,6 +838,33 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["agg_take_dim_index"] = """
         SELECT vec_id, embedding[1] AS e0, embedding[8] AS e7 FROM embeddings
+    """
+
+    sqls["agg_block_diagonal"] = """
+        SELECT event_id, value AS click_value, NULL::DOUBLE AS view_value
+        FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT event_id, NULL::DOUBLE AS click_value, value AS view_value
+        FROM events WHERE event_type = 'view'
+    """
+
+    sqls["agg_flatten_overlay"] = """
+        WITH f1 AS (
+            SELECT event_id, value,
+                   row_number() OVER (ORDER BY event_id) - 1 AS pos
+            FROM events
+            WHERE ts IS NOT NULL AND event_id < 2000 AND event_id % 2 = 0
+        ),
+        f2 AS (
+            SELECT event_id, value,
+                   row_number() OVER (ORDER BY event_id) - 1 AS pos
+            FROM events
+            WHERE ts IS NOT NULL AND event_id < 2000 AND event_id % 2 = 1
+        )
+        SELECT coalesce(f1.pos, f2.pos) AS pos,
+               coalesce(f1.event_id, f2.event_id) AS event_id,
+               coalesce(f1.value, f2.value) AS value
+        FROM f1 FULL OUTER JOIN f2 USING (pos)
     """
 
     sqls["agg_flatten_by_index"] = """
@@ -954,6 +1044,25 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["doc_minhash_sig"] = _SQL_SIGS
 
+    sqls["doc_exact_dedup"] = f"""
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY md5({norm_text})) AS keep
+            FROM documents
+        ) WHERE doc_id = keep
+    """
+
+    sqls["doc_simhash_near_dup"] = f"""
+        WITH sigs AS (
+            SELECT doc_id, {sql_simhash64('toks')} AS simhash
+            FROM (SELECT doc_id, {_TOKENS} AS toks FROM documents)
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
     sqls["doc_lsh_pairs"] = _SQL_LSH_PAIRS
 
     sqls["doc_ngram_jaccard"] = f"""
@@ -1000,6 +1109,20 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
     """
 
-    # emb_srp_topk / emb_ivf_topk: approximate operators — rows-only check.
+    srp = _sql_srp_bucket("embedding")
+    sqls["emb_srp_topk"] = f"""
+        WITH b AS (SELECT vec_id, embedding, {srp} AS bucket FROM embeddings)
+        SELECT query_id, neighbor_id, rank, cosine FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round({cos}, 6) AS cosine,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY round({cos}, 6) DESC, c.vec_id ASC) AS rank
+            FROM b q JOIN b c
+              ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+            WHERE q.vec_id < 10
+        ) WHERE rank <= 5
+    """
+
+    # emb_ivf_topk: approximate operator (centroid sampling) — rows-only.
     # mm_features: mapInPandas (not SQL-expressible) — rows-only check.
     return sqls
