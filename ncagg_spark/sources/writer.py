@@ -21,6 +21,9 @@ from typing import Any
 from pyspark.sql import DataFrame
 
 
+DATE_PARTITION_COL = "dt"
+
+
 def write_aggregate(
     df: DataFrame,
     path: str,
@@ -30,20 +33,38 @@ def write_aggregate(
     max_records_per_file: int | None = None,
     num_files: int | None = None,
     mode: str = "overwrite",
+    partition_by_date: bool = False,
 ) -> None:
     """Write the aggregate as sorted parquet; attributes land in
     ``<path>/_attributes.json`` (the reference's global attrs).
+
+    ``partition_by_date=True`` lays the output out under
+    ``dt=YYYY-MM-DD/`` directories derived from ``order_by`` — the 100 TB
+    layout: time-range predicates become partition pruning (directories
+    skipped at planning time), and each day's files are internally
+    range-sorted so footer min/max prunes within the day.
     """
+    from pyspark.sql import functions as F
+
     out = df
+    if partition_by_date:
+        if not order_by:
+            raise ValueError("partition_by_date requires order_by")
+        out = out.withColumn(
+            DATE_PARTITION_COL, F.to_date(F.col(order_by)).cast("string")
+        )
     if order_by:
         if num_files and num_files == 1:
             out = out.coalesce(1).sortWithinPartitions(order_by)
         else:
             n = num_files or max(df.sparkSession.sparkContext.defaultParallelism, 1)
-            out = out.repartitionByRange(n, order_by).sortWithinPartitions(
-                order_by
+            keys = (
+                [DATE_PARTITION_COL, order_by] if partition_by_date else [order_by]
             )
+            out = out.repartitionByRange(n, *keys).sortWithinPartitions(*keys)
     writer = out.write.mode(mode)
+    if partition_by_date:
+        writer = writer.partitionBy(DATE_PARTITION_COL)
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(path)
