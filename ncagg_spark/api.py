@@ -35,6 +35,7 @@ def aggregate(
     anchor: str = "grid",
     max_records_per_file: int | None = None,
     num_files: int | None = None,
+    partition_by_date: bool = False,
 ) -> DataFrame:
     """Aggregate granule parquet files into one bounded, regularized,
     time-sorted parquet dataset with reduced global attributes.
@@ -77,6 +78,7 @@ def aggregate(
         attributes=attrs or None,
         max_records_per_file=max_records_per_file,
         num_files=num_files,
+        partition_by_date=partition_by_date,
     )
     return out
 

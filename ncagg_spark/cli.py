@@ -67,6 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-records-per-file", type=int)
     p.add_argument("--num-files", type=int, help="output file count (1 = single file)")
     p.add_argument(
+        "--partition-by-date", action="store_true",
+        help="lay output out under dt=YYYY-MM-DD/ (partition pruning)",
+    )
+    p.add_argument(
         "--generate-template", metavar="SAMPLE",
         help="print a JSON template inferred from a sample granule and exit",
     )
@@ -119,6 +123,7 @@ def main(argv: list[str] | None = None) -> int:
         anchor=args.anchor,
         max_records_per_file=args.max_records_per_file,
         num_files=args.num_files,
+        partition_by_date=args.partition_by_date,
     )
     n = spark.read.parquet(args.dst).count()
     print(f"wrote {n} records to {args.dst}", file=sys.stderr)
