@@ -94,12 +94,14 @@ def _day_cfg() -> AggregationConfig:
 
 
 def _events_day_prepped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    ev = drop_invalid_index(ev, "ts")
-    ev = ev.filter(
-        (F.col("ts") >= F.timestamp_micros(F.lit(DAY_LO_US)))
-        & (F.col("ts") < F.timestamp_micros(F.lit(DAY_HI_US)))
+    # bounds applied on the raw nanos column inside load_table so they
+    # reach the parquet scan as pushed filters (row-group pruning)
+    ev = load_table(
+        spark,
+        f"{sf_dir}/events.parquet",
+        time_bounds=("ts", DAY_LO_US, DAY_HI_US),
     )
+    ev = drop_invalid_index(ev, "ts")
     return cadence_bucket(ev, "ts", origin_us=DAY_LO_US, step_us=STEP_US)
 
 
@@ -148,12 +150,13 @@ def q_agg_dedup_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_agg_bounds_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
+    ev = load_table(
+        spark,
+        f"{sf_dir}/events.parquet",
+        time_bounds=("ts", DAY_LO_US, DAY_HI_US),
+    )
     ev = drop_invalid_index(ev, "ts")
-    return ev.filter(
-        (F.col("ts") >= F.timestamp_micros(F.lit(DAY_LO_US)))
-        & (F.col("ts") < F.timestamp_micros(F.lit(DAY_HI_US)))
-    ).select("event_id", "ts", "user_id", "event_type", "value")
+    return ev.select("event_id", "ts", "user_id", "event_type", "value")
 
 
 def q_agg_manifest_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1123,6 +1126,54 @@ def oracle_sql() -> dict[str, str]:
         ) WHERE rank <= 5
     """
 
-    # emb_ivf_topk: approximate operator (centroid sampling) — rows-only.
+    # IVF is fully derivable in SQL: centroids are the 16 lowest-id
+    # vectors, unit-scaled (norm math identical in both engines); cell
+    # assignment = argmax of plain dots (ties -> larger cell, matching
+    # Spark's array_max struct ordering); probes = top-4 cells per query
+    # (ties -> smaller cell, matching array_sort's stable original order).
+    dot_c = (
+        "list_sum(list_transform(list_zip({v}, c.cunit), "
+        "x -> x[1]::DOUBLE * x[2]))"
+    )
+    cents_sql = """
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+               list_transform(embedding,
+                   x -> x::DOUBLE / sqrt(list_sum(list_transform(embedding,
+                        v -> v::DOUBLE * v::DOUBLE)))) AS cunit
+        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+    """
+    sqls["emb_ivf_topk"] = f"""
+        WITH cents AS ({cents_sql}),
+        assign AS (
+            SELECT e.vec_id, e.embedding, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {dot_c.format(v='e.embedding')} DESC,
+                                c.cell DESC) AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ),
+        corpus AS (
+            SELECT vec_id AS neighbor_id, embedding, cell
+            FROM assign WHERE rn = 1
+        ),
+        probes AS (
+            SELECT e.vec_id, e.embedding, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {dot_c.format(v='e.embedding')} DESC,
+                                c.cell ASC) AS rn
+            FROM embeddings e CROSS JOIN cents c
+            WHERE e.vec_id < 10
+        )
+        SELECT query_id, neighbor_id, rank, cosine FROM (
+            SELECT q.vec_id AS query_id, c.neighbor_id,
+                   round({_sql_cosine('q.embedding', 'c.embedding')}, 6) AS cosine,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY round({_sql_cosine('q.embedding', 'c.embedding')}, 6) DESC,
+                                c.neighbor_id ASC) AS rank
+            FROM (SELECT DISTINCT vec_id, embedding, cell
+                  FROM probes WHERE rn <= 4) q
+            JOIN corpus c ON c.cell = q.cell AND c.neighbor_id <> q.vec_id
+        ) WHERE rank <= 5
+    """
+
     # mm_features: mapInPandas (not SQL-expressible) — rows-only check.
     return sqls

@@ -45,11 +45,43 @@ def convert_nanos_cols(df: DataFrame, names: set[str] | list[str]) -> DataFrame:
     return df
 
 
-def load_table(spark: SparkSession, path: str) -> DataFrame:
+def load_table(
+    spark: SparkSession,
+    path: str,
+    *,
+    time_bounds: tuple[str, int | None, int | None] | None = None,
+) -> DataFrame:
     """Read a parquet table, converting nanos-timestamp columns to
-    TimestampType (microsecond truncation, DuckDB-compatible)."""
+    TimestampType (microsecond truncation, DuckDB-compatible).
+
+    ``time_bounds=(col, lo_us, hi_us)`` applies the range predicate on the
+    RAW nanos long BEFORE conversion, so it reaches the parquet scan as a
+    pushed filter and row-group/file min-max stats prune — a filter on
+    the converted (computed) column cannot push down. The rewrite is
+    exact: floor(raw/1000) >= lo_us  <=>  raw >= lo_us*1000, and
+    floor(raw/1000) < hi_us  <=>  raw < hi_us*1000, for non-negative
+    bounds. At 100 TB this is the difference between scanning a day and
+    scanning a year.
+    """
     df = spark.read.parquet(path)
-    return convert_nanos_cols(df, _nanos_timestamp_cols(path))
+    nanos = _nanos_timestamp_cols(path)
+    if time_bounds is not None:
+        col, lo_us, hi_us = time_bounds
+        long_cols = {
+            f.name for f in df.schema.fields if f.dataType.typeName() == "long"
+        }
+        c = F.col(col)
+        if col in nanos and col in long_cols:
+            if lo_us is not None:
+                df = df.filter(c >= lo_us * 1000)
+            if hi_us is not None:
+                df = df.filter(c < hi_us * 1000)
+        else:
+            if lo_us is not None:
+                df = df.filter(c >= F.timestamp_micros(F.lit(lo_us)))
+            if hi_us is not None:
+                df = df.filter(c < F.timestamp_micros(F.lit(hi_us)))
+    return convert_nanos_cols(df, nanos)
 
 
 def load_sf_tables(
