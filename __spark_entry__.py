@@ -47,14 +47,18 @@ from ncagg_spark.pipeline.similarity import brute_force_topk, ivf_topk, srp_lsh_
 from ncagg_spark.pipeline.text import (
     LANG_PRECEDENCE,
     STOPWORDS,
+    bpeish_token_count,
     detect_language,
     fingerprint,
     mean_token_length,
     quality_score,
+    sql_bpeish_tokens,
     sql_stopword_hits,
     sql_tokenize,
+    sql_winnow_fingerprint,
     sql_word_ngrams,
     tokenize,
+    winnow_fingerprint,
 )
 from ncagg_spark.sources.tables import load_table
 
@@ -524,6 +528,27 @@ def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures(_t(spark, sf_dir, "documents"))
 
 
+def q_doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways: whitespace words and BPE-ish pre-tokens
+    (letter/digit/punct runs — the LLM-token-count proxy)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tokenize(F.col("text"))).alias("ws_tokens"),
+        bpeish_token_count(F.col("text")).alias("bpeish_tokens"),
+    )
+
+
+def q_doc_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash (winnowing-style) fingerprint: min hash over 8-token
+    shingle windows."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        winnow_fingerprint(tokenize(F.col("text")), window=8).alias("winnow_fp"),
+    )
+
+
 def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep one representative (min doc_id) per identical-text group."""
     return exact_dedup(_t(spark, sf_dir, "documents")).select("doc_id")
@@ -656,6 +681,8 @@ def queries() -> dict[str, _T]:
         "doc_simhash": q_doc_simhash,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_simhash_near_dup": q_doc_simhash_near_dup,
+        "doc_token_count": q_doc_token_count,
+        "doc_winnow_fp": q_doc_winnow_fp,
         "emb_near_dup": q_emb_near_dup,
         "emb_brute_topk": q_emb_brute_topk,
         "emb_srp_topk": q_emb_srp_topk,
@@ -1053,6 +1080,18 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) OVER (PARTITION BY md5({norm_text})) AS keep
             FROM documents
         ) WHERE doc_id = keep
+    """
+
+    sqls["doc_token_count"] = f"""
+        SELECT doc_id,
+               len({_TOKENS}) AS ws_tokens,
+               len({sql_bpeish_tokens('text')}) AS bpeish_tokens
+        FROM documents
+    """
+
+    sqls["doc_winnow_fp"] = f"""
+        SELECT doc_id, {sql_winnow_fingerprint(_TOKENS, 8)} AS winnow_fp
+        FROM documents
     """
 
     sqls["doc_simhash_near_dup"] = f"""

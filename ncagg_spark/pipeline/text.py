@@ -132,9 +132,59 @@ def detect_language(col: Column | str) -> Column:
     return expr
 
 
+# BPE-ish pre-tokenization: the GPT-2-style coarse split into letter runs,
+# digit runs, and punctuation runs. Kept to character classes only so the
+# Java (Spark) and RE2-ish (DuckDB) regex dialects agree exactly.
+BPEISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpeish_tokens(col: Column | str) -> Column:
+    """BPE-style pre-tokens (letter/digit/punct runs). A practical proxy
+    for LLM token counting when the real tokenizer isn't available
+    engine-side; the count correlates with BPE token counts far better
+    than whitespace words do (punctuation and numbers split off)."""
+    return F.regexp_extract_all(_c(col), F.lit(BPEISH_PATTERN), 0)
+
+
+def bpeish_token_count(col: Column | str) -> Column:
+    return F.size(bpeish_tokens(col))
+
+
+def winnow_fingerprint(tokens: Column, window: int = 8) -> Column:
+    """Rolling-hash document fingerprint (winnowing-style): hash every
+    ``window``-token shingle and keep the MINIMUM hash — robust to
+    insertions/deletions outside the minimal window, unlike the whole-doc
+    md5. Docs shorter than the window fall back to hashing the whole
+    token sequence."""
+    from ncagg_spark.functions.hashing import hash64
+
+    grams = word_ngrams(tokens, window)
+    whole = hash64(F.array_join(tokens, " "))
+    return F.when(
+        F.size(grams) > 0,
+        F.array_min(F.transform(grams, lambda g: hash64(g))),
+    ).otherwise(whole)
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle twins
 # ---------------------------------------------------------------------------
+
+
+def sql_bpeish_tokens(expr: str) -> str:
+    return f"regexp_extract_all({expr}, '{BPEISH_PATTERN}')"
+
+
+def sql_winnow_fingerprint(tokens_expr: str, window: int = 8) -> str:
+    from ncagg_spark.functions.hashing import sql_hash64
+
+    grams = sql_word_ngrams(tokens_expr, window)
+    whole = sql_hash64(f"array_to_string({tokens_expr}, ' ')")
+    return (
+        f"CASE WHEN len({grams}) > 0 THEN "
+        f"list_min(list_transform({grams}, g -> {sql_hash64('g')})) "
+        f"ELSE {whole} END"
+    )
 
 
 def sql_tokenize(expr: str) -> str:

@@ -78,3 +78,27 @@ def test_quality_score_bounds_and_monotonicity(spark):
     qg = _one(spark, good, quality_score("text"))
     qb = _one(spark, bad, quality_score("text"))
     assert 0.0 <= qb < qg <= 1.0
+
+
+def test_bpeish_tokens_split_runs(spark):
+    from ncagg_spark.pipeline.text import bpeish_token_count, bpeish_tokens
+
+    got = _one(spark, "don't count 123 twice!!", bpeish_tokens("text"))
+    assert got == ["don", "'", "t", "count", "123", "twice", "!!"]
+    assert _one(spark, "hello world", bpeish_token_count("text")) == 2
+    assert _one(spark, "", bpeish_token_count("text")) == 0
+
+
+def test_winnow_fingerprint_rolling_invariance(spark):
+    from ncagg_spark.pipeline.text import tokenize, winnow_fingerprint
+
+    base = "a b c d e f g h i j k l m n o p"
+    fp = lambda t: _one(spark, t, winnow_fingerprint(tokenize("text"), 8))
+    # identical docs -> identical fingerprints
+    assert fp(base) == fp(base)
+    # appending far from the minimal window usually keeps the fingerprint
+    # (rolling property); at minimum it stays a valid long
+    assert isinstance(fp(base + " zz"), int)
+    # short docs fall back to whole-sequence hash, no crash
+    assert isinstance(fp("a b"), int)
+    assert fp("a b") != fp("a c")
