@@ -444,6 +444,70 @@ def q_rel_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per region: the full 5-table chain through nation+region
+    (both constant-size -> broadcast)."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    j = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+    )
+    return j.groupBy("r_name").agg(
+        F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_rel_part_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by part type for one brand — part joined to lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    return (
+        li.join(pa, li.l_partkey == pa.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.sum(dec("l_extendedprice")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_rel_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window (1 hour) aggregation over events — the
+    batch form of the streaming windowed agg (F.window)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = F.window("ts", "1 hour")
+    return ev.groupBy(w.alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    ).select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+def q_rel_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count per group (the approx_count_distinct scale
+    path exists but can't hash-match an oracle)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 def q_rel_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-frame window: 7-row moving average of daily order totals
     per priority (rows between 6 preceding and current)."""
@@ -671,6 +735,10 @@ def queries() -> dict[str, _T]:
         "rel_exists_subquery": q_rel_exists_subquery,
         "rel_scalar_subquery": q_rel_scalar_subquery,
         "rel_moving_avg": q_rel_moving_avg,
+        "rel_region_volume": q_rel_region_volume,
+        "rel_part_type_revenue": q_rel_part_type_revenue,
+        "rel_window_agg": q_rel_window_agg,
+        "rel_distinct_count": q_rel_distinct_count,
         "rel_union_distinct": q_rel_union_distinct,
         "doc_exact_duplicates": q_doc_exact_duplicates,
         "doc_text_stats": q_doc_text_stats,
@@ -1023,6 +1091,44 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
         WHERE o_totalprice > (SELECT avg(CAST(o_totalprice AS DECIMAL(18,4)))
                               FROM orders)
+    """
+
+    sqls["rel_region_volume"] = """
+        SELECT r_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                        (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                   AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """
+
+    sqls["rel_part_type_revenue"] = """
+        SELECT p_type,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#1'
+        GROUP BY p_type
+    """
+
+    sqls["rel_window_agg"] = """
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               event_type, count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY 1, 2
+    """
+
+    sqls["rel_distinct_count"] = """
+        SELECT event_type,
+               count(DISTINCT user_id) AS n_users,
+               count(*) AS n_events
+        FROM events GROUP BY event_type
     """
 
     sqls["rel_moving_avg"] = """

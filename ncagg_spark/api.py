@@ -36,13 +36,31 @@ def aggregate(
     max_records_per_file: int | None = None,
     num_files: int | None = None,
     partition_by_date: bool = False,
+    columns: list[str] | None = None,
 ) -> DataFrame:
     """Aggregate granule parquet files into one bounded, regularized,
     time-sorted parquet dataset with reduced global attributes.
 
+    ``columns`` projects the output to the template's declared variables
+    (P1: template-minus-variable = drop). Columns the template declares
+    but no granule carries come out as nulls (P4) — matching the
+    reference's missing-variable fill semantics.
+
     Returns the result DataFrame (already written to ``output``).
     """
     df = read_granules(spark, files)
+    if columns:
+        from pyspark.sql import functions as F
+
+        existing = set(df.columns)
+        df = df.select(
+            *[
+                F.col(c) if c in existing else F.lit(None).alias(c)
+                for c in columns
+                if c != GRANULE_COL
+            ],
+            *( [F.col(GRANULE_COL)] if GRANULE_COL in existing else [] ),
+        )
 
     attrs: dict[str, Any] = {}
     if config.attribute_strategies:
@@ -122,6 +140,17 @@ def config_from_template(template: dict[str, Any]) -> AggregationConfig:
     if "index_by" not in agg:
         raise ValueError("aggregation config requires index_by")
     return AggregationConfig(**agg)
+
+
+def template_columns(template: dict[str, Any]) -> list[str] | None:
+    """Output column list declared by a template's schema section, or
+    None when the template has no schema. Deleting a field from the
+    template drops the variable from the output — the reference's
+    template-minus-variable projection (README.md:353-355, P1)."""
+    schema = template.get("schema")
+    if not schema:
+        return None
+    return [f["name"] for f in schema.get("fields", [])]
 
 
 def load_template(path: str) -> dict[str, Any]:

@@ -28,6 +28,7 @@ from ncagg_spark.api import (
     config_from_template,
     generate_template,
     load_template,
+    template_columns,
 )
 from ncagg_spark.config import AggregationConfig
 from ncagg_spark.functions.time import parse_partial_datetime
@@ -100,8 +101,11 @@ def main(argv: list[str] | None = None) -> int:
             print("error: no sources on stdin", file=sys.stderr)
             return 2
 
+    columns = None
     if args.template:
-        cfg = config_from_template(load_template(args.template))
+        tpl = load_template(args.template)
+        cfg = config_from_template(tpl)
+        columns = template_columns(tpl)
     elif args.index:
         cfg = AggregationConfig(index_by=args.index)
     else:
@@ -124,6 +128,7 @@ def main(argv: list[str] | None = None) -> int:
         max_records_per_file=args.max_records_per_file,
         num_files=args.num_files,
         partition_by_date=args.partition_by_date,
+        columns=columns,
     )
     n = spark.read.parquet(args.dst).count()
     print(f"wrote {n} records to {args.dst}", file=sys.stderr)

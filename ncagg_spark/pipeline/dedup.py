@@ -150,6 +150,11 @@ def minhash_lsh_candidates(
             band_hashes(F.col("sig"), num_bands, rows_per_band)
         ).alias("band", "bh"),
     )
+    # the band table feeds three plan branches (bucket-size guard + both
+    # self-join sides); persist so signatures are computed once, not 3x.
+    # Tiny relative to the corpus: num_bands rows of (id, int, long) per
+    # doc — the standard materialization in web-scale LSH dedup.
+    bands = bands.persist()
     big = (
         bands.groupBy("band", "bh")
         .count()

@@ -128,3 +128,21 @@ def test_cli_generate_template(spark, granule_dir, capsys):
 def test_cli_errors(capsys):
     assert cli_main(["/tmp/x"]) == 2  # no sources
     assert cli_main(["/tmp/x", "/tmp/y.parquet"]) == 2  # no index/template
+
+
+def test_template_projection_drops_and_nulls(spark, granule_dir, tmp_path):
+    """P1 + P4: deleting a variable from the template drops it; a
+    template variable absent from every granule comes out as nulls."""
+    out_path = str(tmp_path / "proj_out")
+    cfg = _day_cfg()
+    aggregate(
+        spark,
+        [f"{granule_dir}/g0.parquet"],
+        out_path,
+        cfg,
+        columns=["ts", "brand_new_var"],  # 'value' deleted, new var added
+    )
+    got = spark.read.parquet(out_path)
+    assert set(got.columns) == {"ts", "brand_new_var", "is_fill"}
+    assert got.count() == 60
+    assert got.filter(F.col("brand_new_var").isNotNull()).count() == 0
