@@ -256,6 +256,15 @@ def q_agg_flatten_by_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flatten_by_index([a, b], "label")
 
 
+def q_agg_promote_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed->unlimited dim promotion (type1 remapping): each embedding
+    element becomes its own record with its position."""
+    from ncagg_spark.operators.projection import promote_fixed_dim
+
+    em = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    return promote_fixed_dim(em.select("vec_id", "embedding"), "embedding")
+
+
 def q_agg_cf_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CF time encode/decode (F1): timestamps <-> 'seconds since
     2000-01-01 12:00:00' doubles, round-tripped."""
@@ -720,6 +729,7 @@ def queries() -> dict[str, _T]:
         "agg_coalesce_alt": q_agg_coalesce_alt,
         "agg_take_dim_index": q_agg_take_dim_index,
         "agg_flatten_by_index": q_agg_flatten_by_index,
+        "agg_promote_dim": q_agg_promote_dim,
         "agg_block_diagonal": q_agg_block_diagonal,
         "agg_flatten_overlay": q_agg_flatten_overlay,
         "agg_cf_time": q_agg_cf_time,
@@ -936,6 +946,13 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["agg_take_dim_index"] = """
         SELECT vec_id, embedding[1] AS e0, embedding[8] AS e7 FROM embeddings
+    """
+
+    sqls["agg_promote_dim"] = """
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS pos,
+               unnest(embedding) AS embedding
+        FROM embeddings WHERE vec_id < 50
     """
 
     sqls["agg_block_diagonal"] = """

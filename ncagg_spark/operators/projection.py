@@ -57,3 +57,23 @@ def take_dim_indices(df: DataFrame, indices: Mapping[str, int]) -> DataFrame:
     for col, i in indices.items():
         df = df.withColumn(col, F.element_at(F.col(col), i + 1))
     return df
+
+
+def promote_fixed_dim(
+    df: DataFrame, array_col: str, *, pos_col: str = "pos"
+) -> DataFrame:
+    """Promote a fixed (array) dimension to the record axis: one output
+    row per array element, with the element's 0-based position.
+
+    The reference's template-driven fixed->unlimited promotion
+    (test/exis/EXISL1bSFEU_remapping type1: a dim declared size-N in the
+    input becomes unlimited in the output, so every element is its own
+    record). Spark-side this is posexplode; all other columns replicate
+    across the new rows — the reference's "size 1 per file" broadcast
+    semantics for dims a variable lacks (ncagg/aggrelist.py:455-459).
+    """
+    others = [c for c in df.columns if c != array_col]
+    return df.select(
+        *others,
+        F.posexplode_outer(F.col(array_col)).alias(pos_col, array_col),
+    )

@@ -148,3 +148,38 @@ def test_salted_join_matches_plain_join(spark):
 
     with _pytest.raises(ValueError):
         salted_join(left, right, "k", how="full")
+
+
+def test_promote_fixed_dim(spark):
+    from ncagg_spark.operators.projection import promote_fixed_dim
+
+    df = spark.createDataFrame(
+        [(1, [10.0, 20.0]), (2, []), (3, None)],
+        "id long, arr array<double>",
+    )
+    out = promote_fixed_dim(df, "arr").orderBy("id", "pos").collect()
+    # element rows for id=1; empty/null arrays keep one row with nulls
+    # (the reference's missing-dim "size 1 per file" semantics)
+    assert [(r["id"], r["pos"], r["arr"]) for r in out] == [
+        (1, 0, 10.0),
+        (1, 1, 20.0),
+        (2, None, None),
+        (3, None, None),
+    ]
+
+
+def test_per_file_scalar_grain(spark):
+    """The crota case (test/exis/EXISL1bSFXR_with_crota): per-file scalar
+    variables become a per-file grain — one row per granule with the
+    scalar attached, via the manifest with attr_cols."""
+    from ncagg_spark.plans.manifest import FILE_COL, build_manifest
+
+    rows = [
+        (100.0, "f1", 0.75),
+        (101.0, "f1", 0.75),
+        (200.0, "f2", 0.80),
+    ]
+    df = spark.createDataFrame(rows, "ts double, src string, crota double")
+    m = build_manifest(df, "ts", file_col="src", attr_cols=["crota"])
+    got = {r[FILE_COL]: (r["crota"], r["row_count"]) for r in m.collect()}
+    assert got == {"f1": (0.75, 2), "f2": (0.80, 1)}
