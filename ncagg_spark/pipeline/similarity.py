@@ -27,7 +27,7 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ncagg_spark.functions.vectors import dot, l2_norm
+from ncagg_spark.functions.vectors import dot, dot_const_sql, l2_norm
 
 
 def brute_force_topk(
@@ -89,16 +89,19 @@ def random_hyperplanes(
     ]
 
 
-def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-random-projection bucket id: bit i = sign(vec . plane_i)."""
-    acc = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-        d = dot(vec, lit_plane)
-        acc = acc + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return acc
+def srp_bucket(vec_col: str, planes: list[list[float]]) -> Column:
+    """Sign-random-projection bucket id: bit i = sign(vec . plane_i).
+
+    Rendered as ONE SQL expression (dot_const_sql): the n_planes constant
+    dots would otherwise cost ~20ms of py4j lambda plumbing each at
+    plan-build time, per call site.
+    """
+    terms = [
+        f"(CASE WHEN {dot_const_sql(vec_col, plane)} > 0.0D"
+        f" THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i, plane in enumerate(planes)
+    ]
+    return F.expr("CAST(0 AS BIGINT) + " + " + ".join(terms))
 
 
 def srp_lsh_topk(
@@ -122,13 +125,13 @@ def srp_lsh_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         l2_norm(vec_col).alias("c_norm"),
-        srp_bucket(F.col(vec_col), planes).alias("bucket"),
+        srp_bucket(vec_col, planes).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         l2_norm(vec_col).alias("q_norm"),
-        srp_bucket(F.col(vec_col), planes).alias("bucket"),
+        srp_bucket(vec_col, planes).alias("bucket"),
     )
     scored = (
         F.broadcast(q)
@@ -189,19 +192,14 @@ def assign_cells(
 
     argmax via array_max over (score, cell) structs — linear expression
     size; a nested when-chain would duplicate subtrees exponentially.
+    Rendered as one SQL expression (see dot_const_sql).
     """
-    entries = []
-    for cell_id, vec in centroids:
-        unit = _unit_scale(vec)
-        lit_vec = F.array(*[F.lit(x) for x in unit])
-        entries.append(
-            F.struct(
-                dot(F.col(vec_col), lit_vec).alias("s"),
-                F.lit(cell_id).cast("int").alias("c"),
-            )
-        )
-    best = F.array_max(F.array(*entries))
-    return df.withColumn(out_col, best["c"])
+    entries = ",".join(
+        f"named_struct('s', {dot_const_sql(vec_col, _unit_scale(vec))},"
+        f" 'c', CAST({int(cell_id)} AS INT))"
+        for cell_id, vec in centroids
+    )
+    return df.withColumn(out_col, F.expr(f"array_max(array({entries})).c"))
 
 
 def _unit_scale(vec: list[float]) -> list[float]:
@@ -238,20 +236,23 @@ def ivf_topk(
     )
     # query probes: rank centroids per query, keep n_probe. Same norm
     # eliminations as assign_cells — ranking by dot against unit centroids.
-    probes = None
-    for cell_id, vec in cents:
-        lit_vec = F.array(*[F.lit(x) for x in _unit_scale(vec)])
-        entry = F.struct(
-            dot(F.col(vec_col), lit_vec).alias("s"),
-            F.lit(cell_id).cast("int").alias("c"),
-        )
-        probes = F.array(entry) if probes is None else F.concat(probes, F.array(entry))
-    probe_cells = F.slice(F.array_sort(probes, lambda a, b: F.when(a["s"] > b["s"], -1).when(a["s"] < b["s"], 1).otherwise(0)), 1, n_probe)
+    # One SQL expression end-to-end (sort comparator: score desc, ties
+    # keep centroid order — array_sort is stable).
+    entries = ",".join(
+        f"named_struct('s', {dot_const_sql(vec_col, _unit_scale(vec))},"
+        f" 'c', CAST({int(cell_id)} AS INT))"
+        for cell_id, vec in cents
+    )
+    probe_cells = (
+        f"slice(array_sort(array({entries}), (a, b) -> "
+        "CASE WHEN a.s > b.s THEN -1 WHEN a.s < b.s THEN 1 ELSE 0 END), "
+        f"1, {int(n_probe)})"
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         l2_norm(vec_col).alias("q_norm"),
-        F.explode(F.transform(probe_cells, lambda p: p["c"])).alias("cell"),
+        F.explode(F.expr(f"transform({probe_cells}, p -> p.c)")).alias("cell"),
     )
     scored = (
         F.broadcast(q)
