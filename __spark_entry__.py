@@ -379,6 +379,23 @@ def q_rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind rollup/cube):
+    per-returnflag totals, per-linestatus totals, and the grand total in
+    one aggregation pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 def q_rel_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers with no 1998 orders — anti join against a filtered right
     side (non-empty at every sf, unlike no-orders-at-all customers)."""
@@ -563,6 +580,17 @@ def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate: keep documents whose composite quality score passes
+    the threshold — the canonical pretraining-corpus filter pass. Pure
+    Catalyst predicate (no UDF), so the 100 TB variant is a single scan.
+    """
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", quality_score(F.col("text")).alias("quality")
+    ).filter(F.col("quality") >= 0.75)
+
+
 def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", detect_language(F.col("text")).alias("lang_pred"))
@@ -738,6 +766,7 @@ def queries() -> dict[str, _T]:
         "rel_q5_nation_volume": q_rel_q5_nation_volume,
         "rel_window_topk": q_rel_window_topk,
         "rel_rollup": q_rel_rollup,
+        "rel_grouping_sets": q_rel_grouping_sets,
         "rel_anti_join": q_rel_anti_join,
         "rel_semi_join": q_rel_semi_join,
         "rel_cube": q_rel_cube,
@@ -752,6 +781,7 @@ def queries() -> dict[str, _T]:
         "rel_union_distinct": q_rel_union_distinct,
         "doc_exact_duplicates": q_doc_exact_duplicates,
         "doc_text_stats": q_doc_text_stats,
+        "doc_quality_filter": q_doc_quality_filter,
         "doc_lang_id": q_doc_lang_id,
         "doc_minhash_sig": q_doc_minhash_sig,
         "doc_lsh_pairs": q_doc_lsh_pairs,
@@ -1062,6 +1092,14 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """
 
+    sqls["rel_grouping_sets"] = """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               count(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """
+
     sqls["rel_anti_join"] = """
         SELECT c_custkey, c_name FROM customer
         WHERE NOT EXISTS (SELECT 1 FROM orders
@@ -1188,6 +1226,20 @@ def oracle_sql() -> dict[str, str]:
                               THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality,
                md5(array_to_string(toks, ' ')) AS fp
         FROM t
+    """
+
+    sqls["doc_quality_filter"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents)
+        SELECT doc_id, quality FROM (
+            SELECT doc_id,
+                   round((least(({sql_stopword_hits('toks', 'en')}::DOUBLE
+                                 / greatest(len(toks), 1)) * 5.0, 1.0)
+                          + (CASE WHEN len(toks) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+                          + (CASE WHEN (list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                                        / greatest(len(toks), 1)) BETWEEN 2.0 AND 12.0
+                                  THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
+            FROM t
+        ) WHERE quality >= 0.75
     """
 
     sqls["doc_lang_id"] = f"""
