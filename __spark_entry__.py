@@ -285,6 +285,49 @@ def q_agg_cf_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+SESSION_GAP_US = 12 * 3600 * 1_000_000  # 12h inactivity closes a session
+
+
+def q_evt_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessionization of the event stream (12h inactivity gap):
+    one row per session with bounds, event count, and value sum. One
+    shuffle (hash by user_id); lag + running-sum + groupBy all share the
+    partitioning."""
+    from ncagg_spark.operators.sessionize import session_summary
+
+    ev = drop_invalid_index(_t(spark, sf_dir, "events"), "ts")
+    return session_summary(
+        ev,
+        "ts",
+        "user_id",
+        gap_us=SESSION_GAP_US,
+        tiebreak=["event_id"],
+        agg_cols=[
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value")
+        ],
+    )
+
+
+def q_evt_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction (events.props is a JSON string) + grouped
+    aggregate — the semi-structured-column path every training-data
+    manifest needs. get_json_object stays JVM-side (no UDF)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select(k.alias("k"), F.col("value"), F.col("event_type"))
+        .groupBy((F.col("k") % 10).alias("k_mod"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
 def q_rel_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,4)")
@@ -665,6 +708,42 @@ def q_doc_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_duplicates(sigs, max_hamming=3)
 
 
+def q_doc_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 trigrams by document frequency — the contamination /
+    boilerplate-detection scan (which n-grams saturate the corpus).
+    Distinct-per-doc explode -> map-side-combining count -> top-k with a
+    total-order tiebreak (count DESC, gram ASC) so the LIMIT boundary is
+    deterministic in both engines."""
+    from ncagg_spark.pipeline.text import word_ngrams
+
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select(
+        F.explode(
+            F.array_distinct(word_ngrams(tokenize(F.col("text")), SHINGLE_N))
+        ).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), F.col("gram").asc())
+        .limit(20)
+    )
+
+
+def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering: connected components (iterative min-label
+    propagation) over the SimHash near-dup pair graph. The oracle is a
+    DuckDB recursive CTE over the same pairs — validating a genuinely
+    iterative distributed algorithm against closed-form SQL."""
+    from ncagg_spark.pipeline.dedup import connected_components
+
+    sigs = simhash_signatures(_t(spark, sf_dir, "documents"))
+    pairs = simhash_near_duplicates(sigs, max_hamming=3).select("id_a", "id_b")
+    return connected_components(pairs, num_partitions=8).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+
+
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= threshold) over a
     bounded corpus slice — the exact-threshold baseline the LSH variants
@@ -761,6 +840,8 @@ def queries() -> dict[str, _T]:
         "agg_block_diagonal": q_agg_block_diagonal,
         "agg_flatten_overlay": q_agg_flatten_overlay,
         "agg_cf_time": q_agg_cf_time,
+        "evt_sessionize": q_evt_sessionize,
+        "evt_json_props": q_evt_json_props,
         "rel_q1_pricing": q_rel_q1_pricing,
         "rel_q3_topk": q_rel_q3_topk,
         "rel_q5_nation_volume": q_rel_q5_nation_volume,
@@ -790,6 +871,8 @@ def queries() -> dict[str, _T]:
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_simhash_near_dup": q_doc_simhash_near_dup,
         "doc_token_count": q_doc_token_count,
+        "doc_top_ngrams": q_doc_top_ngrams,
+        "doc_dup_clusters": q_doc_dup_clusters,
         "doc_winnow_fp": q_doc_winnow_fp,
         "emb_near_dup": q_emb_near_dup,
         "emb_brute_topk": q_emb_brute_topk,
@@ -1278,6 +1361,78 @@ def oracle_sql() -> dict[str, str]:
                bit_count(xor(a.simhash, b.simhash)) AS hamming
         FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+    sqls["evt_sessionize"] = f"""
+        WITH e AS (
+            SELECT user_id, ts, event_id, value FROM events
+            WHERE ts IS NOT NULL AND epoch_us(ts) > 0
+        ),
+        lagged AS (
+            SELECT *, lag(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS prev
+            FROM e
+        ),
+        flagged AS (
+            SELECT *, CASE WHEN prev IS NULL
+                             OR epoch_us(ts) - epoch_us(prev) > {SESSION_GAP_US}
+                           THEN 1 ELSE 0 END AS is_new
+            FROM lagged
+        ),
+        sessioned AS (
+            SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_idx
+            FROM flagged
+        )
+        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+               min(ts) AS session_start, max(ts) AS session_end,
+               count(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM sessioned GROUP BY user_id, session_idx
+    """
+
+    sqls["evt_json_props"] = """
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+               event_type,
+               count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """
+
+    sqls["doc_top_ngrams"] = f"""
+        WITH t AS (SELECT doc_id, {_SHINGLES} AS grams FROM documents)
+        SELECT gram, count(*) AS n_docs
+        FROM (SELECT doc_id, unnest(grams) AS gram FROM t)
+        GROUP BY gram
+        ORDER BY n_docs DESC, gram ASC
+        LIMIT 20
+    """
+
+    sqls["doc_dup_clusters"] = f"""
+        WITH RECURSIVE sigs AS (
+            SELECT doc_id, {sql_simhash64('toks')} AS simhash
+            FROM (SELECT doc_id, {_TOKENS} AS toks FROM documents)
+        ),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        reach(node, label) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.label
+            FROM reach r JOIN edges e ON e.src = r.node
+        )
+        SELECT node AS doc_id, min(label) AS cluster_id
+        FROM reach GROUP BY node
     """
 
     sqls["doc_lsh_pairs"] = _SQL_LSH_PAIRS

@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "agg_regularize_anchored",
     "agg_dedup_cadence",
     "agg_manifest_attrs",
+    "evt_sessionize",
     "rel_q1_pricing",
     "rel_q3_topk",
     "rel_q5_nation_volume",

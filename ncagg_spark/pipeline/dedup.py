@@ -244,6 +244,92 @@ def simhash_signatures(
     return g.select(F.col(id_col), acc.alias("simhash"))
 
 
+def connected_components(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Duplicate clustering: connected components over a near-dup pair
+    graph. Returns (node, cluster_id) where cluster_id is the minimum
+    node id reachable from ``node`` — the canonical representative used to
+    keep exactly one document per duplicate cluster.
+
+    Iterative min-label propagation, the idiomatic Spark formulation of an
+    algorithm the reference's single-pass design cannot express: each
+    round, every node takes the min of its own label and its neighbors';
+    converges in O(graph diameter) rounds (near-dup clusters are shallow —
+    a handful of rounds in practice). Per round: one shuffle
+    (edges ⋈ labels on src, both sides hash-partitioned by node id) + one
+    map-side-combining groupBy. ``localCheckpoint`` truncates the lineage
+    so plan size stays constant across iterations, and the convergence
+    check rides the same job that materializes the new labels. For graphs
+    with giant diameters at 100 TB, swap in large-star/small-star
+    (O(log n) rounds, same per-round shape).
+    """
+    # symmetric edge list; self-propagation is covered by unioning the
+    # node's own label into the groupBy below
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    edges = fwd.union(rev).distinct()
+    # size the per-round shuffles to the GRAPH, not the corpus: the pair
+    # graph is orders of magnitude smaller than its source table, and an
+    # iterative loop pays scheduling overhead per round per task. Callers
+    # at cluster scale pass num_partitions ~ |edges| / target_task_rows.
+    if num_partitions is not None:
+        edges = edges.repartition(num_partitions, "src")
+    edges = edges.persist()
+
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+
+    for _ in range(max_iter):
+        msgs = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+        )
+        propagated = (
+            msgs.union(labels.select("node", "label"))
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        # path compression (pointer jumping): replace each label by ITS
+        # label, squaring the propagation distance per round — O(log
+        # diameter) rounds instead of O(diameter), the difference between
+        # 5 and 50 shuffles on chain-shaped duplicate clusters
+        jump = propagated.select(
+            F.col("node").alias("label"), F.col("label").alias("jumped")
+        )
+        new_labels = (
+            propagated.join(jump, on="label", how="left")
+            .select(
+                "node", F.coalesce("jumped", "label").alias("label")
+            )
+            .localCheckpoint()  # eager: cuts lineage, materializes once
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "node")
+            .filter(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+
+    edges.unpersist()
+    return labels.select(
+        F.col("node"), F.col("label").alias("cluster_id")
+    )
+
+
 def simhash_near_duplicates(
     sigs: DataFrame,
     id_col: str = "doc_id",
