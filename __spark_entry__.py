@@ -328,6 +328,71 @@ def q_evt_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_evt_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each non-purchase event enriched with the
+    user's most recent purchase at-or-before it (sort-merge as-of via
+    union + running-last window — ONE shuffle, no range-join blowup;
+    operators/asof.py)."""
+    from ncagg_spark.operators.asof import asof_join
+
+    ev = drop_invalid_index(_t(spark, sf_dir, "events"), "ts")
+    left = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        left,
+        right,
+        left_time="ts",
+        right_time="ts",
+        left_by="user_id",
+        right_by="user_id",
+        right_tiebreak=["event_id"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("event_id_asof").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+        F.col("ts_asof").alias("purchase_ts"),
+    )
+
+
+def q_evt_asof_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance: each click's next error event by the
+    same user within 7 days (null past the tolerance window)."""
+    from ncagg_spark.operators.asof import asof_join
+
+    ev = drop_invalid_index(_t(spark, sf_dir, "events"), "ts")
+    left = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(
+        left,
+        right,
+        left_time="ts",
+        right_time="ts",
+        left_by="user_id",
+        right_by="user_id",
+        direction="forward",
+        tolerance=F.expr("INTERVAL 7 DAYS"),
+        right_tiebreak=["event_id"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("event_id_asof").alias("error_id"),
+        F.col("ts_asof").alias("error_ts"),
+    )
+
+
 def q_rel_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,4)")
@@ -842,6 +907,8 @@ def queries() -> dict[str, _T]:
         "agg_cf_time": q_agg_cf_time,
         "evt_sessionize": q_evt_sessionize,
         "evt_json_props": q_evt_json_props,
+        "evt_asof_purchase": q_evt_asof_purchase,
+        "evt_asof_next_error": q_evt_asof_next_error,
         "rel_q1_pricing": q_rel_q1_pricing,
         "rel_q3_topk": q_rel_q3_topk,
         "rel_q5_nation_volume": q_rel_q5_nation_volume,
@@ -1399,6 +1466,57 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         FROM events
         GROUP BY 1, 2
+    """
+
+    # as-of oracles: the window formulation (greatest at-or-before /
+    # least at-or-after, deterministic tiebreak = max event_id) as an
+    # explicit join + row_number — O(n*m) per key is fine at oracle SF.
+    sqls["evt_asof_purchase"] = """
+        WITH e AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE ts IS NOT NULL AND epoch_us(ts) > 0
+              AND event_type <> 'purchase'
+        ),
+        p AS (
+            SELECT user_id, ts, event_id, value FROM events
+            WHERE ts IS NOT NULL AND epoch_us(ts) > 0
+              AND event_type = 'purchase'
+        ),
+        m AS (
+            SELECT e.event_id AS eid, p.event_id AS purchase_id,
+                   p.value AS purchase_value, p.ts AS purchase_ts,
+                   row_number() OVER (PARTITION BY e.event_id
+                                      ORDER BY p.ts DESC, p.event_id DESC) AS rn
+            FROM e JOIN p ON p.user_id = e.user_id AND p.ts <= e.ts
+        )
+        SELECT e.event_id, e.user_id, e.ts,
+               m.purchase_id, m.purchase_value, m.purchase_ts
+        FROM e LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
+          ON e.event_id = m.eid
+    """
+
+    sqls["evt_asof_next_error"] = """
+        WITH e AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE ts IS NOT NULL AND epoch_us(ts) > 0
+              AND event_type = 'click'
+        ),
+        x AS (
+            SELECT user_id, ts, event_id FROM events
+            WHERE ts IS NOT NULL AND epoch_us(ts) > 0
+              AND event_type = 'error'
+        ),
+        m AS (
+            SELECT e.event_id AS eid, x.event_id AS error_id, x.ts AS error_ts,
+                   row_number() OVER (PARTITION BY e.event_id
+                                      ORDER BY x.ts ASC, x.event_id DESC) AS rn
+            FROM e JOIN x ON x.user_id = e.user_id
+                         AND x.ts >= e.ts
+                         AND x.ts <= e.ts + INTERVAL 7 DAY
+        )
+        SELECT e.event_id, e.user_id, e.ts, m.error_id, m.error_ts
+        FROM e LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
+          ON e.event_id = m.eid
     """
 
     sqls["doc_top_ngrams"] = f"""
