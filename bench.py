@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "agg_dedup_cadence",
     "agg_manifest_attrs",
     "evt_sessionize",
+    "evt_asof_purchase",
     "rel_q1_pricing",
     "rel_q3_topk",
     "rel_q5_nation_volume",
