@@ -150,11 +150,15 @@ def minhash_lsh_candidates(
             band_hashes(F.col("sig"), num_bands, rows_per_band)
         ).alias("band", "bh"),
     )
-    # the band table feeds three plan branches (bucket-size guard + both
-    # self-join sides); persist so signatures are computed once, not 3x.
+    # the band table feeds two plan branches (bucket-size guard + bucket
+    # collection); persist so signatures are computed once, not twice.
     # Tiny relative to the corpus: num_bands rows of (id, int, long) per
     # doc — the standard materialization in web-scale LSH dedup.
     bands = bands.persist()
+    # Count-based guard runs BEFORE any collect_list, so a pathological
+    # bucket (boilerplate shared by millions of docs) never materializes
+    # as an array on an executor. Partial map-side counts make this
+    # shuffle near-free.
     big = (
         bands.groupBy("band", "bh")
         .count()
@@ -162,18 +166,20 @@ def minhash_lsh_candidates(
         .select("band", "bh")
     )
     bands = bands.join(F.broadcast(big), on=["band", "bh"], how="anti")
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # One shuffle gathers each bucket; pairs are expanded in place with
+    # posexplode + slice. The self-join alternative shuffles the band
+    # table twice (once per join side) — at corpus scale that doubles
+    # the dominant shuffle for identical output.
+    buckets = (
+        bands.groupBy("band", "bh")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        buckets.select(F.col("ids"), F.posexplode("ids").alias("i", "id_a"))
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+            "id_a",
+            F.explode(F.expr("slice(ids, i + 2, size(ids))")).alias("id_b"),
         )
         .distinct()
     )
