@@ -58,8 +58,13 @@ def cf_to_timestamp(col: Column | str, units: str) -> Column:
     scale, epoch = _parse_units(units)
     c = F.col(col) if isinstance(col, str) else col
     epoch_us = int(round(epoch.timestamp() * 1_000_000))
+    # floor(), not a bare long cast: Spark's double->long cast truncates
+    # toward zero while other engines (DuckDB CAST AS BIGINT) round to
+    # nearest, so at ~1e14 µs magnitudes a (x/1e6)*1e6 round-trip can
+    # disagree by 1 µs. floor of the identical IEEE-double expression is
+    # bit-for-bit reproducible across engines.
     return F.timestamp_micros(
-        (F.lit(epoch_us) + (c.cast("double") * F.lit(scale * 1e6)))
+        F.floor(F.lit(epoch_us) + (c.cast("double") * F.lit(scale * 1e6)))
         .cast("long")
     )
 

@@ -41,19 +41,23 @@ def read_granules(
     """Read one-or-many granule parquet paths (files, dirs, or globs)."""
     if isinstance(paths, str):
         paths = [paths]
-    df = spark.read.option("mergeSchema", str(merge_schema).lower()).parquet(
-        *paths
-    )
-    if columns:
-        df = df.select(*columns)
     # nanos-timestamp columns (TIMESTAMP(NANOS) parquet) arrive as LongType
-    # under legacy.parquet.nanosAsLong; convert like sources.tables does.
+    # under legacy.parquet.nanosAsLong; probe footers BEFORE the read so the
+    # conf can be set on whatever session the caller supplies (a vanilla
+    # SparkSession cannot scan TIMESTAMP(NANOS) parquet at all).
     nanos: set[str] = set()
     for p in paths:
         try:
             nanos.update(_nanos_timestamp_cols(p))
         except (OSError, ValueError):
             pass
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.option("mergeSchema", str(merge_schema).lower()).parquet(
+        *paths
+    )
+    if columns:
+        df = df.select(*columns)
     df = convert_nanos_cols(df, nanos)
     if with_provenance:
         df = df.withColumn(GRANULE_COL, F.input_file_name())

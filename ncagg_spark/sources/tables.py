@@ -63,8 +63,14 @@ def load_table(
     bounds. At 100 TB this is the difference between scanning a day and
     scanning a year.
     """
-    df = spark.read.parquet(path)
     nanos = _nanos_timestamp_cols(path)
+    if nanos:
+        # Runtime SQL conf — must hold on *whatever* session the caller
+        # hands us (a vanilla SparkSession can't scan TIMESTAMP(NANOS)
+        # parquet at all). Setting it here, gated on the footer probe,
+        # makes the loader session-agnostic.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
     if time_bounds is not None:
         col, lo_us, hi_us = time_bounds
         long_cols = {
