@@ -18,10 +18,12 @@ Fill-timestamp anchoring — two modes, both from the reference:
   * ``anchor="previous"``: fill ts continues from the last real record
     (ncagg/aggregator.py:171-175: stamps "continue from the previous
     node"), falling back to the grid when no real record precedes (the
-    leading-fill case, :176-191). Implemented with an unpartitioned
-    running ``last(ignorenulls)`` window — exact reference parity, but the
-    window is a single-direction scan; prefer "grid" at 100 TB or
-    partition the window by day.
+    leading-fill case, :176-191). Implemented as the standard two-phase
+    distributed running-last: slots are partitioned into coarse blocks,
+    the running ``last(ignorenulls)`` window runs per block (parallel),
+    and block-boundary carry-over comes from a tiny one-row-per-block
+    prefix pass that is broadcast back. Exact parity with a global scan,
+    no single-task window at any scale.
 
 Scale notes: the grid join is an equi-join on a dense integer key — with
 AQE it is a shuffle join whose partitions are perfectly balanced (the grid
@@ -52,6 +54,7 @@ def gap_fill(
     anchor: str = "grid",
     bucket_col: str = BUCKET_COL,
     keep_bucket: bool = False,
+    block_size: int | None = None,
 ) -> DataFrame:
     """Left-join deduped data onto the full slot grid; emit fill rows for
     empty slots. Returns one row per slot in [0, n_buckets), with
@@ -72,14 +75,62 @@ def gap_fill(
     if anchor == "grid":
         ts_out = F.coalesce(real_ts, grid_ts)
     else:
-        w = (
-            Window.orderBy(bucket_col)
+        # Two-phase distributed running-last. Phase 1: per-block running
+        # last over a PARTITIONED window (parallel). Phase 2: per-block
+        # last-real aggregate (one row per block) -> prefix running-last
+        # over blocks (tiny: n_blocks rows, not n_buckets) -> broadcast
+        # back as the carry-in for blocks whose prefix has no real record.
+        if block_size is None:
+            par = max(spark.sparkContext.defaultParallelism, 1)
+            block_size = max(1024, -(-n_buckets // (par * 4)))
+        n_blocks = -(-n_buckets // block_size)
+        blk_col = "__gf_block"
+        joined = joined.withColumn(
+            blk_col, (F.col(bucket_col) / F.lit(block_size)).cast("long")
+        )
+
+        w_in = (
+            Window.partitionBy(blk_col)
+            .orderBy(bucket_col)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        last_real_ts = F.last(F.when(~is_fill, real_ts), ignorenulls=True).over(w)
-        last_real_bkt = F.last(
+        last_ts_in = F.last(F.when(~is_fill, real_ts), ignorenulls=True).over(
+            w_in
+        )
+        last_bkt_in = F.last(
             F.when(~is_fill, F.col(bucket_col)), ignorenulls=True
-        ).over(w)
+        ).over(w_in)
+
+        blk_last = (
+            joined.where(~is_fill)
+            .groupBy(blk_col)
+            .agg(
+                F.max(bucket_col).alias("__blk_last_bkt"),
+                F.max_by(real_ts, F.col(bucket_col)).alias("__blk_last_ts"),
+            )
+        )
+        blocks = spark.range(n_blocks).withColumnRenamed("id", blk_col)
+        # unpartitioned window, but over n_blocks rows only — by
+        # construction ~4x parallelism, never data-sized.
+        w_prev = Window.orderBy(blk_col).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        carry = (
+            blocks.join(blk_last, on=blk_col, how="left")
+            .select(
+                blk_col,
+                F.last("__blk_last_bkt", ignorenulls=True)
+                .over(w_prev)
+                .alias("__carry_bkt"),
+                F.last("__blk_last_ts", ignorenulls=True)
+                .over(w_prev)
+                .alias("__carry_ts"),
+            )
+        )
+        joined = joined.join(F.broadcast(carry), on=blk_col, how="left")
+
+        last_real_ts = F.coalesce(last_ts_in, F.col("__carry_ts"))
+        last_real_bkt = F.coalesce(last_bkt_in, F.col("__carry_bkt"))
         anchored = F.timestamp_micros(
             F.unix_micros(last_real_ts)
             + (F.col(bucket_col) - last_real_bkt) * F.lit(step_us)
@@ -89,6 +140,9 @@ def gap_fill(
     # flag first: once index_col is overwritten, the null-check would see
     # the coalesced timestamp and always be false.
     out = joined.withColumn(FILL_FLAG_COL, is_fill).withColumn(index_col, ts_out)
-    if not keep_bucket:
-        out = out.drop(bucket_col)
+    drop_cols = [] if keep_bucket else [bucket_col]
+    if anchor == "previous":
+        drop_cols += ["__gf_block", "__carry_bkt", "__carry_ts"]
+    if drop_cols:
+        out = out.drop(*drop_cols)
     return out

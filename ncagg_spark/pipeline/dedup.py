@@ -47,7 +47,13 @@ def _spread_small_input(df: DataFrame, id_col: str) -> DataFrame:
     the one unavoidable shuffle BEFORE the hash work instead of adding one.
     """
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+    # inputFiles() reads only the file listing — unlike df.rdd, it does not
+    # force plan conversion/analysis on every call.
+    try:
+        n_in = len(df.inputFiles())
+    except Exception:
+        n_in = sc.defaultParallelism
+    if 0 < n_in < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism, F.col(id_col))
     return df
 
@@ -350,6 +356,15 @@ def simhash_near_duplicates(
     distance max_hamming agrees on >= 1 block; self-join per block.
     """
     n_blocks = 32 // block_bits
+    if max_hamming + 1 > n_blocks:
+        # pigeonhole guarantee needs distance < n_blocks: a pair with
+        # max_hamming >= n_blocks differing bits can differ in EVERY
+        # block and would silently never be candidated.
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the pigeonhole guarantee "
+            f"with {n_blocks} blocks (need max_hamming < {n_blocks}); "
+            f"use smaller block_bits"
+        )
     blocks = sigs.select(
         F.col(id_col),
         F.col("simhash"),

@@ -7,8 +7,10 @@ emission) online.
 record seen; whenever the next record arrives more than ``dt_max`` after
 it (the reference's gap trigger, ncagg/aggregator.py:164-195 applied
 online), it emits one gap row describing the missing span. State is one
-row per key — bounded; timeouts flush the final pending gap when a key
-goes quiet.
+row per key — bounded. A ProcessingTimeTimeout flushes the trailing gap
+when a key goes quiet: the timeout branch emits an OPEN gap row
+(``gap_end``/``missing_slots`` null — the span has no observed end) and
+drops the key's state.
 
 Arrow-batched (pandas in/out); no row-at-a-time Python.
 """
@@ -39,15 +41,34 @@ def make_gap_detector(step_us: int, dt_max_s: float):
 
     Emits (key, gap_start, gap_end, missing_slots) whenever consecutive
     records within a key are more than dt_max apart; gap_start/gap_end
-    are the last-seen and next-seen record timestamps.
+    are the last-seen and next-seen record timestamps. When the key times
+    out (quiet for > dt_max processing time) the pending trailing gap is
+    flushed as an open row: gap_start = last seen, gap_end and
+    missing_slots null, and the key's state is removed.
     """
     dt_max_us = int(round(dt_max_s * 1_000_000))
+    timeout_ms = max(1, dt_max_us // 1000)
 
     def detect(
         key: Tuple[str],
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            last_us = state.get[0] if state.exists else None
+            state.remove()
+            if last_us is not None:
+                yield pd.DataFrame(
+                    [
+                        {
+                            "key": key[0],
+                            "gap_start": pd.Timestamp(last_us * 1000),
+                            "gap_end": None,
+                            "missing_slots": None,
+                        }
+                    ]
+                )
+            return
         last_us = state.get[0] if state.exists else None
         out: list[dict[str, Any]] = []
         ts_all = []
@@ -70,6 +91,7 @@ def make_gap_detector(step_us: int, dt_max_s: float):
                     )
                 last_us = u if last_us is None else max(last_us, u)
             state.update((last_us,))
+            state.setTimeoutDuration(timeout_ms)
         if out:
             yield pd.DataFrame(out)
 
@@ -96,6 +118,6 @@ def detect_gaps(
             outputStructType=GAP_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode=output_mode,
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )

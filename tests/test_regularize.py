@@ -164,6 +164,54 @@ def test_leading_fill_falls_back_to_grid_in_anchored_mode(spark):
     assert us[3] == T0_US + 3_250_000  # continues from the real record
 
 
+def test_anchored_fill_carries_across_blocks(spark):
+    """The two-phase distributed running-last must carry the previous real
+    record across block boundaries — forced here with a tiny block_size so
+    the carry-in (broadcast prefix) path is exercised, not just the
+    per-block window."""
+    from ncagg_spark.operators.dedup import cadence_bucket, dedup_cadence
+    from ncagg_spark.operators.gapfill import gap_fill
+
+    n = 40
+    # one real record at slot 3 (offset +0.3s); everything after must
+    # anchor to it, across many 8-slot blocks
+    rows = [(T0_US + 3 * 1_000_000 + 300_000, 1.0)]
+    df = cadence_bucket(
+        _df(spark, rows), "ts", origin_us=T0_US, step_us=1_000_000
+    )
+    df = dedup_cadence(df, "ts")
+    out = (
+        gap_fill(
+            spark,
+            df,
+            "ts",
+            origin_us=T0_US,
+            step_us=1_000_000,
+            n_buckets=n,
+            anchor="previous",
+            block_size=8,
+        )
+        .orderBy("ts")
+        .collect()
+    )
+    us = _micros(out)
+    assert us[:3] == [T0_US + i * 1_000_000 for i in range(3)]  # grid lead-in
+    assert us[3:] == [
+        T0_US + 3 * 1_000_000 + 300_000 + i * 1_000_000 for i in range(n - 3)
+    ]
+
+
+def test_anchored_window_is_partitioned(spark):
+    """Plan assertion: the data-sized running-last window is partitioned
+    by the coarse block — no global single-partition window over the slot
+    grid (the round-1 scale-killer)."""
+    rows = [(T0_US + 300_000, 1.0)]
+    cfg = _cfg(hi=T0_US + 4 * 1_000_000)
+    df = regularize(spark, _df(spark, rows), cfg, anchor="previous")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(__gf_block" in plan
+
+
 def test_ten_hz_cadence(spark):
     # the reference's MAG hires case: 10 Hz
     n = 100

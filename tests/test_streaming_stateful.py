@@ -27,6 +27,60 @@ def _write(spark, path, rows):
     ).coalesce(1).write.mode("append").parquet(path)
 
 
+class _FakeState:
+    """Minimal GroupState stand-in to unit-test the state function
+    deterministically (real ProcessingTimeTimeout needs wall-clock)."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._value is not None and not self.removed
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = v
+
+    def remove(self):
+        self.removed = True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def test_timeout_flushes_open_trailing_gap():
+    from ncagg_spark.streaming.stateful import make_gap_detector
+
+    detect = make_gap_detector(1_000_000, 1.2)
+    st = _FakeState(value=(T0_US,), timed_out=True)
+    out = list(detect(("A",), iter([]), st))
+    assert st.removed
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert row["key"] == "A"
+    assert row["gap_end"] is None and row["missing_slots"] is None
+    assert int(row["gap_start"].value) // 1000 == T0_US
+
+
+def test_data_batch_arms_timeout():
+    import pandas as pd
+
+    from ncagg_spark.streaming.stateful import make_gap_detector
+
+    detect = make_gap_detector(1_000_000, 1.2)
+    st = _FakeState()
+    pdf = pd.DataFrame({"ts": pd.to_datetime([T0_US * 1000], utc=None)})
+    list(detect(("A",), iter([pdf]), st))
+    assert st.exists and st.timeout_set == 1200
+
+
 @pytest.mark.slow
 def test_gap_detector_state_spans_batches(spark, tmp_path):
     inp = str(tmp_path / "in")
@@ -53,8 +107,18 @@ def test_gap_detector_state_spans_batches(spark, tmp_path):
     q.awaitTermination(180)
 
     got = spark.sql("SELECT * FROM gap_sink").collect()
-    assert len(got) == 1
-    g = got[0]
+    closed = [g for g in got if g["gap_end"] is not None]
+    assert len(closed) == 1
+    g = closed[0]
     assert g["key"] == "A"
     assert g["missing_slots"] == 6
     assert (g["gap_end"] - g["gap_start"]).total_seconds() == 7.0
+    # ProcessingTimeTimeout may flush open trailing gaps for quiet keys
+    # before availableNow terminates (wall-clock dependent): each is one
+    # open row with null end/slots for a known key.
+    open_rows = [g for g in got if g["gap_end"] is None]
+    assert len(open_rows) <= 2
+    assert all(
+        r["missing_slots"] is None and r["key"] in ("A", "B")
+        for r in open_rows
+    )
