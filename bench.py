@@ -40,7 +40,8 @@ BENCH_QUERIES = [
     "rel_window_topk",
     "rel_rollup",
     "rel_anti_join",
-    "doc_exact_duplicates",
+    "agg_multidim",
+    "doc_exact_dedup",
     "doc_text_stats",
     "doc_minhash_sig",
     "doc_lsh_pairs",
