@@ -19,9 +19,70 @@ import os
 from typing import Any
 
 from pyspark.sql import DataFrame
+from pyspark.sql import types as T
 
 
 DATE_PARTITION_COL = "dt"
+
+# Attribute names the reference casts to the variable's dtype before
+# writing (ncagg/aggregator.py:400-414): scalars ...
+_SCALAR_CAST_ATTRS = ("_FillValue", "valid_min", "valid_max")
+# ... and arrays, which Config may specify either as an actual list or
+# as a CSV string ("1, 2, 4").
+_ARRAY_CAST_ATTRS = ("valid_range", "flag_masks", "flag_values")
+
+
+def _py_caster(dtype: T.DataType):
+    """Python-side cast for one Spark column type (sidecar JSON values)."""
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return lambda v: int(float(v))
+    if isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType)):
+        return float
+    if isinstance(dtype, T.BooleanType):
+        return lambda v: bool(int(v)) if isinstance(v, str) else bool(v)
+    if isinstance(dtype, T.StringType):
+        return str
+    return lambda v: v
+
+
+def cast_variable_attributes(
+    schema: T.StructType, variable_attributes: dict[str, dict[str, Any]]
+) -> dict[str, dict[str, Any]]:
+    """Cast per-variable attributes to each variable's column dtype.
+
+    Mirrors the reference's write-time coercion (ncagg/aggregator.py:
+    400-414): ``valid_min``/``valid_max``/``_FillValue`` become scalars
+    of the variable's type; ``valid_range``/``flag_masks``/
+    ``flag_values`` become typed arrays, accepting either list form or
+    the Config's CSV-string form ("1, 2, 4"). The variable's dtype is
+    the DataFrame column's Spark type; for array columns the element
+    type is used. Unknown variables raise (same failure the reference
+    hits indexing its Config vars).
+    """
+    fields = {f.name: f.dataType for f in schema.fields}
+    out: dict[str, dict[str, Any]] = {}
+    for var, attrs in variable_attributes.items():
+        if var not in fields:
+            raise ValueError(f"variable {var!r} not in output schema")
+        dtype = fields[var]
+        if isinstance(dtype, T.ArrayType):
+            dtype = dtype.elementType
+        cast = _py_caster(dtype)
+        coerced = dict(attrs)
+        for k, v in attrs.items():
+            if v is None:
+                continue
+            if k in _SCALAR_CAST_ATTRS:
+                coerced[k] = cast(v)
+            elif k in _ARRAY_CAST_ATTRS:
+                items = (
+                    [s.strip() for s in v.split(",")]
+                    if isinstance(v, str)
+                    else list(v)
+                )
+                coerced[k] = [cast(i) for i in items]
+        out[var] = coerced
+    return out
 
 
 def write_aggregate(
@@ -30,6 +91,7 @@ def write_aggregate(
     *,
     order_by: str | None = None,
     attributes: dict[str, Any] | None = None,
+    variable_attributes: dict[str, dict[str, Any]] | None = None,
     max_records_per_file: int | None = None,
     num_files: int | None = None,
     mode: str = "overwrite",
@@ -68,6 +130,16 @@ def write_aggregate(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(path)
+    sidecar: dict[str, Any] = {}
     if attributes is not None:
+        sidecar["global"] = attributes
+    if variable_attributes is not None:
+        sidecar["variables"] = cast_variable_attributes(
+            df.schema, variable_attributes
+        )
+    if sidecar:
+        if "variables" not in sidecar:
+            # keep the round-1 flat shape when only globals are given
+            sidecar = sidecar["global"]
         with open(os.path.join(path, "_attributes.json"), "w") as f:
-            json.dump(attributes, f, indent=2, default=str)
+            json.dump(sidecar, f, indent=2, default=str)

@@ -49,6 +49,61 @@ def test_attributes_sidecar(spark, three_days, tmp_path):
     assert attrs == {"mission": "X", "n": 3}
 
 
+def test_variable_attribute_dtype_casting(spark, tmp_path):
+    """F4: write-time attr coercion mirrors ncagg/aggregator.py:400-414 —
+    valid_min/max/_FillValue cast to the column dtype as scalars;
+    valid_range/flag_masks/flag_values as typed arrays, accepting both
+    list and CSV-string Config forms."""
+    df = spark.createDataFrame(
+        [(1, 1.5, 2, [0.1])],
+        "flags int, temp double, code long, arr array<float>",
+    )
+    out = str(tmp_path / "varattrs")
+    write_aggregate(
+        df,
+        out,
+        variable_attributes={
+            "flags": {
+                "flag_masks": "1, 2, 4",       # CSV string -> [1, 2, 4]
+                "flag_values": [1.0, 2.0],     # float list -> ints
+                "valid_max": "7",              # string scalar -> int
+                "units": "1",                  # not a cast attr: untouched
+            },
+            "temp": {
+                "valid_min": "-10",            # string -> float
+                "valid_range": ["-10", "50"],  # strings -> floats
+                "_FillValue": -9999,           # int -> float
+            },
+            "code": {"valid_min": 3.9},        # float -> int (trunc, np-style)
+            "arr": {"valid_max": "2.5"},       # element type (float) wins
+        },
+    )
+    side = json.load(open(f"{out}/_attributes.json"))
+    v = side["variables"]
+    assert v["flags"] == {
+        "flag_masks": [1, 2, 4],
+        "flag_values": [1, 2],
+        "valid_max": 7,
+        "units": "1",
+    }
+    assert v["temp"] == {
+        "valid_min": -10.0,
+        "valid_range": [-10.0, 50.0],
+        "_FillValue": -9999.0,
+    }
+    assert v["code"] == {"valid_min": 3}
+    assert v["arr"] == {"valid_max": 2.5}
+
+
+def test_variable_attributes_unknown_column(spark, three_days, tmp_path):
+    with pytest.raises(ValueError, match="not in output schema"):
+        write_aggregate(
+            three_days,
+            str(tmp_path / "bad"),
+            variable_attributes={"nope": {"valid_min": 0}},
+        )
+
+
 def test_date_partitioned_layout_and_pruning(spark, three_days, tmp_path):
     out = str(tmp_path / "by_date")
     write_aggregate(three_days, out, order_by="ts", partition_by_date=True)
