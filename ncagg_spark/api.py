@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import json
 from collections.abc import Sequence
-from dataclasses import asdict
+from dataclasses import asdict, dataclass
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -48,15 +48,45 @@ def aggregate(
 
     Returns the result DataFrame (already written to ``output``).
     """
-    df = read_granules(spark, files)
+    return _aggregate_df(
+        spark,
+        read_granules(spark, files),
+        output,
+        config,
+        anchor=anchor,
+        max_records_per_file=max_records_per_file,
+        num_files=num_files,
+        partition_by_date=partition_by_date,
+        columns=columns,
+    )
+
+
+def _aggregate_df(
+    spark: SparkSession,
+    df: DataFrame,
+    output: str,
+    config: AggregationConfig,
+    *,
+    anchor: str = "grid",
+    max_records_per_file: int | None = None,
+    num_files: int | None = None,
+    partition_by_date: bool = False,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """`aggregate` core over an already-read granule DataFrame (must
+    still carry GRANULE_COL) — shared with aggregate_multi's per-grain
+    loop so all grains reuse one source relation."""
     if columns:
         from pyspark.sql import functions as F
 
         existing = set(df.columns)
+        cols = list(columns)
+        if config.index_by not in cols:
+            cols.insert(0, config.index_by)
         df = df.select(
             *[
                 F.col(c) if c in existing else F.lit(None).alias(c)
-                for c in columns
+                for c in cols
                 if c != GRANULE_COL
             ],
             *( [F.col(GRANULE_COL)] if GRANULE_COL in existing else [] ),
@@ -99,6 +129,72 @@ def aggregate(
         partition_by_date=partition_by_date,
     )
     return out
+
+
+@dataclass
+class GrainSpec:
+    """One grain (unlimited dim) of a multi-grain aggregation: where its
+    output goes, its own AggregationConfig (index/cadence/bounds), and an
+    optional column projection (the variables that live on this grain)."""
+
+    output: str
+    config: AggregationConfig
+    columns: list[str] | None = None
+    anchor: str = "grid"
+
+
+def aggregate_multi(
+    spark: SparkSession,
+    files: str | Sequence[str],
+    grains: dict[str, GrainSpec],
+    *,
+    share_scan: bool = False,
+    max_records_per_file: int | None = None,
+    num_files: int | None = None,
+) -> dict[str, DataFrame]:
+    """Aggregate every grain of one file set in a single run — the
+    reference's multi-unlimited-dim mode (SURVEY §1.2; a file with dims
+    ``report_time``/``obs_time``/... aggregates along each in one
+    invocation, ncagg/aggregator.py:54-85 iterates config dims).
+
+    Spark-first "single pass" is about bytes, not job count: each grain's
+    write is its own action, but Catalyst column-pruning means grain G's
+    scan reads only G's columns, so the N actions together read ≈ one
+    full-width pass of the file set. ``share_scan=True`` additionally
+    persists the union-projected source (MEMORY_AND_DISK) so columns
+    shared by several grains are decoded once — worth it when grains
+    overlap on heavy columns or the source is remote; at very large
+    scale prefer the default and let pruning do the work.
+
+    Returns {grain name -> result DataFrame} (each already written).
+    """
+    src = read_granules(spark, files)
+    if share_scan:
+        needed: set[str] = set()
+        for g in grains.values():
+            needed |= set(g.columns or src.columns)
+            needed.add(g.config.index_by)
+        needed &= set(src.columns)
+        needed.add(GRANULE_COL)
+        src = src.select(*sorted(needed)).persist()
+    try:
+        results: dict[str, DataFrame] = {}
+        for name, g in grains.items():
+            out = _aggregate_df(
+                spark,
+                src,
+                g.output,
+                g.config,
+                anchor=g.anchor,
+                columns=g.columns,
+                max_records_per_file=max_records_per_file,
+                num_files=num_files,
+            )
+            results[name] = out
+        return results
+    finally:
+        if share_scan:
+            src.unpersist()
 
 
 # ---------------------------------------------------------------------------

@@ -6,8 +6,11 @@
     python -m ncagg_spark --generate-template SAMPLE [-i INDEX]
 
 Flag mapping from the reference:
-  -u udim:ivar[:hz]  ->  -i/--index + -z/--cadence-hz (one primary grain;
-                         multi-grain = run per grain, SURVEY.md §1.2)
+  -u udim:ivar[:hz]  ->  -i/--index + -z/--cadence-hz (one primary grain),
+                         or repeatable -u/--grain INDEX[:HZ] for
+                         multi-grain single-run aggregation (SURVEY.md
+                         §1.2: every unlimited dim in one invocation,
+                         sharing one scan)
   -b bounds          ->  -b/--bounds  YYYY[MM[DD[HH[MM]]]] or start:end
                          (partial-datetime inference per ncagg/cli.py:22-100)
   -c udim:chunk      ->  --max-records-per-file
@@ -57,6 +60,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-i", "--index", help="index (event-time) column")
     p.add_argument("-z", "--cadence-hz", type=float, help="expected cadence (Hz)")
     p.add_argument(
+        "-u", "--grain", action="append", metavar="INDEX[:HZ]",
+        help="aggregate along this grain (repeatable; the reference's "
+        "-u udim:ivar[:hz]). With N grains, one run writes "
+        "DST/<index>/ per grain off a shared scan",
+    )
+    p.add_argument(
         "-b", "--bounds",
         help="YYYY[MM[DD[HH[MM]]]] or start:end partial datetimes",
     )
@@ -100,6 +109,38 @@ def main(argv: list[str] | None = None) -> int:
         if not src:
             print("error: no sources on stdin", file=sys.stderr)
             return 2
+
+    if args.grain:
+        import os
+
+        from ncagg_spark.api import GrainSpec, aggregate_multi
+
+        bounds = parse_bounds(args.bounds) if args.bounds else (None, None)
+        grains: dict[str, GrainSpec] = {}
+        for spec in args.grain:
+            ix, _, hz = spec.partition(":")
+            grains[ix] = GrainSpec(
+                output=os.path.join(args.dst, ix),
+                config=AggregationConfig(
+                    index_by=ix,
+                    cadence_hz=float(hz) if hz else None,
+                    min_bound=bounds[0],
+                    max_bound=bounds[1],
+                ),
+                anchor=args.anchor,
+            )
+        spark = get_spark(app_name="ncagg-aggregate", cpus=args.cpus)
+        aggregate_multi(
+            spark,
+            src,
+            grains,
+            max_records_per_file=args.max_records_per_file,
+            num_files=args.num_files,
+        )
+        for name, g in grains.items():
+            n = spark.read.parquet(g.output).count()
+            print(f"wrote {n} records to {g.output}", file=sys.stderr)
+        return 0
 
     columns = None
     if args.template:

@@ -130,6 +130,98 @@ def test_cli_errors(capsys):
     assert cli_main(["/tmp/x", "/tmp/y.parquet"]) == 2  # no index/template
 
 
+@pytest.fixture()
+def two_grain_dir(spark, tmp_path):
+    """Granules carrying TWO grains (SURVEY §1.2 multi-unlimited-dim):
+    a-grain rows at 1 Hz and b-grain rows at 0.5 Hz in the same files,
+    each grain's index null on the other grain's rows."""
+    d = tmp_path / "grains"
+    for i, lo in enumerate((0, 30)):
+        a = [
+            (T0_US + s * 1_000_000, float(s), None, None)
+            for s in range(lo, lo + 30)
+        ]
+        b = [
+            (None, None, T0_US + s * 1_000_000, 10.0 * s)
+            for s in range(lo, lo + 30, 2)
+        ]
+        spark.createDataFrame(
+            a + b, "ua long, val_a double, ub long, val_b double"
+        ).select(
+            F.timestamp_micros(F.col("ua")).alias("ts_a"),
+            "val_a",
+            F.timestamp_micros(F.col("ub")).alias("ts_b"),
+            "val_b",
+        ).coalesce(1).write.parquet(str(d / f"g{i}.parquet"))
+    return str(d)
+
+
+def _grain_cfgs():
+    hi = (T0_US + 60 * 1_000_000) / 1e6
+    return (
+        AggregationConfig(
+            index_by="ts_a", cadence_hz=1.0, min_bound=T0_US / 1e6, max_bound=hi
+        ),
+        AggregationConfig(
+            index_by="ts_b", cadence_hz=0.5, min_bound=T0_US / 1e6, max_bound=hi
+        ),
+    )
+
+
+@pytest.mark.parametrize("share_scan", [False, True])
+def test_aggregate_multi_matches_per_grain_runs(
+    spark, two_grain_dir, tmp_path, share_scan
+):
+    """One aggregate_multi call == N independent aggregate() runs."""
+    from ncagg_spark.api import GrainSpec, aggregate_multi
+
+    files = [f"{two_grain_dir}/g{i}.parquet" for i in range(2)]
+    cfg_a, cfg_b = _grain_cfgs()
+    multi = str(tmp_path / f"multi_{share_scan}")
+    aggregate_multi(
+        spark,
+        files,
+        {
+            "a": GrainSpec(f"{multi}/a", cfg_a, columns=["ts_a", "val_a"]),
+            "b": GrainSpec(f"{multi}/b", cfg_b, columns=["ts_b", "val_b"]),
+        },
+        share_scan=share_scan,
+    )
+    solo_a = str(tmp_path / f"solo_a_{share_scan}")
+    solo_b = str(tmp_path / f"solo_b_{share_scan}")
+    aggregate(spark, files, solo_a, cfg_a, columns=["ts_a", "val_a"])
+    aggregate(spark, files, solo_b, cfg_b, columns=["ts_b", "val_b"])
+
+    for multi_out, solo_out, n in ((f"{multi}/a", solo_a, 60), (f"{multi}/b", solo_b, 30)):
+        got = spark.read.parquet(multi_out)
+        want = spark.read.parquet(solo_out)
+        assert got.count() == n
+        assert sorted(got.columns) == sorted(want.columns)
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+
+def test_cli_multi_grain(spark, two_grain_dir, tmp_path):
+    out = str(tmp_path / "cli_grains")
+    rc = cli_main(
+        [
+            out,
+            f"{two_grain_dir}/g0.parquet",
+            f"{two_grain_dir}/g1.parquet",
+            "-u", "ts_a:1.0",
+            "-u", "ts_b:0.5",
+            "-b", "20240102",
+        ]
+    )
+    assert rc == 0
+    a = spark.read.parquet(f"{out}/ts_a")
+    b = spark.read.parquet(f"{out}/ts_b")
+    assert a.count() == 86400  # bounded day at 1 Hz
+    assert b.count() == 43200  # bounded day at 0.5 Hz
+    assert a.filter(~F.col("is_fill")).count() == 60
+    assert b.filter(~F.col("is_fill")).count() == 30
+
+
 def test_template_projection_drops_and_nulls(spark, granule_dir, tmp_path):
     """P1 + P4: deleting a variable from the template drops it; a
     template variable absent from every granule comes out as nulls."""
