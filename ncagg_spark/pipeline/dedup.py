@@ -297,6 +297,7 @@ def connected_components(
         .persist()
     )
 
+    prev_sum = None
     for _ in range(max_iter):
         msgs = (
             edges.join(labels, edges.src == labels.node)
@@ -321,16 +322,17 @@ def connected_components(
             )
             .localCheckpoint()  # eager: cuts lineage, materializes once
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "node")
-            .filter(F.col("label") != F.col("old"))
-            .limit(1)
-            .count()
-        )
+        # labels are monotonically non-increasing, so convergence is
+        # exactly "sum of labels unchanged" — a shuffle-free agg over the
+        # checkpointed rows, replacing a join-based diff action per round
+        cur_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
 
     edges.unpersist()
     return labels.select(
@@ -378,19 +380,38 @@ def simhash_near_duplicates(
             )
         ).alias("b"),
     ).select(id_col, "simhash", F.col("b.blk"), F.col("b.key"))
-    a, b = blocks.alias("a"), blocks.alias("b")
+    # Same single-shuffle bucket-gather as minhash_lsh_candidates: a
+    # self-join would shuffle the block table twice AND run the whole
+    # signature pipeline (tokenize -> shingle -> hash -> 32 bit votes)
+    # once per join side. Gathering each block bucket and expanding
+    # pairs in place computes signatures once; the window rank cap
+    # bounds bucket memory before collect_list (boilerplate guard).
+    cap = 10_000
+    w = Window.partitionBy("blk", "key").orderBy(id_col)
+    ranked = blocks.withColumn("__r", F.row_number().over(w)).filter(
+        F.col("__r") <= cap + 1
+    )
+    buckets = (
+        ranked.groupBy("blk", "key")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col).alias("id"), "simhash"))
+            ).alias("ms")
+        )
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= cap))
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        buckets.select(F.col("ms"), F.posexplode("ms").alias("i", "a"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("a.simhash").alias("__sig_a"),
+            F.explode(F.expr("slice(ms, i + 2, size(ms))")).alias("b"),
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+            "id_a",
+            F.col("b.id").alias("id_b"),
             hamming_distance64(
-                F.col("a.simhash"), F.col("b.simhash")
+                F.col("__sig_a"), F.col("b.simhash")
             ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
