@@ -340,6 +340,45 @@ def connected_components(
     )
 
 
+def near_dedup(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """End-to-end near-duplicate removal: cluster the near-dup pair graph
+    (connected components) and keep exactly one representative per
+    cluster — the minimum id, the web-pipeline convention. Docs outside
+    the graph are unique and always kept.
+
+    Returns the kept rows of ``df`` plus ``n_members`` (the size of the
+    duplicate cluster the kept doc represents; 1 for unique docs). The
+    corpus-side joins are plain equi-joins on the id — the label table is
+    O(duplicates), tiny next to the corpus, so AQE broadcasts it.
+    """
+    labels = connected_components(pairs, num_partitions=num_partitions)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    reps = (
+        labels.filter(F.col("node") == F.col("cluster_id"))
+        .join(sizes, "cluster_id")
+        .select(F.col("node").alias(id_col), "n_members")
+    )
+    losers = labels.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias(id_col)
+    )
+    return (
+        df.join(losers, on=id_col, how="left_anti")
+        .join(reps, on=id_col, how="left")
+        .withColumn(
+            "n_members",
+            F.coalesce(F.col("n_members"), F.lit(1).cast("long")),
+        )
+    )
+
+
 def simhash_near_duplicates(
     sigs: DataFrame,
     id_col: str = "doc_id",

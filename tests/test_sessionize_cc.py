@@ -82,6 +82,25 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
+def test_near_dedup_keeps_one_per_cluster(spark):
+    from ncagg_spark.pipeline.dedup import near_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in (1, 2, 3, 4, 10, 11, 99)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["n_members"]
+        for r in near_dedup(docs, pairs, num_partitions=2).collect()
+    }
+    # cluster {1,2,3,4} -> keep 1 (size 4); {10,11} -> keep 10 (size 2);
+    # 99 untouched by the graph -> kept, size 1
+    assert got == {1: 4, 10: 2, 99: 1}
+
+
 def test_connected_components_long_chain_converges(spark):
     # a 24-node chain exercises the pointer-jumping path: min label must
     # traverse the full diameter well within max_iter rounds
