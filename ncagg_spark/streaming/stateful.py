@@ -12,6 +12,12 @@ when a key goes quiet: the timeout branch emits an OPEN gap row
 (``gap_end``/``missing_slots`` null — the span has no observed end) and
 drops the key's state.
 
+``fill_gaps_online`` goes one step further — the batch
+``gap_fill(anchor="previous")`` rule online: real records pass through
+and missed cadence slots are emitted as synthetic ``is_fill`` rows as
+soon as the record closing the gap arrives (the "streaming empty
+windows" capability SURVEY §7.5 deferred).
+
 Arrow-batched (pandas in/out); no row-at-a-time Python.
 """
 
@@ -96,6 +102,107 @@ def make_gap_detector(step_us: int, dt_max_s: float):
             yield pd.DataFrame(out)
 
     return detect
+
+
+FILL_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("is_fill", T.BooleanType()),
+    ]
+)
+
+
+def make_gap_filler(
+    step_us: int, dt_max_s: float, *, max_fill_per_gap: int = 10_000
+):
+    """Online regularizer: the batch ``gap_fill(anchor="previous")`` rule
+    applied record-by-record in a stream (reference fill synthesis,
+    ncagg/aggregator.py:173-175, online). Real records pass through with
+    ``is_fill=false``; whenever a record lands more than dt_max after its
+    key's previous record, the missing cadence slots (previous + k*step)
+    are emitted as synthetic ``is_fill=true`` rows.
+
+    ``max_fill_per_gap`` bounds the rows a single pathological gap can
+    emit into one micro-batch (a key silent for a month at 1 Hz would
+    otherwise synthesize 2.6M rows in one task). Trailing fills for a
+    quiet key are NOT synthesized — online they are unbounded; pair with
+    ``detect_gaps`` whose timeout reports the open gap instead. State is
+    one row per key.
+    """
+    dt_max_us = int(round(dt_max_s * 1_000_000))
+    timeout_ms = max(1, dt_max_us // 1000)
+
+    def fill(
+        key: Tuple[str],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # no trailing synthesis (unbounded online); just drop state
+            state.remove()
+            return
+        last_us = state.get[0] if state.exists else None
+        ts_all = [pdf["ts"] for pdf in pdfs]
+        if not ts_all:
+            return
+        ts = pd.concat(ts_all).sort_values()
+        us = (ts.astype("int64") // 1000).tolist()
+        out_us: list[int] = []
+        out_fill: list[bool] = []
+        for u in us:
+            if last_us is not None and u - last_us > dt_max_us:
+                n = max(1, round((u - last_us) / step_us) - 1)
+                n = min(n, max_fill_per_gap)
+                fills = range(
+                    last_us + step_us, last_us + (n + 1) * step_us, step_us
+                )
+                out_us.extend(fills)
+                out_fill.extend([True] * n)
+            out_us.append(u)
+            out_fill.append(False)
+            last_us = u if last_us is None else max(last_us, u)
+        state.update((last_us,))
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {
+                "key": key[0],
+                "ts": pd.to_datetime(
+                    pd.Series(out_us, dtype="int64") * 1000
+                ),
+                "is_fill": out_fill,
+            }
+        )
+
+    return fill
+
+
+def fill_gaps_online(
+    grouped_stream: DataFrame,
+    *,
+    key_col: str = "event_type",
+    step_us: int = 1_000_000,
+    dt_max_s: float = 1.2,
+    max_fill_per_gap: int = 10_000,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Wire the online gap filler onto a streaming DataFrame with columns
+    (key_col, ts): emits the regularized stream (real + synthetic rows).
+    """
+    fn = make_gap_filler(
+        step_us, dt_max_s, max_fill_per_gap=max_fill_per_gap
+    )
+    return (
+        grouped_stream.selectExpr(f"{key_col} AS key", "ts")
+        .groupBy("key")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=FILL_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode=output_mode,
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
 
 
 def detect_gaps(

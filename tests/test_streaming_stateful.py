@@ -81,6 +81,97 @@ def test_data_batch_arms_timeout():
     assert st.exists and st.timeout_set == 1200
 
 
+def test_gap_filler_emits_missing_slots():
+    import pandas as pd
+
+    from ncagg_spark.streaming.stateful import make_gap_filler
+
+    fill = make_gap_filler(1_000_000, 1.2)
+    st = _FakeState(value=(T0_US,))
+    # next record 4 s after last seen -> slots +1s, +2s, +3s synthesized
+    pdf = pd.DataFrame(
+        {"ts": pd.to_datetime([(T0_US + 4_000_000) * 1000])}
+    )
+    (out,) = list(fill(("A",), iter([pdf]), st))
+    got = [
+        (int(r["ts"].value) // 1000 - T0_US, bool(r["is_fill"]))
+        for _, r in out.iterrows()
+    ]
+    assert got == [
+        (1_000_000, True),
+        (2_000_000, True),
+        (3_000_000, True),
+        (4_000_000, False),
+    ]
+    assert st.get == (T0_US + 4_000_000,) and st.timeout_set == 1200
+
+
+def test_gap_filler_caps_pathological_gap():
+    import pandas as pd
+
+    from ncagg_spark.streaming.stateful import make_gap_filler
+
+    fill = make_gap_filler(1_000_000, 1.2, max_fill_per_gap=5)
+    st = _FakeState(value=(T0_US,))
+    pdf = pd.DataFrame(
+        {"ts": pd.to_datetime([(T0_US + 3_600_000_000) * 1000])}
+    )
+    (out,) = list(fill(("A",), iter([pdf]), st))
+    assert len(out) == 6  # 5 capped fills + the real record
+    assert out["is_fill"].tolist() == [True] * 5 + [False]
+
+
+def test_gap_filler_timeout_drops_state_without_synthesis():
+    from ncagg_spark.streaming.stateful import make_gap_filler
+
+    fill = make_gap_filler(1_000_000, 1.2)
+    st = _FakeState(value=(T0_US,), timed_out=True)
+    assert list(fill(("A",), iter([]), st)) == []
+    assert st.removed
+
+
+@pytest.mark.slow
+def test_gap_filler_state_spans_batches(spark, tmp_path):
+    from ncagg_spark.streaming.stateful import fill_gaps_online
+
+    inp = str(tmp_path / "fill_in")
+    _write(spark, inp, [("A", T0_US + i * 1_000_000) for i in range(3)])
+    # resumes at second 6: slots 3, 4, 5 must be synthesized even though
+    # the gap spans two micro-batches
+    _write(spark, inp, [("A", T0_US + 6 * 1_000_000)])
+
+    stream = stream_granules(spark, inp, SCHEMA, max_files_per_trigger=1)
+    reg = fill_gaps_online(
+        stream, key_col="event_type", step_us=1_000_000, dt_max_s=1.2
+    )
+    q = (
+        reg.writeStream.format("memory")
+        .queryName("fill_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "fill_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.sql(
+        "SELECT * FROM fill_sink ORDER BY ts"
+    ).collect()
+    secs = [
+        (int(r["ts"].timestamp()) - T0_US // 1_000_000, r["is_fill"])
+        for r in got
+    ]
+    assert secs == [
+        (0, False),
+        (1, False),
+        (2, False),
+        (3, True),
+        (4, True),
+        (5, True),
+        (6, False),
+    ]
+
+
 @pytest.mark.slow
 def test_gap_detector_state_spans_batches(spark, tmp_path):
     inp = str(tmp_path / "in")
