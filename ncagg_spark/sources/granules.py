@@ -25,6 +25,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ncagg_spark.functions.unsigned import normalize_unsigned
 from ncagg_spark.sources.tables import _nanos_timestamp_cols, convert_nanos_cols
 
 GRANULE_COL = "granule"
@@ -59,6 +60,10 @@ def read_granules(
     if columns:
         df = df.select(*columns)
     df = convert_nanos_cols(df, nanos)
+    # parquet UINT_64 flag columns arrive as decimal(20,0): normalize to
+    # LongType bit-pattern so flag predicates stay on primitive longs
+    # (see functions/unsigned.py for the documented decision)
+    df = normalize_unsigned(df)
     if with_provenance:
         df = df.withColumn(GRANULE_COL, F.input_file_name())
     return df
