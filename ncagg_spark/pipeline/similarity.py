@@ -207,6 +207,75 @@ def _unit_scale(vec: list[float]) -> list[float]:
     return [float(x) / n for x in vec]
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 10,
+    tol: float = 1e-4,
+    seed: int = 42,
+) -> list[tuple[int, list[float]]]:
+    """Distributed spherical k-means (Lloyd's) for IVF centroid training
+    — the "real centroids at 100 TB" path SCALE.md calls for.
+
+    Each iteration is fully distributed: assignment reuses
+    ``assign_cells`` (broadcast unit centroids, argmax of constant-folded
+    dots — no Python in the hot path), and the update step is a
+    posexplode → groupBy(cell, pos) partial-aggregated sum, collecting
+    only n_cells × dim numbers to the driver. Init picks the n_cells
+    vectors with the smallest xxhash64(id, seed) — deterministic and
+    uniformly spread without a data-dependent pass.
+
+    Stops when every centroid moves less than ``tol`` in cosine distance
+    (or after ``max_iter``). Empty cells keep their previous centroid.
+    Returns unit-scaled (cell_id, vector) pairs ready for ``ivf_topk``.
+    """
+    init_rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(
+            F.abs(F.xxhash64(F.col(id_col), F.lit(seed))).asc(),
+            F.col(id_col).asc(),
+        )
+        .limit(n_cells)
+        .collect()
+    )
+    cents = [
+        (i, _unit_scale([float(x) for x in r[vec_col]]))
+        for i, r in enumerate(init_rows)
+    ]
+    for _ in range(max_iter):
+        assigned = assign_cells(
+            corpus.select(F.col(vec_col).alias("v")), cents, vec_col="v"
+        )
+        stats = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        acc: dict[int, dict[int, float]] = {}
+        for r in stats:
+            acc.setdefault(r["cell"], {})[r["pos"]] = float(r["s"])
+        new_cents: list[tuple[int, list[float]]] = []
+        moved = 0.0
+        for cell_id, old in cents:
+            comp = acc.get(cell_id)
+            if not comp:
+                new_cents.append((cell_id, old))  # empty cell: keep
+                continue
+            vec = _unit_scale([comp[p] for p in sorted(comp)])
+            moved = max(
+                moved, 1.0 - sum(a * b for a, b in zip(old, vec))
+            )
+            new_cents.append((cell_id, vec))
+        cents = new_cents
+        if moved < tol:
+            break
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

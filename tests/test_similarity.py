@@ -92,3 +92,55 @@ def test_ivf_partial_probe_is_subset(vectors):
     got = ivf_topk(df, df.filter("vec_id < 3"), k=3, n_cells=8, n_probe=2).collect()
     assert all(r["rank"] <= 3 for r in got)
     assert all(r["query_id"] != r["neighbor_id"] for r in got)
+
+
+def test_kmeans_recovers_separated_clusters(spark):
+    from ncagg_spark.pipeline.similarity import assign_cells, kmeans_centroids
+
+    # three well-separated directions (axis bundles) with small jitter
+    rng = random.Random(3)
+    rows = []
+    for i in range(60):
+        axis = i % 3
+        v = [rng.gauss(0.0, 0.05) for _ in range(DIM)]
+        v[axis] += 1.0
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents = kmeans_centroids(df, 3, max_iter=15, tol=1e-6)
+    assert len(cents) == 3
+    # every trained centroid is unit-length and dominated by one axis
+    for _, vec in cents:
+        assert abs(math.sqrt(sum(x * x for x in vec)) - 1.0) < 1e-9
+        assert max(abs(x) for x in vec) > 0.9
+    dominant = sorted(max(range(DIM), key=lambda p: abs(v[p])) for _, v in cents)
+    assert dominant == [0, 1, 2]
+
+    # assignment with the trained centroids separates the bundles cleanly
+    got = assign_cells(df, cents).collect()
+    by_axis = {}
+    for r in got:
+        by_axis.setdefault(r["vec_id"] % 3, set()).add(r["cell"])
+    assert all(len(cells) == 1 for cells in by_axis.values())
+    assert len(set().union(*by_axis.values())) == 3
+
+
+def test_kmeans_centroids_feed_ivf(spark):
+    from ncagg_spark.pipeline.similarity import kmeans_centroids
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.gauss(0.0, 1.0) for _ in range(DIM)]) for i in range(N)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_centroids(df, 4, max_iter=5)
+    exact = {qid: set(_exact_topk(rows, qid, 3)) for qid in range(3)}
+    got = ivf_topk(
+        df, df.filter("vec_id < 3"), k=3, n_cells=4, n_probe=4, centroids=cents
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # all cells probed == exhaustive -> trained centroids preserve recall 1
+    for qid in range(3):
+        assert by_q[qid] == exact[qid]
