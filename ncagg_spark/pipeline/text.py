@@ -10,7 +10,7 @@ oracle so correctness is end-to-end checked.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
@@ -203,3 +203,57 @@ def sql_word_ngrams(tokens_expr: str, n: int) -> str:
 def sql_stopword_hits(tokens_expr: str, lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
     return f"len(list_filter({tokens_expr}, t -> t IN ({words})))"
+
+
+def benchmark_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    min_shared: int = 1,
+) -> DataFrame:
+    """Decontamination scan: which corpus docs share >= ``min_shared``
+    distinct word n-grams with which benchmark docs (the n-gram-overlap
+    contamination rule used when cleaning pretraining corpora against
+    eval sets).
+
+    Returns (id_col, bench_id_col, n_shared, bench_frac) where
+    ``bench_frac`` is the fraction of the benchmark doc's distinct
+    n-grams found in the corpus doc. Shape at 100 TB: both sides explode
+    to distinct (id, gram) rows; the benchmark side is tiny by
+    construction (an eval set), so the gram join broadcasts it — the
+    corpus side streams through map-side, one shuffle for the per-pair
+    count. The corpus rows never carry their text past the explode.
+    """
+    c_grams = corpus.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_ngrams(tokenize(F.col(text_col)), n))
+        ).alias("gram"),
+    )
+    b_grams = benchmark.select(
+        F.col(bench_id_col),
+        F.explode(
+            F.array_distinct(word_ngrams(tokenize(F.col(text_col)), n))
+        ).alias("gram"),
+    )
+    b_tot = b_grams.groupBy(bench_id_col).agg(
+        F.count(F.lit(1)).alias("__b_total")
+    )
+    shared = (
+        c_grams.join(F.broadcast(b_grams), on="gram")
+        .groupBy(id_col, bench_id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return shared.join(F.broadcast(b_tot), on=bench_id_col).select(
+        F.col(id_col),
+        F.col(bench_id_col),
+        F.col("n_shared"),
+        F.round(F.col("n_shared") / F.col("__b_total"), 6).alias(
+            "bench_frac"
+        ),
+    )

@@ -102,3 +102,44 @@ def test_winnow_fingerprint_rolling_invariance(spark):
     # short docs fall back to whole-sequence hash, no crash
     assert isinstance(fp("a b"), int)
     assert fp("a b") != fp("a c")
+
+
+def test_benchmark_overlap_contamination(spark):
+    from ncagg_spark.pipeline.text import benchmark_overlap
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "bench_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # verbatim copy -> shares all bench 4-grams
+            (1, "the quick brown fox jumps over the lazy dog"),
+            # partial: contains one 4-gram window of the bench text
+            (2, "intro words then the quick brown fox appears here"),
+            # clean doc
+            (3, "completely unrelated content with no shared windows"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["bench_id"]): (r["n_shared"], r["bench_frac"])
+        for r in benchmark_overlap(docs, bench, n=4).collect()
+    }
+    # bench has 9 tokens -> 6 distinct 4-grams
+    assert got[(1, 100)] == (6, 1.0)
+    assert got[(2, 100)][0] == 1 and abs(got[(2, 100)][1] - round(1 / 6, 6)) < 1e-9
+    assert (3, 100) not in got
+
+
+def test_benchmark_overlap_min_shared_threshold(spark):
+    from ncagg_spark.pipeline.text import benchmark_overlap
+
+    bench = spark.createDataFrame(
+        [(0, "a b c d e f g h")], "bench_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(1, "x x x a b c d x x")], "doc_id long, text string"
+    )
+    assert benchmark_overlap(docs, bench, n=4, min_shared=2).count() == 0
+    assert benchmark_overlap(docs, bench, n=4, min_shared=1).count() == 1
