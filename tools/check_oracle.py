@@ -98,13 +98,28 @@ def compare(name, spark_rows, spark_cols, duck_rows, duck_cols):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entry_mod
-    from ncagg_spark.session import get_spark
 
-    spark = get_spark(app_name="oracle-check")
+    if vanilla:
+        # reproduce the driver's environment: a bare session with NONE of
+        # the engine's conf (round-1 failure mode: queries that only ran
+        # under get_spark()'s settings)
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("oracle-check-vanilla")
+            .getOrCreate()
+        )
+    else:
+        from ncagg_spark.session import get_spark
+
+        spark = get_spark(app_name="oracle-check")
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
