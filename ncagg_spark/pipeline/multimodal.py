@@ -110,6 +110,65 @@ def balance_by_content(
     return df.repartition(partitions or df.sparkSession.sparkContext.defaultParallelism, h)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def _fake_resize(blob: bytes, w: int, h: int) -> bytes:
+    """Deterministic stand-in for a real image resize: the bytes pass
+    through untouched (identity transform) — stable and unit-testable;
+    only the metadata changes."""
+    return blob
+
+
+def _real_resize(blob: bytes, w: int, h: int) -> bytes:
+    raise NotImplementedError(
+        "image resizing requires an imaging library not present in this "
+        "environment; plug a real resizer in here (signature: "
+        "(bytes, width, height) -> bytes)"
+    )
+
+
+def resize_images(
+    df: DataFrame,
+    *,
+    target: tuple[int, int] = (224, 224),
+    id_col: str = "media_id",
+    blob_col: str = "content",
+    resizer: str = "fake",
+) -> DataFrame:
+    """mapInPandas image resize over binary media columns: every blob is
+    rewritten to the target (width, height). Same bounded-memory Arrow
+    iterator shape as extract_features; the pixel transform itself is the
+    stubbed step (``resizer="real"`` raises until an imaging library is
+    plugged in)."""
+    resize = {"fake": _fake_resize, "real": _real_resize}[resizer]
+    w, h = int(target[0]), int(target[1])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "content": [
+                        resize(bytes(b), w, h) for b in pdf[blob_col]
+                    ],
+                    "width": w,
+                    "height": h,
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )
+
+
 def frame_sample_plan(
     df: DataFrame,
     *,
