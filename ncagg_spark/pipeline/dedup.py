@@ -290,10 +290,15 @@ def connected_components(
         edges = edges.repartition(num_partitions, "src")
     edges = edges.persist()
 
+    # init = min(self, min neighbor): the same single groupBy-src shuffle
+    # a plain distinct() would cost, but it performs the first
+    # propagation round for free (one fewer iteration on every graph)
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("__m"))
+        .select(
+            "node", F.least(F.col("node"), F.col("__m")).alias("label")
+        )
         .persist()
     )
 
