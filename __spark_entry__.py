@@ -1277,10 +1277,10 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["rel_q1_pricing"] = """
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
-                        (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                        (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE)
                    AS sum_disc_price,
                count(*) AS count_order
         FROM lineitem
@@ -1290,8 +1290,8 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["rel_q3_topk"] = """
         SELECT l_orderkey, o_orderdate,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
-                        (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                        (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE)
                    AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
@@ -1306,8 +1306,8 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["rel_q5_nation_volume"] = """
         SELECT n_name,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
-                        (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                        (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE)
                    AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
@@ -1329,7 +1329,7 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["rel_rollup"] = """
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
                count(*) AS n_rows
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -1337,7 +1337,7 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["rel_grouping_sets"] = """
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
                count(*) AS n_rows
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
@@ -1358,7 +1358,7 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["rel_cube"] = """
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
                count(*) AS n_rows
         FROM lineitem
         GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -1393,8 +1393,8 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["rel_region_volume"] = """
         SELECT r_name,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
-                        (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                        (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE)
                    AS revenue,
                count(*) AS n_items
         FROM lineitem
@@ -1407,7 +1407,7 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["rel_part_type_revenue"] = """
         SELECT p_type,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue,
                count(*) AS n_items
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE p_brand = 'Brand#1'
@@ -1417,7 +1417,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["rel_window_agg"] = """
         SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
                event_type, count(*) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
         FROM events WHERE ts IS NOT NULL
         GROUP BY 1, 2
     """
@@ -1553,7 +1553,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
                min(ts) AS session_start, max(ts) AS session_end,
                count(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
         FROM sessioned GROUP BY user_id, session_idx
     """
 
@@ -1561,7 +1561,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
                event_type,
                count(*) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
         FROM events
         GROUP BY 1, 2
     """
