@@ -92,6 +92,8 @@ def _aggregate_df(
             *( [F.col(GRANULE_COL)] if GRANULE_COL in existing else [] ),
         )
 
+    config.validate_columns([c for c in df.columns if c != GRANULE_COL])
+
     attrs: dict[str, Any] = {}
     if config.attribute_strategies:
         manifest = build_manifest(

@@ -29,6 +29,7 @@ with c = timing_certainty in (0, 1].
 
 from __future__ import annotations
 
+from collections.abc import Sequence
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
 from typing import Any
@@ -79,6 +80,35 @@ class AggregationConfig:
             raise ValueError("timing_certainty must be in (0, 1]")
         if self.cadence_hz is not None and self.cadence_hz <= 0:
             raise ValueError("cadence_hz must be positive")
+
+    def validate_columns(self, columns: Sequence[str]) -> None:
+        """Inter-validation against the actual input columns — the
+        reference's Config.inter_validate (ncagg/config.py; exercised by
+        test/generic/test_util_validate_unlim_config.py): settings that
+        MUST name a real variable raise a clear error up front instead of
+        a deep AnalysisException at plan time.
+
+        ``fill_values`` and ``copy_from_alt`` are deliberately lenient —
+        a sentinel for a column some granules lack, or an alternate name
+        absent from this batch, is a no-op by design (P4 semantics).
+        """
+        cols = set(columns)
+        if self.index_by not in cols:
+            raise ValueError(
+                f"index_by {self.index_by!r} is not an input column"
+            )
+        for c in self.tiebreak:
+            if c not in cols:
+                raise ValueError(f"tiebreak column {c!r} is not an input column")
+        for c, i in self.take_dim_indices.items():
+            if c not in cols:
+                raise ValueError(
+                    f"take_dim_indices column {c!r} is not an input column"
+                )
+            if i < 0:
+                raise ValueError(
+                    f"take_dim_indices[{c!r}] must be >= 0, got {i}"
+                )
 
     # --- cadence tolerances (reference: ncagg/aggregator.py:119-125) ---
 

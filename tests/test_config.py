@@ -61,3 +61,35 @@ def test_n_buckets_requires_bounds():
     cfg = AggregationConfig(index_by="ts", cadence_hz=1.0)
     with pytest.raises(ValueError):
         cfg.n_buckets()
+
+
+def test_validate_columns_inter_validation():
+    # the reference's Config.inter_validate analogue
+    # (test/generic/test_util_validate_unlim_config.py)
+    import pytest
+
+    cfg = AggregationConfig(
+        index_by="ts", tiebreak=["event_id"], take_dim_indices={"arr": 2}
+    )
+    cfg.validate_columns(["ts", "event_id", "arr", "value"])  # ok
+
+    with pytest.raises(ValueError, match="index_by"):
+        AggregationConfig(index_by="nope").validate_columns(["ts"])
+    with pytest.raises(ValueError, match="tiebreak"):
+        AggregationConfig(index_by="ts", tiebreak=["gone"]).validate_columns(
+            ["ts"]
+        )
+    with pytest.raises(ValueError, match="take_dim_indices"):
+        AggregationConfig(
+            index_by="ts", take_dim_indices={"gone": 0}
+        ).validate_columns(["ts"])
+    with pytest.raises(ValueError, match=">= 0"):
+        AggregationConfig(
+            index_by="ts", take_dim_indices={"arr": -1}
+        ).validate_columns(["ts", "arr"])
+    # lenient by design: fill sentinels / alternates may be absent (P4)
+    AggregationConfig(
+        index_by="ts",
+        fill_values={"missing_col": -999},
+        copy_from_alt={"v": ["absent_alt"]},
+    ).validate_columns(["ts", "v"])
