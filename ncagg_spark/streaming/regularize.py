@@ -25,6 +25,8 @@ Two composable layers:
 
 from __future__ import annotations
 
+from dataclasses import replace
+from datetime import datetime, timezone
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -130,6 +132,109 @@ def incremental_aggregate(
         ).sortWithinPartitions(cfg.index_by).write.mode("overwrite").parquet(
             output_path
         )
+
+    writer = stream.writeStream.foreachBatch(merge_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    for k, v in (extra_stream_options or {}).items():
+        writer = writer.option(k, v)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def incremental_aggregate_partitioned(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    schema: T.StructType,
+    cfg: AggregationConfig,
+    *,
+    available_now: bool = True,
+    extra_stream_options: dict[str, Any] | None = None,
+) -> StreamingQuery:
+    """The 100 TB form of ``incremental_aggregate``: output is laid out
+    under ``dt=YYYY-MM-DD/`` and each micro-batch rewrites ONLY the days
+    its new records touch (dynamic partition overwrite) — per-batch work
+    is O(touched days), not O(window).
+
+    Grid-anchored only, and the cadence step must divide a day evenly:
+    under those conditions every slot is day-local, so per-day
+    regularization is exactly the whole-window result restricted to that
+    day. Reading back a touched day's REAL records is partition-pruned
+    by ``dt``; untouched day partitions are never read or written.
+    """
+    from ncagg_spark.sources.writer import DATE_PARTITION_COL
+
+    ix = cfg.index_by
+    if cfg.min_us is None or cfg.max_us is None:
+        raise ValueError("partitioned incremental aggregation needs bounds")
+    day_us = 86_400_000_000
+    if day_us % cfg.step_us != 0:
+        raise ValueError(
+            "cadence step must divide a day evenly for day-local rewrite "
+            f"(step_us={cfg.step_us})"
+        )
+    if cfg.min_us % day_us != 0:
+        raise ValueError("min_bound must align to a UTC day boundary")
+
+    stream = stream_granules(spark, input_path, schema)
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        days = [
+            r["d"]
+            for r in batch.select(
+                F.to_date(F.col(ix)).cast("string").alias("d")
+            )
+            .distinct()
+            .collect()
+            if r["d"] is not None
+        ]
+        if not days:
+            return
+        try:
+            existing = spark.read.parquet(output_path).filter(
+                F.col(DATE_PARTITION_COL).isin(days)
+            )
+            prev = (
+                existing.filter(~F.col(FILL_FLAG_COL))
+                .drop(FILL_FLAG_COL, DATE_PARTITION_COL, BUCKET_COL)
+                .localCheckpoint(eager=True)
+            )
+        except Exception:
+            prev = None  # first batch: no output yet
+        data = batch if prev is None else prev.unionByName(
+            batch.select(*prev.columns)
+        )
+        for day in sorted(days):
+            lo = int(
+                datetime.strptime(day, "%Y-%m-%d")
+                .replace(tzinfo=timezone.utc)
+                .timestamp()
+                * 1_000_000
+            )
+            day_cfg = replace(
+                cfg,
+                min_bound=max(lo, cfg.min_us) / 1e6,
+                max_bound=min(lo + day_us, cfg.max_us) / 1e6,
+            )
+            day_rows = data.filter(
+                (F.col(ix) >= F.timestamp_micros(F.lit(day_cfg.min_us)))
+                & (F.col(ix) < F.timestamp_micros(F.lit(day_cfg.max_us)))
+            )
+            out = regularize(spark, day_rows, day_cfg, anchor="grid")
+            (
+                out.withColumn(DATE_PARTITION_COL, F.lit(day))
+                .repartitionByRange(
+                    max(spark.sparkContext.defaultParallelism // 8, 1), ix
+                )
+                .sortWithinPartitions(ix)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(DATE_PARTITION_COL)
+                .parquet(output_path)
+            )
 
     writer = stream.writeStream.foreachBatch(merge_batch).option(
         "checkpointLocation", checkpoint_path
