@@ -43,6 +43,40 @@ def block_diagonal_union(dfs: Sequence[DataFrame]) -> DataFrame:
     return out
 
 
+def global_position(
+    df: DataFrame, order_by: str, *, position_col: str = "pos"
+) -> DataFrame:
+    """Dense 0-based global position by ``order_by`` WITHOUT a
+    single-task sort: range-repartition on the key, rank within each
+    partition, then add the partition's cumulative offset (collected as
+    one tiny count-per-partition job). The standard distributed global
+    index — every stage is partition-parallel.
+    """
+    n = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    part = df.repartitionByRange(n, F.col(order_by).asc()).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    part = part.localCheckpoint(eager=True)  # pin partitioning for both uses
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in part.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        ),
+        F.col("__pid"),
+    )
+    w = Window.partitionBy("__pid").orderBy(F.col(order_by).asc())
+    return part.withColumn(
+        position_col, F.row_number().over(w) - 1 + off
+    ).drop("__pid")
+
+
 def flatten_overlay(
     dfs: Sequence[DataFrame],
     order_by: str,
@@ -52,14 +86,16 @@ def flatten_overlay(
     """Overlay inputs along a per-input 0-based position index: output row
     p carries, for every column, the first non-null value among inputs at
     their p-th row (earlier inputs win — reference file-order precedence).
+
+    Positions come from ``global_position`` — partition-parallel, no
+    single-task sort, so overlay inputs can be arbitrarily large.
     """
     if not dfs:
         raise ValueError("need at least one DataFrame")
     tagged = []
     for i, df in enumerate(dfs):
-        w = Window.partitionBy().orderBy(F.col(order_by).asc())
         tagged.append(
-            df.withColumn(position_col, F.row_number().over(w) - 1)
+            global_position(df, order_by, position_col=position_col)
             .withColumn("__src", F.lit(i))
         )
     u = block_diagonal_union(tagged)

@@ -5,6 +5,8 @@ latter @expectedFailure in the reference, implemented here).
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ncagg_spark.operators.flatten import (
     block_diagonal_union,
     flatten_by_index,
@@ -62,3 +64,20 @@ def test_flatten_by_index_coalesces_shared_columns(spark):
     f2 = spark.createDataFrame([("a", 99.0), ("b", 2.0)], "label string, v double")
     out = {r["label"]: r["v"] for r in flatten_by_index([f1, f2], "label").collect()}
     assert out == {"a": 1.0, "b": 2.0}  # first input wins on overlap
+
+
+def test_global_position_dense_and_partition_parallel(spark):
+    from ncagg_spark.operators.flatten import global_position
+
+    # shuffled multi-partition input: positions must be the dense rank of
+    # the key with no single-task global sort
+    df = (
+        spark.range(0, 5000, 1, 8)
+        .select((F.col("id") * 2654435761 % 5000).alias("k"))
+        .distinct()
+        .repartition(8)
+    )
+    got = global_position(df, "k").orderBy("k").collect()
+    assert [r["pos"] for r in got] == list(range(len(got)))
+    ks = [r["k"] for r in got]
+    assert ks == sorted(ks)
