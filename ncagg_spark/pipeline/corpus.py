@@ -1,0 +1,88 @@
+"""One-call corpus cleaning: the composed LLM-training-data pipeline.
+
+``clean_corpus`` chains the engine's primitives in the order a real
+pretraining pipeline runs them:
+
+    1. quality gate        (quality_score >= min_quality)
+    2. exact dedup         (md5 groupBy, keep min id)
+    3. near dedup          (MinHash -> LSH candidates -> n-gram Jaccard
+                            verify -> connected components -> keep one
+                            representative per cluster)
+    4. decontamination     (drop docs covering >= max_bench_frac of any
+                            benchmark doc's n-grams; optional)
+
+Everything is a DataFrame composition — one logical plan per stage, no
+driver-side loops over data (the CC label propagation iterates over
+jobs, not rows). Each stage's input is the previous stage's survivors,
+so the expensive signature work runs only on docs that passed the
+cheap gates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ncagg_spark.pipeline.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    near_dedup,
+    ngram_jaccard,
+)
+from ncagg_spark.pipeline.text import benchmark_overlap, quality_score
+
+
+def clean_corpus(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.0,
+    jaccard_threshold: float = 0.8,
+    shingle_n: int = 3,
+    num_perm: int = 16,
+    benchmark: DataFrame | None = None,
+    bench_id_col: str = "bench_id",
+    max_bench_frac: float = 0.5,
+    bench_ngram_n: int = 8,
+) -> DataFrame:
+    """Run the full cleaning chain; returns surviving rows of ``docs``
+    (original columns plus ``n_members``, the near-dup cluster size each
+    survivor represents).
+    """
+    kept = docs
+    if min_quality > 0.0:
+        kept = kept.filter(
+            quality_score(F.col(text_col)) >= F.lit(min_quality)
+        )
+    kept = exact_dedup(kept, text_col=text_col, id_col=id_col)
+
+    sigs = minhash_signatures(
+        kept, text_col=text_col, id_col=id_col,
+        shingle_n=shingle_n, num_perm=num_perm,
+    )
+    cands = minhash_lsh_candidates(sigs, id_col=id_col)
+    verified = ngram_jaccard(
+        kept, cands, text_col=text_col, id_col=id_col, shingle_n=shingle_n
+    ).filter(F.col("jaccard") >= F.lit(jaccard_threshold)).select(
+        "id_a", "id_b"
+    )
+    kept = near_dedup(kept, verified, id_col=id_col)
+
+    if benchmark is not None:
+        contaminated = (
+            benchmark_overlap(
+                kept,
+                benchmark,
+                n=bench_ngram_n,
+                id_col=id_col,
+                text_col=text_col,
+                bench_id_col=bench_id_col,
+            )
+            .filter(F.col("bench_frac") >= F.lit(max_bench_frac))
+            .select(id_col)
+            .distinct()
+        )
+        kept = kept.join(contaminated, on=id_col, how="left_anti")
+    return kept

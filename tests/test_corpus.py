@@ -1,0 +1,65 @@
+"""End-to-end corpus cleaning: planted junk, exact dups, near-dups, and
+benchmark contamination must each be removed by the right stage.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ncagg_spark.pipeline.corpus import clean_corpus
+
+GOOD = (
+    "the committee published its annual report on regional water "
+    "management and reviewed the infrastructure maintenance schedule "
+    "for the coming fiscal year with several detailed recommendations"
+)
+GOOD2 = (
+    "astronomers observed the distant galaxy cluster through the new "
+    "telescope array and recorded unusual radio emissions over several "
+    "nights of continuous monitoring during the winter campaign"
+)
+NEAR_DUP = GOOD.replace("annual", "yearly")  # high word-shingle overlap
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = [
+        (1, GOOD),
+        (2, GOOD),        # exact duplicate of 1
+        (3, NEAR_DUP),    # near duplicate of 1
+        (4, GOOD2),
+        (5, "x x x x"),   # junk: fails the quality gate
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_clean_corpus_stages(corpus):
+    got = clean_corpus(corpus, min_quality=0.3, jaccard_threshold=0.5)
+    by_id = {r["doc_id"]: r["n_members"] for r in got.collect()}
+    # 5 junk-filtered; 2 exact-dup removed; 3 near-dup clustered into 1
+    assert set(by_id) == {1, 4}
+    assert by_id[1] == 2  # doc 1 represents {1, 3}
+    assert by_id[4] == 1
+
+
+def test_clean_corpus_decontamination(spark, corpus):
+    bench = spark.createDataFrame(
+        [(100, GOOD2)], "bench_id long, text string"
+    )
+    got = clean_corpus(
+        corpus,
+        min_quality=0.3,
+        jaccard_threshold=0.5,
+        benchmark=bench,
+        max_bench_frac=0.5,
+    )
+    # doc 4 is a verbatim copy of the benchmark doc -> dropped
+    assert {r["doc_id"] for r in got.collect()} == {1}
+
+
+def test_clean_corpus_preserves_columns(spark):
+    rows = [(1, GOOD, "en"), (2, GOOD2, "en")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = clean_corpus(df)
+    assert set(got.columns) == {"doc_id", "text", "lang", "n_members"}
+    assert got.count() == 2
