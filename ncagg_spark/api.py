@@ -76,13 +76,21 @@ def _aggregate_df(
     """`aggregate` core over an already-read granule DataFrame (must
     still carry GRANULE_COL) — shared with aggregate_multi's per-grain
     loop so all grains reuse one source relation."""
+    # validate BEFORE any projection adds declared-but-absent columns as
+    # nulls (P4): a typo'd index_by must raise here, not silently drop
+    # every row downstream
+    config.validate_columns([c for c in df.columns if c != GRANULE_COL])
+
     if columns:
         from pyspark.sql import functions as F
 
         existing = set(df.columns)
         cols = list(columns)
-        if config.index_by not in cols:
-            cols.insert(0, config.index_by)
+        for needed in (config.index_by, *config.copy_from_alt.get(
+            config.index_by, []
+        )):
+            if needed not in cols and needed in existing:
+                cols.insert(0, needed)
         df = df.select(
             *[
                 F.col(c) if c in existing else F.lit(None).alias(c)
@@ -91,8 +99,6 @@ def _aggregate_df(
             ],
             *( [F.col(GRANULE_COL)] if GRANULE_COL in existing else [] ),
         )
-
-    config.validate_columns([c for c in df.columns if c != GRANULE_COL])
 
     attrs: dict[str, Any] = {}
     if config.attribute_strategies:

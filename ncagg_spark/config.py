@@ -93,9 +93,15 @@ class AggregationConfig:
         absent from this batch, is a no-op by design (P4 semantics).
         """
         cols = set(columns)
-        if self.index_by not in cols:
+        # the index may materialize from alternate source names (P3):
+        # accept it if any declared alternate is present
+        index_sources = {self.index_by, *self.copy_from_alt.get(
+            self.index_by, []
+        )}
+        if not (index_sources & cols):
             raise ValueError(
-                f"index_by {self.index_by!r} is not an input column"
+                f"index_by {self.index_by!r} is not an input column "
+                "(and no copy_from_alt alternate for it is present)"
             )
         for c in self.tiebreak:
             if c not in cols:

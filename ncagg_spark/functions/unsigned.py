@@ -19,6 +19,8 @@ DuckDB-oracle parity, where UBIGINT is native.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -53,10 +55,21 @@ def long_bits_to_uint64(col: Column) -> Column:
     )
 
 
-def normalize_unsigned(df: DataFrame) -> DataFrame:
-    """Rewrite every decimal(20,0) column (Spark's rendering of parquet
-    UINT_64) to LongType bit-pattern. UINT_8/16/32 already arrive as
-    signed widenings and pass through untouched."""
+def normalize_unsigned(
+    df: DataFrame, columns: "Sequence[str] | None" = None
+) -> DataFrame:
+    """Rewrite parquet-UINT_64 columns (Spark renders them decimal(20,0))
+    to LongType bit-pattern. UINT_8/16/32 already arrive as signed
+    widenings and pass through untouched.
+
+    ``columns``, when given, names the columns the parquet footer proved
+    to be UINT_64 (sources/tables.py:_uint64_cols) — ONLY those are
+    rewritten, so genuine decimal(20,0) data can never be corrupted by
+    the Spark-type heuristic. Without it, every decimal(20,0) column is
+    assumed unsigned (suitable only for schemas known to carry no real
+    20-digit decimals).
+    """
+    allowed = set(columns) if columns is not None else None
     out = []
     changed = False
     for f in df.schema.fields:
@@ -64,6 +77,7 @@ def normalize_unsigned(df: DataFrame) -> DataFrame:
             isinstance(f.dataType, T.DecimalType)
             and f.dataType.precision == 20
             and f.dataType.scale == 0
+            and (allowed is None or f.name in allowed)
         ):
             out.append(uint64_to_long_bits(F.col(f.name)).alias(f.name))
             changed = True

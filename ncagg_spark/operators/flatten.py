@@ -51,6 +51,12 @@ def global_position(
     partition, then add the partition's cumulative offset (collected as
     one tiny count-per-partition job). The standard distributed global
     index — every stage is partition-parallel.
+
+    The eager localCheckpoint pins the repartitioned input in executor
+    storage (needed so the count job and the returned plan see the SAME
+    partitioning); blocks are freed by RDD GC when the result goes out
+    of scope — in a long-lived session doing many huge flattens, trigger
+    collection or reuse the returned DataFrame rather than re-calling.
     """
     n = max(df.sparkSession.sparkContext.defaultParallelism, 1)
     part = df.repartitionByRange(n, F.col(order_by).asc()).withColumn(

@@ -390,6 +390,7 @@ def simhash_near_duplicates(
     *,
     max_hamming: int = 3,
     block_bits: int = 8,
+    max_block_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
 
@@ -428,13 +429,19 @@ def simhash_near_duplicates(
     # self-join would shuffle the block table twice AND run the whole
     # signature pipeline (tokenize -> shingle -> hash -> 32 bit votes)
     # once per join side. Gathering each block bucket and expanding
-    # pairs in place computes signatures once; the window rank cap
-    # bounds bucket memory before collect_list (boilerplate guard).
-    cap = 10_000
-    w = Window.partitionBy("blk", "key").orderBy(id_col)
-    ranked = blocks.withColumn("__r", F.row_number().over(w)).filter(
-        F.col("__r") <= cap + 1
-    )
+    # pairs in place computes signatures once.
+    #
+    # max_block_bucket=None (default) is UNCAPPED: this function promises
+    # exact parity with a quadratic scan (recall-complete pigeonhole), so
+    # dropping an oversized bucket would silently lose true pairs. Pass a
+    # cap only when trading that guarantee for bounded memory at
+    # web-corpus scale (boilerplate buckets).
+    ranked = blocks
+    if max_block_bucket is not None:
+        w = Window.partitionBy("blk", "key").orderBy(id_col)
+        ranked = blocks.withColumn("__r", F.row_number().over(w)).filter(
+            F.col("__r") <= max_block_bucket + 1
+        )
     buckets = (
         ranked.groupBy("blk", "key")
         .agg(
@@ -442,8 +449,10 @@ def simhash_near_duplicates(
                 F.collect_list(F.struct(F.col(id_col).alias("id"), "simhash"))
             ).alias("ms")
         )
-        .filter((F.size("ms") >= 2) & (F.size("ms") <= cap))
+        .filter(F.size("ms") >= 2)
     )
+    if max_block_bucket is not None:
+        buckets = buckets.filter(F.size("ms") <= max_block_bucket)
     return (
         buckets.select(F.col("ms"), F.posexplode("ms").alias("i", "a"))
         .select(

@@ -249,10 +249,12 @@ def kmeans_centroids(
         assigned = assign_cells(
             corpus.select(F.col(vec_col).alias("v")), cents, vec_col="v"
         )
+        # component sums only — spherical update unit-scales the mean, so
+        # the member count cancels and never needs to be aggregated
         stats = (
             assigned.select("cell", F.posexplode("v").alias("pos", "x"))
             .groupBy("cell", "pos")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("x").alias("s"))
             .collect()
         )
         acc: dict[int, dict[int, float]] = {}

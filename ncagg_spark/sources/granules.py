@@ -26,7 +26,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ncagg_spark.functions.unsigned import normalize_unsigned
-from ncagg_spark.sources.tables import _nanos_timestamp_cols, convert_nanos_cols
+from ncagg_spark.sources.tables import (
+    _nanos_timestamp_cols,
+    _uint64_cols,
+    convert_nanos_cols,
+)
 
 GRANULE_COL = "granule"
 
@@ -47,9 +51,11 @@ def read_granules(
     # conf can be set on whatever session the caller supplies (a vanilla
     # SparkSession cannot scan TIMESTAMP(NANOS) parquet at all).
     nanos: set[str] = set()
+    u64: set[str] = set()
     for p in paths:
         try:
             nanos.update(_nanos_timestamp_cols(p))
+            u64.update(_uint64_cols(p))
         except (OSError, ValueError):
             pass
     if nanos:
@@ -61,9 +67,10 @@ def read_granules(
         df = df.select(*columns)
     df = convert_nanos_cols(df, nanos)
     # parquet UINT_64 flag columns arrive as decimal(20,0): normalize to
-    # LongType bit-pattern so flag predicates stay on primitive longs
-    # (see functions/unsigned.py for the documented decision)
-    df = normalize_unsigned(df)
+    # LongType bit-pattern so flag predicates stay on primitive longs —
+    # ONLY columns the footer probe proved unsigned (a real decimal(20,0)
+    # column passes through untouched; see functions/unsigned.py)
+    df = normalize_unsigned(df, columns=u64)
     if with_provenance:
         df = df.withColumn(GRANULE_COL, F.input_file_name())
     return df

@@ -14,6 +14,7 @@ Schema inspection reads only file metadata (no data IO) — cheap even for
 
 from __future__ import annotations
 
+import pyarrow as pa
 import pyarrow.dataset as pa_ds
 import pyarrow.types as pat
 from pyspark.sql import DataFrame, SparkSession
@@ -27,6 +28,14 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
         for f in schema
         if pat.is_timestamp(f.type) and f.type.unit == "ns"
     ]
+
+
+def _uint64_cols(path: str) -> list[str]:
+    """Columns that are genuinely parquet UINT_64 per the footer — the
+    only ones unsigned normalization may touch (a decimal(20,0) Spark
+    type alone could be real decimal data)."""
+    schema = pa_ds.dataset(path, format="parquet").schema
+    return [f.name for f in schema if f.type == pa.uint64()]
 
 
 def convert_nanos_cols(df: DataFrame, names: set[str] | list[str]) -> DataFrame:

@@ -32,10 +32,22 @@ _SCALAR_CAST_ATTRS = ("_FillValue", "valid_min", "valid_max")
 _ARRAY_CAST_ATTRS = ("valid_range", "flag_masks", "flag_values")
 
 
+def _to_int(v: Any) -> int:
+    """Integer coercion that never routes an integral value through an
+    IEEE double (uint64-sized flag masks would corrupt above 2^53)."""
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, int):
+        return v
+    if isinstance(v, str) and v.strip().lstrip("+-").isdigit():
+        return int(v.strip())
+    return int(float(v))
+
+
 def _py_caster(dtype: T.DataType):
     """Python-side cast for one Spark column type (sidecar JSON values)."""
     if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
-        return lambda v: int(float(v))
+        return _to_int
     if isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType)):
         return float
     if isinstance(dtype, T.BooleanType):

@@ -29,6 +29,7 @@ from dataclasses import replace
 from datetime import datetime, timezone
 from typing import Any
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -121,8 +122,11 @@ def incremental_aggregate(
             # read scans — localCheckpoint truncates the lineage so the
             # overwrite never races its own input
             prev = existing.localCheckpoint(eager=True)
-        except Exception:
-            prev = None  # first batch: no output yet
+        except AnalysisException:
+            # ONLY path-not-found falls through to "first batch"; any
+            # other read failure must abort the batch — treating an IO
+            # hiccup as first-batch would overwrite accumulated records
+            prev = None
         data = batch if prev is None else prev.unionByName(
             batch.select(*prev.columns)
         )
@@ -182,14 +186,25 @@ def incremental_aggregate_partitioned(
     stream = stream_granules(spark, input_path, schema)
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
-        days = [
+        # derive touched days from raw epoch micros, NOT to_date (which
+        # applies the session timezone and would mis-bucket records near
+        # midnight on non-UTC sessions while bounds below are UTC)
+        day_idx = [
             r["d"]
             for r in batch.select(
-                F.to_date(F.col(ix)).cast("string").alias("d")
+                F.floor(F.unix_micros(F.col(ix)) / F.lit(day_us))
+                .cast("long")
+                .alias("d")
             )
             .distinct()
             .collect()
             if r["d"] is not None
+        ]
+        days = [
+            datetime.fromtimestamp(i * 86_400, tz=timezone.utc).strftime(
+                "%Y-%m-%d"
+            )
+            for i in day_idx
         ]
         if not days:
             return
@@ -202,8 +217,10 @@ def incremental_aggregate_partitioned(
                 .drop(FILL_FLAG_COL, DATE_PARTITION_COL, BUCKET_COL)
                 .localCheckpoint(eager=True)
             )
-        except Exception:
-            prev = None  # first batch: no output yet
+        except AnalysisException:
+            # ONLY path-not-found means "first batch"; other failures
+            # must abort rather than overwrite accumulated partitions
+            prev = None
         data = batch if prev is None else prev.unionByName(
             batch.select(*prev.columns)
         )

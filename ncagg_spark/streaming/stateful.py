@@ -81,7 +81,7 @@ def make_gap_detector(step_us: int, dt_max_s: float):
         for pdf in pdfs:
             ts_all.append(pdf["ts"])
         if ts_all:
-            ts = pd.concat(ts_all).sort_values()
+            ts = pd.concat(ts_all).dropna().sort_values()
             us = (ts.astype("int64") // 1000).tolist()
             for u in us:
                 if last_us is not None and u - last_us > dt_max_us:
@@ -146,7 +146,11 @@ def make_gap_filler(
         ts_all = [pdf["ts"] for pdf in pdfs]
         if not ts_all:
             return
-        ts = pd.concat(ts_all).sort_values()
+        # drop NaT up front: astype(int64) on NaT either raises (killing
+        # the streaming query) or yields int64-min garbage anchors
+        ts = pd.concat(ts_all).dropna().sort_values()
+        if ts.empty:
+            return
         us = (ts.astype("int64") // 1000).tolist()
         out_us: list[int] = []
         out_fill: list[bool] = []

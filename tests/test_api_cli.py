@@ -238,3 +238,39 @@ def test_template_projection_drops_and_nulls(spark, granule_dir, tmp_path):
     assert set(got.columns) == {"ts", "brand_new_var", "is_fill"}
     assert got.count() == 60
     assert got.filter(F.col("brand_new_var").isNotNull()).count() == 0
+
+
+def test_alt_named_index_still_aggregates(spark, tmp_path):
+    """P3 regression guard: index_by satisfied via copy_from_alt must
+    survive config inter-validation and the template projection."""
+    d = tmp_path / "altg"
+    rows = [(T0_US + i * 1_000_000, float(i)) for i in range(10)]
+    spark.createDataFrame(rows, "us long, value double").select(
+        F.timestamp_micros(F.col("us")).alias("old_time"), "value"
+    ).coalesce(1).write.parquet(str(d / "g0.parquet"))
+
+    cfg = AggregationConfig(
+        index_by="ts",
+        cadence_hz=1.0,
+        min_bound=T0_US / 1e6,
+        max_bound=(T0_US + 10 * 1_000_000) / 1e6,
+        copy_from_alt={"ts": ["old_time"]},
+    )
+    out = str(tmp_path / "alt_out")
+    aggregate(spark, [str(d / "g0.parquet")], out, cfg)
+    got = spark.read.parquet(out)
+    assert got.count() == 10
+    assert got.filter(~F.col("is_fill")).count() == 10
+
+
+def test_typoed_index_raises_before_planning(spark, granule_dir, tmp_path):
+    cfg = _day_cfg()
+    cfg.index_by = "tss"  # typo
+    with pytest.raises(ValueError, match="index_by"):
+        aggregate(
+            spark,
+            [f"{granule_dir}/g0.parquet"],
+            str(tmp_path / "x"),
+            cfg,
+            columns=["tss", "value"],
+        )
