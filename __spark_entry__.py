@@ -935,14 +935,25 @@ def q_mm_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full mapInPandas feature-extraction path (fake decoder) — not SQL
-    expressible; driver records rows-only."""
+    expressible; driver records rows-only.
+
+    The feature array<float> is posexploded to scalar (media_id, sha256,
+    n_bytes, pos, value) rows: the driver's pandas canonicalizer cannot
+    sort/hash list cells (r1 doc_minhash_sig, r2 mm_features — same fix
+    as agg_multidim)."""
     from ncagg_spark.pipeline.multimodal import extract_features
 
     d = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
         F.encode(F.col("text"), "utf-8").alias("content"),
     )
-    return extract_features(d)
+    feats = extract_features(d)
+    return feats.select(
+        "media_id",
+        "sha256",
+        "n_bytes",
+        F.posexplode("feature").alias("pos", "value"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1201,7 +1212,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1
         )
         SELECT count(*) AS input_count,
-               sum(row_count) AS total_rows,
+               CAST(sum(row_count) AS BIGINT) AS total_rows,
                arg_min(granule, index_min) AS first_input,
                arg_max(granule, index_max) AS last_input,
                strftime(min(index_min), '%Y-%m-%dT%H:%M:%S.%gZ') AS time_coverage_start,
