@@ -41,6 +41,21 @@ from ncagg_spark.operators.gapfill import FILL_FLAG_COL
 from ncagg_spark.operators.regularize import regularize
 
 
+def _is_path_not_found(e: AnalysisException) -> bool:
+    """True only for the path-does-not-exist analysis error. The merge
+    paths below must distinguish "first batch, no output yet" from every
+    other analysis failure (column resolution, corrupt footer, ...) —
+    swallowing those would overwrite accumulated partitions with
+    batch-only data."""
+    try:
+        cls = e.getErrorClass()
+    except Exception:
+        cls = None
+    if cls is not None:
+        return cls == "PATH_NOT_FOUND"
+    return "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e)
+
+
 def stream_granules(
     spark: SparkSession,
     path: str,
@@ -122,10 +137,12 @@ def incremental_aggregate(
             # read scans — localCheckpoint truncates the lineage so the
             # overwrite never races its own input
             prev = existing.localCheckpoint(eager=True)
-        except AnalysisException:
+        except AnalysisException as e:
             # ONLY path-not-found falls through to "first batch"; any
             # other read failure must abort the batch — treating an IO
             # hiccup as first-batch would overwrite accumulated records
+            if not _is_path_not_found(e):
+                raise
             prev = None
         data = batch if prev is None else prev.unionByName(
             batch.select(*prev.columns)
@@ -217,9 +234,11 @@ def incremental_aggregate_partitioned(
                 .drop(FILL_FLAG_COL, DATE_PARTITION_COL, BUCKET_COL)
                 .localCheckpoint(eager=True)
             )
-        except AnalysisException:
+        except AnalysisException as e:
             # ONLY path-not-found means "first batch"; other failures
             # must abort rather than overwrite accumulated partitions
+            if not _is_path_not_found(e):
+                raise
             prev = None
         data = batch if prev is None else prev.unionByName(
             batch.select(*prev.columns)
