@@ -27,7 +27,7 @@ from ncagg_spark.functions.hashing import (
     sql_minhash_signature,
     sql_simhash64,
 )
-from ncagg_spark.functions.time import cf_to_timestamp, timestamp_to_cf
+from ncagg_spark.functions.time import cf_to_timestamp, epoch_us, timestamp_to_cf
 from ncagg_spark.operators.dedup import cadence_bucket, dedup_cadence
 from ncagg_spark.operators.flatten import flatten_by_index
 from ncagg_spark.operators.gapfill import gap_fill
@@ -280,7 +280,7 @@ def q_agg_multidim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(
             F.sequence(F.lit(0), F.lit(MD_INNER - 1)),
             lambda j: F.timestamp_micros(
-                F.unix_micros(F.col("ts")) + j * MD_INNER_STEP_US
+                epoch_us(F.col("ts")) + j * MD_INNER_STEP_US
             ),
         ),
     ).drop("ts")
@@ -1808,5 +1808,32 @@ def oracle_sql() -> dict[str, str]:
         ) WHERE rank <= 5
     """
 
-    # mm_features: mapInPandas (not SQL-expressible) — rows-only check.
+    # mm_features: the mapInPandas fake decoder derives feature[p] from
+    # the blob's sha256 digest — feature[p] = float32(uint32_le(
+    # digest_repeated[4p:4p+4]) / 2^32), digest repeating every 32 bytes
+    # (pipeline/multimodal.py _fake_decode_features). That is pure hash
+    # math, so DuckDB CAN replicate it: parse the 4 little-endian bytes
+    # out of sha256()'s hex string with hex-digit arithmetic and apply
+    # the identical double-divide + REAL (float32) rounding.
+    def _hexbyte(k: str) -> str:
+        # byte value at 0-based byte offset k of hex string h
+        return (
+            f"((strpos('0123456789abcdef', substr(h, 2*({k})+1, 1))-1)*16"
+            f" + strpos('0123456789abcdef', substr(h, 2*({k})+2, 1))-1)"
+        )
+
+    _u32 = " + ".join(
+        f"{_hexbyte(f'(4*p.pos)%32+{j}')} * {256**j}" for j in range(4)
+    )
+    sqls["mm_features"] = f"""
+        WITH base AS (
+            SELECT doc_id AS media_id, sha256(text) AS h,
+                   strlen(text)::BIGINT AS n_bytes
+            FROM documents
+        )
+        SELECT media_id, h AS sha256, n_bytes, p.pos::INT AS pos,
+               CAST(CAST(({_u32})::BIGINT AS DOUBLE) / 4294967296.0
+                    AS REAL) AS value
+        FROM base, (SELECT unnest(range(16)) AS pos) p
+    """
     return sqls

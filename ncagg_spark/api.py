@@ -182,6 +182,12 @@ def aggregate_multi(
         for g in grains.values():
             needed |= set(g.columns or src.columns)
             needed.add(g.config.index_by)
+            # alternate source names (P3): a grain whose index/vars only
+            # materialize via copy_from_alt must keep those source
+            # columns in the shared projection, or coalesce_alternates
+            # finds nothing downstream
+            for alts in g.config.copy_from_alt.values():
+                needed |= set(alts)
         needed &= set(src.columns)
         needed.add(GRANULE_COL)
         src = src.select(*sorted(needed)).persist()

@@ -18,6 +18,20 @@ from datetime import datetime, timedelta, timezone
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+def epoch_us(col: Column | str) -> Column:
+    """UTC epoch microseconds of a timestamp column, tolerant of both
+    TIMESTAMP and TIMESTAMP_NTZ inputs.
+
+    ``unix_micros`` rejects TIMESTAMP_NTZ at analysis time; the cast makes
+    either type acceptable, is a Catalyst no-op for TimestampType, and is
+    value-exact for NTZ under the UTC session timezone (session.py). Every
+    bucket/gap/cadence computation in the engine routes through here so a
+    testdata layout shift breaks one helper, not seven operators.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
 _UNITS_RE = re.compile(
     r"^\s*(?P<unit>\w+)\s+since\s+(?P<epoch>.+?)\s*$", re.IGNORECASE
 )
@@ -57,14 +71,14 @@ def cf_to_timestamp(col: Column | str, units: str) -> Column:
     """
     scale, epoch = _parse_units(units)
     c = F.col(col) if isinstance(col, str) else col
-    epoch_us = int(round(epoch.timestamp() * 1_000_000))
+    epoch_off_us = int(round(epoch.timestamp() * 1_000_000))
     # floor(), not a bare long cast: Spark's double->long cast truncates
     # toward zero while other engines (DuckDB CAST AS BIGINT) round to
     # nearest, so at ~1e14 µs magnitudes a (x/1e6)*1e6 round-trip can
     # disagree by 1 µs. floor of the identical IEEE-double expression is
     # bit-for-bit reproducible across engines.
     return F.timestamp_micros(
-        F.floor(F.lit(epoch_us) + (c.cast("double") * F.lit(scale * 1e6)))
+        F.floor(F.lit(epoch_off_us) + (c.cast("double") * F.lit(scale * 1e6)))
         .cast("long")
     )
 
@@ -73,8 +87,8 @@ def timestamp_to_cf(col: Column | str, units: str) -> Column:
     """Encode TimestampType back to CF numeric time (double)."""
     scale, epoch = _parse_units(units)
     c = F.col(col) if isinstance(col, str) else col
-    epoch_us = int(round(epoch.timestamp() * 1_000_000))
-    return (F.unix_micros(c) - F.lit(epoch_us)) / F.lit(scale * 1e6)
+    epoch_off_us = int(round(epoch.timestamp() * 1_000_000))
+    return (epoch_us(c) - F.lit(epoch_off_us)) / F.lit(scale * 1e6)
 
 
 def iso_ms(col: Column | str) -> Column:

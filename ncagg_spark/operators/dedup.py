@@ -30,15 +30,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ncagg_spark.functions.time import epoch_us
+
 BUCKET_COL = "__bucket"
 
 
 def cadence_bucket(
     df: DataFrame, index_col: str, origin_us: int, step_us: int
 ) -> DataFrame:
-    """Add the integer cadence-slot column. Index must be TimestampType."""
+    """Add the integer cadence-slot column. Index may be TIMESTAMP or
+    TIMESTAMP_NTZ (epoch_us tolerates both)."""
     b = F.floor(
-        (F.unix_micros(F.col(index_col)) - F.lit(origin_us)) / F.lit(step_us)
+        (epoch_us(index_col) - F.lit(origin_us)) / F.lit(step_us)
     ).cast("long")
     return df.withColumn(BUCKET_COL, b)
 

@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ncagg_spark.functions.time import epoch_us
 from ncagg_spark.operators.dedup import BUCKET_COL
 
 FILL_FLAG_COL = "is_fill"
@@ -132,7 +133,7 @@ def gap_fill(
         last_real_ts = F.coalesce(last_ts_in, F.col("__carry_ts"))
         last_real_bkt = F.coalesce(last_bkt_in, F.col("__carry_bkt"))
         anchored = F.timestamp_micros(
-            F.unix_micros(last_real_ts)
+            epoch_us(last_real_ts)
             + (F.col(bucket_col) - last_real_bkt) * F.lit(step_us)
         )
         ts_out = F.coalesce(real_ts, anchored, grid_ts)

@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ncagg_spark.config import AggregationConfig
+from ncagg_spark.functions.time import epoch_us
 from ncagg_spark.operators.gapfill import FILL_FLAG_COL
 from ncagg_spark.operators.regularize import regularize
 
@@ -46,7 +47,7 @@ def synth_index_array(
     step_us = int(round(1_000_000 / inner_hz))
     return F.transform(
         F.sequence(F.lit(0), F.lit(n - 1)),
-        lambda j: F.timestamp_micros(F.unix_micros(start) + j * step_us),
+        lambda j: F.timestamp_micros(epoch_us(start) + j * step_us),
     )
 
 

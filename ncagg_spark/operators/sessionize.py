@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ncagg_spark.functions.time import epoch_us
+
 SESSION_COL = "session_idx"
 
 
@@ -40,9 +42,7 @@ def sessionize(
     """
     order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak or [])]
     w = Window.partitionBy(key_col).orderBy(*order)
-    gap = F.unix_micros(F.col(ts_col)) - F.lag(
-        F.unix_micros(F.col(ts_col))
-    ).over(w)
+    gap = epoch_us(ts_col) - F.lag(epoch_us(ts_col)).over(w)
     is_new = F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0)
     return df.withColumn(
         SESSION_COL,

@@ -144,6 +144,7 @@ def minhash_lsh_candidates(
     num_bands: int = 4,
     rows_per_band: int = 4,
     max_bucket_size: int = 1000,
+    n_salts: int = 16,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing >=1 LSH band bucket.
 
@@ -156,17 +157,26 @@ def minhash_lsh_candidates(
             band_hashes(F.col("sig"), num_bands, rows_per_band)
         ).alias("band", "bh"),
     )
-    # ONE shuffle, no persist: rank members within each (band, hash)
-    # bucket and keep only cap+1 of them, so a pathological bucket
-    # (boilerplate shared by millions of docs) is truncated streaming-side
-    # before any collect_list materializes it as an array. The follow-up
-    # groupBy reuses the window's hash partitioning (exchange-free), and
-    # any bucket that reached cap+1 members is dropped — same guard
-    # semantics as a count-based pre-pass, minus its extra job and the
-    # band-table persist (profiled ~1s faster at sf0.1).
-    w = Window.partitionBy("band", "bh").orderBy(id_col)
-    ranked = bands.withColumn("__r", F.row_number().over(w)).filter(
-        F.col("__r") <= max_bucket_size + 1
+    # SALTED truncation: a pathological bucket (boilerplate shared by
+    # millions of docs) would make a rank over (band, bh) a single task —
+    # window partitions are exactly the thing AQE skew handling canNOT
+    # split. So rank within (band, bh, salt) instead: n_salts parallel
+    # tasks per hot bucket, each truncating streaming-side at cap+1, then
+    # let the groupBy apply the exact global cap on the already-bounded
+    # remnant (<= n_salts*(cap+1) rows per bucket — bounded collect_list
+    # memory by construction). Drop semantics are unchanged by the salt:
+    # surviving_count = sum_s min(count_s, cap+1) > cap  <=>  original
+    # bucket had > cap members (pigeonhole: either some salt group
+    # truncated at cap+1 > cap, or none did and surviving == original).
+    # Cost: the groupBy can no longer reuse the window's partitioning
+    # (one extra shuffle of the truncated band table) — the price of
+    # removing the only unbounded single-task stage in the dedup path.
+    salt = F.pmod(F.xxhash64(id_col), F.lit(n_salts))
+    w = Window.partitionBy("band", "bh", "__salt").orderBy(id_col)
+    ranked = (
+        bands.withColumn("__salt", salt)
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= max_bucket_size + 1)
     )
     # One shuffle gathers each bucket; pairs are expanded in place with
     # posexplode + slice. The self-join alternative shuffles the band

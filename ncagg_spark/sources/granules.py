@@ -27,9 +27,10 @@ from pyspark.sql import functions as F
 
 from ncagg_spark.functions.unsigned import normalize_unsigned
 from ncagg_spark.sources.tables import (
-    _nanos_timestamp_cols,
+    _timestamp_layout,
     _uint64_cols,
     convert_nanos_cols,
+    normalize_ntz_cols,
 )
 
 GRANULE_COL = "granule"
@@ -54,7 +55,7 @@ def read_granules(
     u64: set[str] = set()
     for p in paths:
         try:
-            nanos.update(_nanos_timestamp_cols(p))
+            nanos.update(_timestamp_layout(p)[0])
             u64.update(_uint64_cols(p))
         except (OSError, ValueError):
             pass
@@ -65,7 +66,7 @@ def read_granules(
     )
     if columns:
         df = df.select(*columns)
-    df = convert_nanos_cols(df, nanos)
+    df = normalize_ntz_cols(convert_nanos_cols(df, nanos))
     # parquet UINT_64 flag columns arrive as decimal(20,0): normalize to
     # LongType bit-pattern so flag predicates stay on primitive longs —
     # ONLY columns the footer probe proved unsigned (a real decimal(20,0)

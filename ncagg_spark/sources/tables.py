@@ -1,12 +1,23 @@
-"""Table loader that papers over parquet TIMESTAMP(NANOS).
+"""Table loader that normalizes parquet timestamp layouts.
 
-The driver's testdata stores timestamps as nanosecond-precision INT64
-(pyarrow timestamp[ns]) which Spark cannot read as a timestamp; with
-``spark.sql.legacy.parquet.nanosAsLong=true`` they arrive as LongType
-nanos. This loader inspects the parquet schema with pyarrow, then converts
-those columns to TimestampType via integer microsecond truncation —
-matching DuckDB's ns->us truncation exactly, which matters for oracle
-hash parity.
+The driver's testdata has shipped two different physical layouts across
+rounds:
+
+  * ``timestamp[ns]`` (nanosecond INT64) — Spark cannot read natively;
+    with ``spark.sql.legacy.parquet.nanosAsLong=true`` they arrive as
+    LongType nanos, which we convert to TimestampType via integer
+    microsecond truncation (matching DuckDB's ns->us truncation exactly,
+    which matters for oracle hash parity).
+  * ``timestamp[us]`` with no timezone (isAdjustedToUTC=false) — Spark
+    reads these as TIMESTAMP_NTZ, which ``unix_micros`` et al. reject.
+    The session timezone is pinned UTC (session.py), so casting NTZ ->
+    TimestampType is value-exact; we do it here, once, at the read
+    boundary so every downstream operator sees plain TimestampType.
+
+Time-range bounds are applied against the column's NATIVE type before any
+conversion, so the range predicate reaches the parquet scan as a pushed
+filter and row-group/file min-max stats prune. At 100 TB this is the
+difference between scanning a day and scanning a year.
 
 Schema inspection reads only file metadata (no data IO) — cheap even for
 100 TB tables (one footer read).
@@ -14,20 +25,34 @@ Schema inspection reads only file metadata (no data IO) — cheap even for
 
 from __future__ import annotations
 
+from datetime import datetime, timedelta
+
 import pyarrow as pa
 import pyarrow.dataset as pa_ds
 import pyarrow.types as pat
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
 
 
-def _nanos_timestamp_cols(path: str) -> list[str]:
+def _timestamp_layout(path: str) -> tuple[list[str], list[str]]:
+    """Footer probe -> (nanos_cols, us_ntz_cols).
+
+    ``nanos_cols``: parquet timestamp[ns] — needs the nanosAsLong legacy
+    read + manual conversion. ``us_ntz_cols``: non-nanos timestamps with
+    no timezone — Spark reads TIMESTAMP_NTZ (since inferTimestampNTZ
+    defaults on); we cast to TimestampType post-read.
+    """
     schema = pa_ds.dataset(path, format="parquet").schema
-    return [
-        f.name
-        for f in schema
-        if pat.is_timestamp(f.type) and f.type.unit == "ns"
-    ]
+    nanos, ntz = [], []
+    for f in schema:
+        if not pat.is_timestamp(f.type):
+            continue
+        if f.type.unit == "ns":
+            nanos.append(f.name)
+        elif f.type.tz is None:
+            ntz.append(f.name)
+    return nanos, ntz
 
 
 def _uint64_cols(path: str) -> list[str]:
@@ -36,6 +61,17 @@ def _uint64_cols(path: str) -> list[str]:
     type alone could be real decimal data)."""
     schema = pa_ds.dataset(path, format="parquet").schema
     return [f.name for f in schema if f.type == pa.uint64()]
+
+
+def _ntz_literal(epoch_us: int):
+    """A true TIMESTAMP_NTZ literal for the given UTC epoch micros.
+
+    Built as a SQL literal (constant, foldable) so a range predicate on an
+    NTZ column stays same-typed and pushes down to the parquet scan — a
+    cast-wrapped comparison would analyze fine but block pushdown.
+    """
+    dt = datetime(1970, 1, 1) + timedelta(microseconds=epoch_us)
+    return F.expr(f"TIMESTAMP_NTZ '{dt.strftime('%Y-%m-%d %H:%M:%S.%f')}'")
 
 
 def convert_nanos_cols(df: DataFrame, names: set[str] | list[str]) -> DataFrame:
@@ -54,25 +90,39 @@ def convert_nanos_cols(df: DataFrame, names: set[str] | list[str]) -> DataFrame:
     return df
 
 
+def normalize_ntz_cols(df: DataFrame) -> DataFrame:
+    """Cast every TIMESTAMP_NTZ column to TimestampType.
+
+    Exact under a UTC session timezone (session.py pins it); the cast is
+    a pure projection — no shuffle, stays in whole-stage codegen.
+    """
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    return df
+
+
 def load_table(
     spark: SparkSession,
     path: str,
     *,
     time_bounds: tuple[str, int | None, int | None] | None = None,
 ) -> DataFrame:
-    """Read a parquet table, converting nanos-timestamp columns to
-    TimestampType (microsecond truncation, DuckDB-compatible).
+    """Read a parquet table, normalizing timestamp columns to plain
+    TimestampType regardless of the physical layout (ns long, us NTZ, or
+    tz-aware).
 
     ``time_bounds=(col, lo_us, hi_us)`` applies the range predicate on the
-    RAW nanos long BEFORE conversion, so it reaches the parquet scan as a
-    pushed filter and row-group/file min-max stats prune — a filter on
-    the converted (computed) column cannot push down. The rewrite is
-    exact: floor(raw/1000) >= lo_us  <=>  raw >= lo_us*1000, and
-    floor(raw/1000) < hi_us  <=>  raw < hi_us*1000, for non-negative
-    bounds. At 100 TB this is the difference between scanning a day and
-    scanning a year.
+    column's NATIVE type BEFORE conversion, so it reaches the parquet scan
+    as a pushed filter and row-group/file min-max stats prune:
+
+      * nanos-long layout: floor(raw/1000) >= lo_us  <=>  raw >= lo_us*1000
+        (exact for non-negative bounds) — integer comparison on the raw long;
+      * NTZ layout: TIMESTAMP_NTZ literals (UTC session => value-exact),
+        same-typed comparison, pushes down;
+      * tz-aware layout: timestamp_micros literals.
     """
-    nanos = _nanos_timestamp_cols(path)
+    nanos, ntz = _timestamp_layout(path)
     if nanos:
         # Runtime SQL conf — must hold on *whatever* session the caller
         # hands us (a vanilla SparkSession can't scan TIMESTAMP(NANOS)
@@ -85,18 +135,27 @@ def load_table(
         long_cols = {
             f.name for f in df.schema.fields if f.dataType.typeName() == "long"
         }
+        is_ntz = any(
+            f.name == col and isinstance(f.dataType, TimestampNTZType)
+            for f in df.schema.fields
+        )
         c = F.col(col)
         if col in nanos and col in long_cols:
             if lo_us is not None:
                 df = df.filter(c >= lo_us * 1000)
             if hi_us is not None:
                 df = df.filter(c < hi_us * 1000)
+        elif is_ntz:
+            if lo_us is not None:
+                df = df.filter(c >= _ntz_literal(lo_us))
+            if hi_us is not None:
+                df = df.filter(c < _ntz_literal(hi_us))
         else:
             if lo_us is not None:
                 df = df.filter(c >= F.timestamp_micros(F.lit(lo_us)))
             if hi_us is not None:
                 df = df.filter(c < F.timestamp_micros(F.lit(hi_us)))
-    return convert_nanos_cols(df, nanos)
+    return normalize_ntz_cols(convert_nanos_cols(df, nanos))
 
 
 def load_sf_tables(

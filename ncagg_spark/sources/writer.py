@@ -48,6 +48,10 @@ def _py_caster(dtype: T.DataType):
     """Python-side cast for one Spark column type (sidecar JSON values)."""
     if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
         return _to_int
+    if isinstance(dtype, T.DecimalType) and dtype.scale == 0:
+        # scale-0 decimal is the uint64 carrier type (functions/unsigned.py)
+        # — flag masks above 2^53 would corrupt through an IEEE double
+        return _to_int
     if isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType)):
         return float
     if isinstance(dtype, T.BooleanType):

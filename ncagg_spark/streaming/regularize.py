@@ -36,6 +36,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from ncagg_spark.config import AggregationConfig
+from ncagg_spark.functions.time import epoch_us
 from ncagg_spark.operators.dedup import BUCKET_COL, cadence_bucket
 from ncagg_spark.operators.gapfill import FILL_FLAG_COL
 from ncagg_spark.operators.regularize import regularize
@@ -209,7 +210,7 @@ def incremental_aggregate_partitioned(
         day_idx = [
             r["d"]
             for r in batch.select(
-                F.floor(F.unix_micros(F.col(ix)) / F.lit(day_us))
+                F.floor(epoch_us(ix) / F.lit(day_us))
                 .cast("long")
                 .alias("d")
             )

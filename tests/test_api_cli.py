@@ -263,6 +263,38 @@ def test_alt_named_index_still_aggregates(spark, tmp_path):
     assert got.filter(~F.col("is_fill")).count() == 10
 
 
+@pytest.mark.parametrize("share_scan", [False, True])
+def test_alt_named_index_under_share_scan(spark, tmp_path, share_scan):
+    """share_scan's union projection must keep copy_from_alt alternates:
+    a grain whose index only materializes via an alternate source name
+    must aggregate identically with share_scan on and off."""
+    from ncagg_spark.api import GrainSpec, aggregate_multi
+
+    d = tmp_path / "altg"
+    rows = [(T0_US + i * 1_000_000, float(i)) for i in range(10)]
+    spark.createDataFrame(rows, "us long, value double").select(
+        F.timestamp_micros(F.col("us")).alias("old_time"), "value"
+    ).coalesce(1).write.parquet(str(d / "g0.parquet"))
+
+    cfg = AggregationConfig(
+        index_by="ts",
+        cadence_hz=1.0,
+        min_bound=T0_US / 1e6,
+        max_bound=(T0_US + 10 * 1_000_000) / 1e6,
+        copy_from_alt={"ts": ["old_time"]},
+    )
+    out = str(tmp_path / f"alt_multi_{share_scan}")
+    aggregate_multi(
+        spark,
+        [str(d / "g0.parquet")],
+        {"g": GrainSpec(f"{out}/g", cfg, columns=["ts", "value"])},
+        share_scan=share_scan,
+    )
+    got = spark.read.parquet(f"{out}/g")
+    assert got.count() == 10
+    assert got.filter(~F.col("is_fill")).count() == 10
+
+
 def test_typoed_index_raises_before_planning(spark, granule_dir, tmp_path):
     cfg = _day_cfg()
     cfg.index_by = "tss"  # typo

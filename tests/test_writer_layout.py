@@ -95,6 +95,31 @@ def test_variable_attribute_dtype_casting(spark, tmp_path):
     assert v["arr"] == {"valid_max": 2.5}
 
 
+def test_uint64_flag_mask_attrs_exact(spark):
+    """Scale-0 DecimalType is the uint64 carrier (functions/unsigned.py);
+    flag masks above 2^53 must NOT round-trip through an IEEE double —
+    2^63 would come back as 9223372036854775808.0 with the low bits gone.
+    """
+    from ncagg_spark.sources.writer import cast_variable_attributes
+
+    df = spark.createDataFrame([("9223372036854775809",)], "flags string")
+    schema = df.select(
+        df["flags"].cast("decimal(20,0)").alias("flags")
+    ).schema
+    out = cast_variable_attributes(
+        schema,
+        {
+            "flags": {
+                "flag_masks": ["9223372036854775808", 2**63 + 1],
+                "valid_max": 2**64 - 1,
+            }
+        },
+    )
+    assert out["flags"]["flag_masks"] == [2**63, 2**63 + 1]
+    assert out["flags"]["valid_max"] == 2**64 - 1
+    assert all(isinstance(v, int) for v in out["flags"]["flag_masks"])
+
+
 def test_variable_attributes_unknown_column(spark, three_days, tmp_path):
     with pytest.raises(ValueError, match="not in output schema"):
         write_aggregate(
