@@ -216,6 +216,8 @@ def kmeans_centroids(
     max_iter: int = 10,
     tol: float = 1e-4,
     seed: int = 42,
+    init: str = "xxhash",
+    update_quantization: int | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Distributed spherical k-means (Lloyd's) for IVF centroid training
     — the "real centroids at 100 TB" path SCALE.md calls for.
@@ -225,19 +227,36 @@ def kmeans_centroids(
     dots — no Python in the hot path), and the update step is a
     posexplode → groupBy(cell, pos) partial-aggregated sum, collecting
     only n_cells × dim numbers to the driver. Init picks the n_cells
-    vectors with the smallest xxhash64(id, seed) — deterministic and
-    uniformly spread without a data-dependent pass.
+    vectors with the smallest hash of their id — deterministic and
+    uniformly spread without a data-dependent pass. ``init="xxhash"``
+    uses Spark's seeded xxhash64; ``init="mult"`` uses a Knuth
+    multiplicative hash ``(id * 2654435761) % 2^32`` that any SQL engine
+    can replicate bit-exactly (ids must stay < ~3.5e9 or the ANSI-mode
+    product overflows — fine for cell TRAINING, which runs on a sample
+    at 100 TB anyway).
+
+    ``update_quantization=q`` makes the update step sum
+    ``floor(component * q)`` as integers instead of raw doubles. Integer
+    addition is associative, so the trained centroids become bit-exact
+    regardless of partitioning, cluster size, or engine — run-to-run
+    deterministic training (and oracle-checkable) at a quantization error
+    of 1/q, far below any clustering-quality threshold for q >= 1e6.
 
     Stops when every centroid moves less than ``tol`` in cosine distance
-    (or after ``max_iter``). Empty cells keep their previous centroid.
-    Returns unit-scaled (cell_id, vector) pairs ready for ``ivf_topk``.
+    (or after ``max_iter``; set ``tol=0.0`` to always run exactly
+    ``max_iter`` iterations — required for cross-engine replication).
+    Empty cells keep their previous centroid. Returns unit-scaled
+    (cell_id, vector) pairs ready for ``ivf_topk``.
     """
+    if init == "xxhash":
+        init_key = F.abs(F.xxhash64(F.col(id_col), F.lit(seed)))
+    elif init == "mult":
+        init_key = (F.col(id_col) * F.lit(2654435761)) % F.lit(4294967296)
+    else:
+        raise ValueError(f"unknown init: {init!r}")
     init_rows = (
         corpus.select(id_col, vec_col)
-        .orderBy(
-            F.abs(F.xxhash64(F.col(id_col), F.lit(seed))).asc(),
-            F.col(id_col).asc(),
-        )
+        .orderBy(init_key.asc(), F.col(id_col).asc())
         .limit(n_cells)
         .collect()
     )
@@ -251,10 +270,15 @@ def kmeans_centroids(
         )
         # component sums only — spherical update unit-scales the mean, so
         # the member count cancels and never needs to be aggregated
+        comp = (
+            F.floor(F.col("x").cast("double") * F.lit(update_quantization))
+            if update_quantization
+            else F.col("x")
+        )
         stats = (
             assigned.select("cell", F.posexplode("v").alias("pos", "x"))
             .groupBy("cell", "pos")
-            .agg(F.sum("x").alias("s"))
+            .agg(F.sum(comp).alias("s"))
             .collect()
         )
         acc: dict[int, dict[int, float]] = {}

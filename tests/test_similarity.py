@@ -144,3 +144,25 @@ def test_kmeans_centroids_feed_ivf(spark):
     # all cells probed == exhaustive -> trained centroids preserve recall 1
     for qid in range(3):
         assert by_q[qid] == exact[qid]
+
+
+def test_kmeans_deterministic_under_repartitioning(spark):
+    """The oracle-checkable kmeans mode (mult-hash init + integer-quantized
+    update sums) must produce BIT-IDENTICAL centroids regardless of how
+    the corpus is partitioned — integer addition is associative, so the
+    distributed aggregation order cannot leak into the result. This is
+    the property that makes the trained-centroid IVF driver-checkable
+    (and run-to-run reproducible on a real cluster)."""
+    from ncagg_spark.pipeline.similarity import kmeans_centroids
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.gauss(0.0, 1.0) for _ in range(DIM)]) for i in range(N)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(max_iter=2, tol=0.0, init="mult", update_quantization=10**6)
+    a = kmeans_centroids(df.coalesce(1), 4, **kw)
+    b = kmeans_centroids(df.repartition(16, "vec_id"), 4, **kw)
+    for (ca, va), (cb, vb) in zip(a, b):
+        assert ca == cb
+        assert va == vb  # exact float equality, not approx
