@@ -166,3 +166,55 @@ def test_kmeans_deterministic_under_repartitioning(spark):
     for (ca, va), (cb, vb) in zip(a, b):
         assert ca == cb
         assert va == vb  # exact float equality, not approx
+
+
+def test_brute_matmul_matches_relational(spark, vectors):
+    """The BLAS-matmul exact scan must return the same (query, neighbor,
+    rank) rows as the relational form — it's the same math, re-batched.
+    Cosines may differ in the last ulp (BLAS reassociates), so compare
+    at the rounded-6 precision both forms emit."""
+    from ncagg_spark.pipeline.similarity import brute_force_topk_matmul
+
+    rows, df = vectors
+    queries = df.filter("vec_id < 5")
+    rel = brute_force_topk(df, queries, k=4).collect()
+    mat = brute_force_topk_matmul(df, queries, k=4).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    rel_m = {key(r): (r["neighbor_id"], r["cosine"]) for r in rel}
+    mat_m = {key(r): (r["neighbor_id"], r["cosine"]) for r in mat}
+    assert rel_m.keys() == mat_m.keys()
+    for kk in rel_m:
+        assert rel_m[kk][0] == mat_m[kk][0], kk
+        assert abs(rel_m[kk][1] - mat_m[kk][1]) <= 1e-6
+
+
+def test_assign_cells_arrow_matches_sql(spark, vectors):
+    from ncagg_spark.pipeline.similarity import (
+        assign_cells,
+        sample_centroids,
+    )
+
+    rows, df = vectors
+    cents = sample_centroids(df, 4)
+    a = assign_cells(df, cents, method="sql").collect()
+    b = assign_cells(df, cents, method="arrow").collect()
+    am = {r["vec_id"]: r["cell"] for r in a}
+    bm = {r["vec_id"]: r["cell"] for r in b}
+    assert am == bm
+
+
+def test_ivf_prebuilt_index_matches_inline(spark, vectors):
+    from ncagg_spark.pipeline.similarity import (
+        assign_cells,
+        sample_centroids,
+    )
+
+    rows, df = vectors
+    cents = sample_centroids(df, 4)
+    queries = df.filter("vec_id < 3")
+    inline = ivf_topk(df, queries, k=3, centroids=cents).collect()
+    cells = assign_cells(df, cents)
+    pre = ivf_topk(
+        df, queries, k=3, centroids=cents, corpus_cells=cells
+    ).collect()
+    assert sorted(map(tuple, inline)) == sorted(map(tuple, pre))

@@ -20,7 +20,9 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import functions as F
 
 from ncagg_spark.pipeline.similarity import (
+    assign_cells,
     brute_force_topk,
+    brute_force_topk_matmul,
     ivf_topk,
     sample_centroids,
     srp_lsh_topk,
@@ -96,7 +98,43 @@ def main():
     ).persist()
     ivf.write.format("noop").mode("overwrite").save()
     t_ivf = time.time() - t0
-    print(f"ivf_topk:         {t_ivf:.2f}s  recall@{K}={recall(ivf, exact):.3f}")
+    print(f"ivf_topk(sql):    {t_ivf:.2f}s  recall@{K}={recall(ivf, exact):.3f}")
+
+    # index-build vs search split: at scale the corpus->cell assignment
+    # is computed once and amortized over every query batch
+    t0 = time.time()
+    cells = assign_cells(
+        corpus, cents, vec_col="embedding", method="arrow"
+    ).persist()
+    cells.write.format("noop").mode("overwrite").save()
+    t_build = time.time() - t0
+    t0 = time.time()
+    ivf_p = ivf_topk(
+        corpus,
+        queries,
+        k=K,
+        n_cells=N_CLUSTERS,
+        n_probe=8,
+        centroids=cents,
+        corpus_cells=cells,
+    ).persist()
+    ivf_p.write.format("noop").mode("overwrite").save()
+    t_search = time.time() - t0
+    print(
+        f"ivf index build (arrow assign): {t_build:.2f}s; "
+        f"search w/ prebuilt index: {t_search:.2f}s  "
+        f"recall@{K}={recall(ivf_p, exact):.3f}"
+    )
+
+    t0 = time.time()
+    bm = brute_force_topk_matmul(corpus, queries, k=K).persist()
+    bm.write.format("noop").mode("overwrite").save()
+    t_bm = time.time() - t0
+    print(
+        f"brute_matmul:     {t_bm:.2f}s "
+        f"({n * n_q / t_bm / 1e6:.1f}M pair-scores/s)  "
+        f"recall@{K}={recall(bm, exact):.3f}"
+    )
 
 
 if __name__ == "__main__":
