@@ -61,6 +61,68 @@ def aggregate(
     )
 
 
+def aggregate_nc(
+    spark: SparkSession,
+    files: str | Sequence[str],
+    output: str,
+    config: AggregationConfig,
+    *,
+    anchor: str = "grid",
+    decoder: str = "classic",
+    max_records_per_file: int | None = None,
+    num_files: int | None = None,
+    partition_by_date: bool = False,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """``aggregate`` over native `.nc` granules — the reference's actual
+    input format (it opens granules with netCDF4, ncagg/aggrelist.py:
+    533-543; CF time decode at ncagg/aggregator.py:99-105).
+
+    Classic (CDF-1/2/5) granules decode via the pure-numpy reader in
+    sources/netcdf3.py; NetCDF-4/HDF5 needs ``decoder="netcdf4"`` (a
+    declared seam in this environment). If the index variable carries a
+    CF ``units`` attribute ("<unit> since <epoch>") and is numeric, it
+    is decoded to TimestampType before the pipeline runs — the engine's
+    internal index type.
+    """
+    from ncagg_spark.functions.time import cf_to_timestamp
+    from ncagg_spark.sources.nc_granules import (
+        nc_attributes,
+        read_nc_granules,
+    )
+
+    if isinstance(files, str):
+        files = [files]
+    df = read_nc_granules(spark, files, decoder=decoder)
+    index_sources = [
+        config.index_by,
+        *config.copy_from_alt.get(config.index_by, []),
+    ]
+    var_attrs = nc_attributes(files[0], decoder=decoder)["variables"]
+    for ix in index_sources:
+        units = (var_attrs.get(ix) or {}).get("units")
+        if (
+            ix in df.columns
+            and units
+            and isinstance(units, str)
+            and " since " in units
+            and df.schema[ix].dataType.typeName() in
+            ("double", "float", "int", "bigint", "smallint", "tinyint")
+        ):
+            df = df.withColumn(ix, cf_to_timestamp(ix, units))
+    return _aggregate_df(
+        spark,
+        df,
+        output,
+        config,
+        anchor=anchor,
+        max_records_per_file=max_records_per_file,
+        num_files=num_files,
+        partition_by_date=partition_by_date,
+        columns=columns,
+    )
+
+
 def _aggregate_df(
     spark: SparkSession,
     df: DataFrame,
@@ -224,10 +286,29 @@ def generate_template(
     plus default aggregation settings (the sidecar half).
 
     Reference: Config.from_nc (ncagg/config.py:123-138); users edit the
-    JSON then pass it back via the CLI -t flag.
+    JSON then pass it back via the CLI -t flag. A `.nc` sample infers
+    from the NetCDF header (classic format) instead of a parquet footer;
+    a CF-units numeric time variable counts as an index candidate, since
+    aggregate_nc decodes it to TimestampType before the pipeline runs.
     """
-    schema = spark.read.parquet(sample_path).schema
-    ts_cols = [f.name for f in schema.fields if f.dataType.typeName() == "timestamp"]
+    if sample_path.endswith(".nc"):
+        from ncagg_spark.sources.nc_granules import nc_attributes, nc_schema
+
+        schema = nc_schema(sample_path)
+        var_attrs = nc_attributes(sample_path)["variables"]
+        ts_cols = [
+            f.name
+            for f in schema.fields
+            if f.dataType.typeName() == "timestamp"
+            or " since " in str((var_attrs.get(f.name) or {}).get("units"))
+        ]
+    else:
+        schema = spark.read.parquet(sample_path).schema
+        ts_cols = [
+            f.name
+            for f in schema.fields
+            if f.dataType.typeName() == "timestamp"
+        ]
     cfg = AggregationConfig(index_by=index_by or (ts_cols[0] if ts_cols else ""))
     return {
         "schema": json.loads(schema.json()),

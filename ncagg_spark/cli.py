@@ -28,6 +28,7 @@ import sys
 
 from ncagg_spark.api import (
     aggregate,
+    aggregate_nc,
     config_from_template,
     generate_template,
     load_template,
@@ -160,7 +161,10 @@ def main(argv: list[str] | None = None) -> int:
         cfg.min_bound, cfg.max_bound = lo, hi
 
     spark = get_spark(app_name="ncagg-aggregate", cpus=args.cpus)
-    out = aggregate(
+    # native .nc granules route through the NetCDF source (the
+    # reference's own input format); parquet stays the default
+    agg_fn = aggregate_nc if all(s.endswith(".nc") for s in src) else aggregate
+    out = agg_fn(
         spark,
         src,
         args.dst,

@@ -1,0 +1,224 @@
+"""Native `.nc` granule ingestion: pure-numpy classic reader/writer
+round-trip, byte-level spec pins, the Spark source, and the end-to-end
+aggregate_nc pipeline (the reference's day-one input format,
+ncagg/aggrelist.py:533-543).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ncagg_spark.api import aggregate_nc
+from ncagg_spark.config import AggregationConfig
+from ncagg_spark.sources.nc_granules import (
+    nc_attributes,
+    nc_schema,
+    read_nc_granules,
+)
+from ncagg_spark.sources.netcdf3 import (
+    is_netcdf3,
+    read_netcdf3,
+    write_netcdf3,
+)
+
+T0 = 1_704_153_600.0  # 2024-01-02 UTC, seconds
+
+
+def _granule(path, start_s, n, hz=1.0, *, with_value=True, inner=None):
+    variables = {
+        "time": (
+            ["time"],
+            np.arange(n, dtype="float64") / hz + start_s,
+        ),
+    }
+    if with_value:
+        variables["value"] = (["time"], np.arange(n, dtype="float64"))
+    if inner:
+        variables["obs"] = (
+            ["time", "samples"],
+            np.arange(n * inner, dtype="float32").reshape(n, inner),
+        )
+    dims = [("time", 0)] + ([("samples", inner)] if inner else [])
+    write_netcdf3(
+        str(path),
+        dims=dims,
+        variables=variables,
+        attributes={"title": "test granule"},
+        var_attributes={"time": {"units": "seconds since 1970-01-01"}},
+    )
+    return str(path)
+
+
+# ---------------------------------------------------------------------------
+# format layer
+# ---------------------------------------------------------------------------
+
+
+def test_roundtrip_all_types():
+    n = 6
+    blob = write_netcdf3(
+        None,
+        dims=[("t", 0), ("d3", 3)],
+        variables={
+            "t": (["t"], np.arange(n, dtype="float64")),
+            "f32": (["t", "d3"], np.ones((n, 3), dtype="float32")),
+            "i8": (["t"], np.arange(n, dtype="int8")),
+            "i16": (["t"], np.arange(n, dtype="int16")),
+            "u64": (["t"], np.arange(n, dtype="uint64") << 60),
+            "fixed": (["d3"], np.array([1, 2, 3], dtype="int32")),
+        },
+        attributes={"s": "hello", "i": np.int32(7), "d": np.array([0.5, 1.5])},
+        var_attributes={"t": {"units": "seconds since 2000-01-01"}},
+    )
+    f = read_netcdf3(blob)
+    assert f.version == 5  # uint64 forces CDF-5
+    assert f.numrecs == n
+    assert f.attributes == {"s": "hello", "i": 7, "d": [0.5, 1.5]}
+    assert f.variables["t"].attributes["units"] == "seconds since 2000-01-01"
+    np.testing.assert_array_equal(f.data["u64"], np.arange(n, dtype="uint64") << 60)
+    np.testing.assert_array_equal(f.data["f32"], np.ones((n, 3), dtype="float32"))
+    np.testing.assert_array_equal(f.data["fixed"], np.array([1, 2, 3], dtype="int32"))
+
+
+def test_classic_version_and_magic():
+    blob = write_netcdf3(
+        None, dims=[("t", 0)], variables={"t": (["t"], np.arange(3.0))}
+    )
+    assert blob[:3] == b"CDF" and blob[3] == 2  # classic types -> CDF-2
+    assert is_netcdf3(blob[:4])
+    assert not is_netcdf3(b"\x89HDF")
+
+
+def test_byte_level_header_pins():
+    """Spec pins: big-endian numrecs, NC_DIMENSION tag 0x0A, name padding
+    to 4 bytes — catches a self-consistent-but-wrong implementation."""
+    blob = write_netcdf3(
+        None,
+        dims=[("time", 0)],
+        variables={"time": (["time"], np.arange(2, dtype="float64"))},
+    )
+    # CDF-2: magic(4) | numrecs u32 BE | NC_DIMENSION u32 | ndims u32
+    assert struct.unpack(">I", blob[4:8])[0] == 2  # numrecs
+    assert struct.unpack(">I", blob[8:12])[0] == 0x0A  # dim tag
+    assert struct.unpack(">I", blob[12:16])[0] == 1  # ndims
+    assert struct.unpack(">I", blob[16:20])[0] == 4  # len("time")
+    assert blob[20:24] == b"time"  # 4 chars: no padding needed
+    assert struct.unpack(">I", blob[24:28])[0] == 0  # record dim size
+    # record data: big-endian doubles 0.0, 1.0 at the tail
+    assert blob[-16:] == struct.pack(">d", 0.0) + struct.pack(">d", 1.0)
+
+
+def test_reader_rejects_hdf5():
+    with pytest.raises(ValueError, match="classic"):
+        read_netcdf3(b"\x89HDF\r\n\x1a\n" + b"\x00" * 64)
+
+
+# ---------------------------------------------------------------------------
+# Spark source layer
+# ---------------------------------------------------------------------------
+
+
+def test_nc_schema_and_read(spark, tmp_path):
+    g = _granule(tmp_path / "g0.nc", T0, 5, inner=3)
+    sch = nc_schema(g)
+    names = {f.name: f.dataType.simpleString() for f in sch.fields}
+    assert names["time"] == "double"
+    assert names["obs"] == "array<float>"
+    df = read_nc_granules(spark, g)
+    rows = df.orderBy("time").collect()
+    assert len(rows) == 5
+    assert rows[0]["time"] == T0
+    assert rows[0]["obs"] == [0.0, 1.0, 2.0]
+    assert rows[0]["granule"].endswith("g0.nc")
+
+
+def test_missing_variable_nulls_p4(spark, tmp_path):
+    g0 = _granule(tmp_path / "g0.nc", T0, 3)
+    g1 = _granule(tmp_path / "g1.nc", T0 + 10, 3, with_value=False)
+    df = read_nc_granules(spark, [g0, g1])
+    got = df.orderBy("time").select("value").collect()
+    assert [r[0] for r in got] == [0.0, 1.0, 2.0, None, None, None]
+
+
+def test_nc_attributes_probe(tmp_path):
+    g = _granule(tmp_path / "g0.nc", T0, 2)
+    a = nc_attributes(g)
+    assert a["global"]["title"] == "test granule"
+    assert a["variables"]["time"]["units"] == "seconds since 1970-01-01"
+
+
+def test_netcdf4_decoder_is_declared_seam(spark, tmp_path):
+    p = tmp_path / "h.nc"
+    p.write_bytes(b"\x89HDF\r\n\x1a\n" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="netcdf4"):
+        read_nc_granules(spark, str(p)).collect()
+
+
+# ---------------------------------------------------------------------------
+# end-to-end: the reference's CLI workflow over .nc granules
+# ---------------------------------------------------------------------------
+
+
+def test_aggregate_nc_end_to_end(spark, tmp_path):
+    """Three 1 Hz granules with an inter-granule gap and an overlap:
+    aggregate_nc must decode CF time, dedup the overlap, fill the gap,
+    and produce the exact slot grid — identical semantics to the parquet
+    path (reference: ncagg/aggregator.py:119-234)."""
+    g0 = _granule(tmp_path / "g0.nc", T0, 10)
+    g1 = _granule(tmp_path / "g1.nc", T0 + 8, 10)  # 2s overlap with g0
+    g2 = _granule(tmp_path / "g2.nc", T0 + 25, 5)  # 7s gap before
+    cfg = AggregationConfig(
+        index_by="time",
+        cadence_hz=1.0,
+        min_bound=T0,
+        max_bound=T0 + 30,
+    )
+    out = str(tmp_path / "agg")
+    aggregate_nc(spark, [g0, g1, g2], out, cfg)
+    got = spark.read.parquet(out)
+    assert got.count() == 30  # exact grid
+    fills = got.filter(F.col("is_fill")).count()
+    assert fills == 30 - (10 + 8 + 5)  # overlap deduped, gap filled
+    # index is TimestampType, sorted, spanning the bounds
+    ts = [r[0] for r in got.orderBy("time").select("time").collect()]
+    assert ts[0].timestamp() == T0
+    assert ts[-1].timestamp() == T0 + 29
+
+
+def test_cli_routes_nc_sources(spark, tmp_path):
+    from ncagg_spark.cli import main as cli_main
+
+    g0 = _granule(tmp_path / "g0.nc", T0, 10)
+    out = str(tmp_path / "cli_out")
+    rc = cli_main(
+        [
+            out,
+            g0,
+            "-i",
+            "time",
+            "-z",
+            "1",
+            "-b",
+            "20240102:20240102",
+            "--num-files",
+            "1",
+        ]
+    )
+    assert rc == 0
+    got = spark.read.parquet(out)
+    assert got.count() == 86400  # full bounded day at 1 Hz
+    assert got.filter(~F.col("is_fill")).count() == 10
+
+
+def test_generate_template_from_nc(spark, tmp_path):
+    from ncagg_spark.api import generate_template
+
+    g = _granule(tmp_path / "g0.nc", T0, 4)
+    tpl = generate_template(spark, g)
+    names = [f["name"] for f in tpl["schema"]["fields"]]
+    assert "time" in names and "value" in names
+    assert tpl["aggregation"]["index_by"] == "time"  # CF-units candidate
