@@ -164,10 +164,12 @@ def main(argv: list[str] | None = None) -> int:
     # native .nc granules route through the NetCDF source (the
     # reference's own input format); parquet stays the default
     agg_fn = aggregate_nc if all(s.endswith(".nc") for s in src) else aggregate
+    nc_dst = args.dst.endswith(".nc")
+    parquet_dst = args.dst[:-3] + "_parquet" if nc_dst else args.dst
     out = agg_fn(
         spark,
         src,
-        args.dst,
+        parquet_dst,
         cfg,
         anchor=args.anchor,
         max_records_per_file=args.max_records_per_file,
@@ -175,7 +177,13 @@ def main(argv: list[str] | None = None) -> int:
         partition_by_date=args.partition_by_date,
         columns=columns,
     )
-    n = spark.read.parquet(args.dst).count()
+    if nc_dst:
+        # DST ending in .nc: single-file NetCDF export, the reference's
+        # own output contract (one aggregate file)
+        from ncagg_spark.sources.nc_granules import write_nc_aggregate
+
+        write_nc_aggregate(out, args.dst, index_col=cfg.index_by)
+    n = spark.read.parquet(parquet_dst).count()
     print(f"wrote {n} records to {args.dst}", file=sys.stderr)
     return 0
 

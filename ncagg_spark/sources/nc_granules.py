@@ -168,6 +168,100 @@ def _granule_frame(
     return pd.DataFrame(cols)
 
 
+def write_nc_aggregate(
+    df: DataFrame,
+    path: str,
+    *,
+    index_col: str,
+    cf_units: str = "seconds since 1970-01-01",
+    attributes: dict | None = None,
+    var_attributes: dict[str, dict] | None = None,
+    record_dim: str | None = None,
+) -> None:
+    """Write an aggregate DataFrame as ONE classic NetCDF file — the
+    reference's output format (it initializes and appends to a single
+    .nc, ncagg/aggregator.py:239-417).
+
+    The result is materialized on the driver: an aggregate is BOUNDED by
+    construction (cadence x time-bounds slots, e.g. a 1 Hz day = 86,400
+    records), so unlike the input side this is not a scale risk — it is
+    the single-file contract itself that is inherently single-writer.
+    For unbounded exports keep the parquet sink (sources/writer.py).
+
+    A TimestampType index encodes back to CF numeric time using
+    ``cf_units``; array columns become (record, inner) 2-D variables;
+    the record dimension is named after the index column by default.
+    """
+    from ncagg_spark.functions.time import epoch_us, _parse_units
+
+    attributes = attributes or {}
+    var_attributes = dict(var_attributes or {})
+    record_dim = record_dim or index_col
+
+    out_cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.TimestampType):
+            scale, epoch = _parse_units(cf_units)
+            epoch_us_off = int(round(epoch.timestamp() * 1_000_000))
+            out_cols.append(
+                (
+                    (epoch_us(f.name) - F.lit(epoch_us_off))
+                    / F.lit(scale * 1e6)
+                ).alias(f.name)
+            )
+            va = dict(var_attributes.get(f.name, {}))
+            va.setdefault("units", cf_units)
+            var_attributes[f.name] = va
+        else:
+            out_cols.append(F.col(f.name))
+    pdf = df.select(*out_cols).orderBy(index_col).toPandas()
+
+    dims: list[tuple[str, int]] = [(record_dim, 0)]
+    variables: dict[str, tuple[list[str], np.ndarray]] = {}
+    for name in pdf.columns:
+        col = pdf[name]
+        first = next((v for v in col if v is not None), None)
+        if isinstance(first, (list, np.ndarray)):
+            inner = len(first)
+            dim_name = f"{name}_dim1"
+            dims.append((dim_name, inner))
+            fill = [np.nan] * inner
+            mat = np.array(
+                [list(v) if v is not None else fill for v in col],
+                dtype="float64"
+                if not isinstance(first[0], (int, np.integer))
+                else "int64",
+            )
+            variables[name] = ([record_dim, dim_name], mat)
+        elif col.dtype == object and isinstance(first, str):
+            # fixed-width char matrix (the classic-format string idiom)
+            width = max((len(s) for s in col if s is not None), default=1)
+            dim_name = f"{name}_str_len"
+            dims.append((dim_name, max(width, 1)))
+            mat = np.zeros((len(col), max(width, 1)), dtype="S1")
+            for i, s in enumerate(col):
+                b = (s or "").encode("utf-8")[: max(width, 1)]
+                mat[i, : len(b)] = [bytes([c]) for c in b]
+            variables[name] = ([record_dim, dim_name], mat)
+        elif str(col.dtype) == "bool":
+            variables[name] = ([record_dim], col.to_numpy().astype("int8"))
+        else:
+            arr = col.to_numpy()
+            if arr.dtype == object:  # nullable ints etc.
+                arr = col.astype("float64").to_numpy()
+            variables[name] = ([record_dim], arr)
+
+    from ncagg_spark.sources.netcdf3 import write_netcdf3
+
+    write_netcdf3(
+        path,
+        dims=dims,
+        variables=variables,
+        attributes=attributes,
+        var_attributes=var_attributes,
+    )
+
+
 def read_nc_granules(
     spark: SparkSession,
     paths: str | Sequence[str],

@@ -222,3 +222,45 @@ def test_generate_template_from_nc(spark, tmp_path):
     names = [f["name"] for f in tpl["schema"]["fields"]]
     assert "time" in names and "value" in names
     assert tpl["aggregation"]["index_by"] == "time"  # CF-units candidate
+
+
+def test_write_nc_aggregate_roundtrip(spark, tmp_path):
+    """Full format-parity loop: .nc granules -> aggregate -> single .nc
+    output -> re-read with the pure reader; CF time survives exactly."""
+    from ncagg_spark.sources.nc_granules import write_nc_aggregate
+
+    g0 = _granule(tmp_path / "g0.nc", T0, 10)
+    cfg = AggregationConfig(
+        index_by="time", cadence_hz=1.0, min_bound=T0, max_bound=T0 + 15
+    )
+    out = str(tmp_path / "agg")
+    res = aggregate_nc(spark, [g0], out, cfg)
+    nc_out = str(tmp_path / "agg.nc")
+    write_nc_aggregate(
+        res,
+        nc_out,
+        index_col="time",
+        attributes={"title": "aggregated"},
+    )
+    f = read_netcdf3(nc_out)
+    assert f.numrecs == 15
+    assert f.attributes["title"] == "aggregated"
+    assert f.variables["time"].attributes["units"].startswith("seconds since")
+    np.testing.assert_allclose(
+        f.data["time"], np.arange(15, dtype="float64") + T0
+    )
+    # fill flags survive as int8 0/1, real values as float64 with NaN fills
+    assert f.data["is_fill"].tolist() == [0] * 10 + [1] * 5
+    np.testing.assert_array_equal(f.data["value"][:10], np.arange(10.0))
+    assert np.isnan(f.data["value"][10:]).all()
+
+
+def test_cli_nc_single_file_output(spark, tmp_path):
+    from ncagg_spark.cli import main as cli_main
+
+    g0 = _granule(tmp_path / "g0.nc", T0, 10)
+    dst = str(tmp_path / "day.nc")
+    rc = cli_main([dst, g0, "-i", "time", "-z", "1", "-b", "20240102"])
+    assert rc == 0
+    f = read_netcdf3(dst)
+    assert f.numrecs == 86400
