@@ -289,15 +289,20 @@ def read_nc_granules(
         )
 
     files = spark.read.format("binaryFile").load(list(paths))
+    return files.select("path", "content").mapInPandas(
+        granule_parse_fn(schema, decoder), schema=schema
+    )
 
-    out_schema = schema
+
+def granule_parse_fn(schema: T.StructType, decoder: str = "classic"):
+    """The (path, content) -> rows decode closure — shared by the batch
+    reader above and the streaming source
+    (streaming/regularize.py:incremental_aggregate_nc)."""
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for path, blob in zip(pdf["path"], pdf["content"]):
                 nc = _decode(bytes(blob), decoder)
-                yield _granule_frame(nc, path, out_schema)
+                yield _granule_frame(nc, path, schema)
 
-    return files.select("path", "content").mapInPandas(
-        parse, schema=out_schema
-    )
+    return parse
