@@ -262,6 +262,120 @@ def write_nc_aggregate(
     )
 
 
+def write_nc_granules(
+    df: DataFrame,
+    out_dir: str,
+    *,
+    index_col: str,
+    cf_units: str = "seconds since 1970-01-01",
+    interval_us: int = 86_400_000_000,
+    attributes: dict | None = None,
+    var_attributes: dict[str, dict] | None = None,
+) -> DataFrame:
+    """Distributed `.nc` export: re-granulate an aggregate into one
+    classic NetCDF file per time interval (default: per UTC day).
+
+    The scale-correct counterpart of ``write_nc_aggregate``'s bounded
+    single-file contract: each interval group is written by ITS OWN task
+    (applyInPandas), so export parallelism = granule count — the same
+    shape as the ingest side. ``out_dir`` must be a filesystem every
+    executor can write (local mode: any local dir; cluster: shared FS).
+
+    Returns a manifest DataFrame (granule, path, n_records) — an action
+    on it performs the export.
+    """
+    import os
+
+    from ncagg_spark.functions.time import _parse_units, epoch_us
+    from ncagg_spark.sources.netcdf3 import write_netcdf3
+
+    attributes = dict(attributes or {})
+    var_attributes = dict(var_attributes or {})
+    scale, epoch = _parse_units(cf_units)
+    epoch_off_us = int(round(epoch.timestamp() * 1_000_000))
+
+    work = df
+    ts_cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.TimestampType)
+    ]
+    for c in ts_cols:
+        work = work.withColumn(
+            c, (epoch_us(c) - F.lit(epoch_off_us)) / F.lit(scale * 1e6)
+        )
+        va = dict(var_attributes.get(c, {}))
+        va.setdefault("units", cf_units)
+        var_attributes[c] = va
+    unit_us = scale * 1e6
+    work = work.withColumn(
+        "__granule_idx",
+        F.floor(
+            (F.col(index_col) * F.lit(unit_us) + F.lit(epoch_off_us))
+            / F.lit(interval_us)
+        ).cast("long"),
+    )
+
+    data_cols = [c for c in df.columns]
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        idx = int(pdf["__granule_idx"].iloc[0])
+        pdf = pdf.sort_values(index_col).reset_index(drop=True)
+        variables: dict[str, tuple[list[str], np.ndarray]] = {}
+        dims: list[tuple[str, int]] = [(index_col + "_rec", 0)]
+        rec = index_col + "_rec"
+        for name in data_cols:
+            col = pdf[name]
+            first = next((v for v in col if v is not None), None)
+            if isinstance(first, (list, np.ndarray)):
+                inner = len(first)
+                dims.append((f"{name}_dim1", inner))
+                fill = [np.nan] * inner
+                mat = np.array(
+                    [list(v) if v is not None else fill for v in col],
+                    dtype="float64",
+                )
+                variables[name] = ([rec, f"{name}_dim1"], mat)
+            elif col.dtype == object and isinstance(first, str):
+                width = max(
+                    (len(s) for s in col if s is not None), default=1
+                )
+                dims.append((f"{name}_str_len", max(width, 1)))
+                mat = np.zeros((len(col), max(width, 1)), dtype="S1")
+                for i, s in enumerate(col):
+                    b = (s or "").encode("utf-8")[: max(width, 1)]
+                    mat[i, : len(b)] = [bytes([ch]) for ch in b]
+                variables[name] = ([rec, f"{name}_str_len"], mat)
+            elif str(col.dtype) == "bool":
+                variables[name] = ([rec], col.to_numpy().astype("int8"))
+            else:
+                arr = col.to_numpy()
+                if arr.dtype == object:
+                    arr = col.astype("float64").to_numpy()
+                variables[name] = ([rec], arr)
+        path = os.path.join(out_dir, f"granule_{idx}.nc")
+        write_netcdf3(
+            path,
+            dims=dims,
+            variables=variables,
+            attributes=attributes,
+            var_attributes=var_attributes,
+        )
+        return pd.DataFrame(
+            {
+                "granule": [idx],
+                "path": [path],
+                "n_records": [len(pdf)],
+            }
+        )
+
+    return work.groupBy("__granule_idx").applyInPandas(
+        write_group,
+        schema="granule long, path string, n_records long",
+    )
+
+
 def read_nc_granules(
     spark: SparkSession,
     paths: str | Sequence[str],

@@ -307,3 +307,32 @@ def test_incremental_aggregate_nc_stream(spark, tmp_path):
     assert real == list(range(0, 10)) + list(range(20, 25))
     assert rows[22]["value"] == 2.0  # second granule's values merged
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_write_nc_granules_distributed_export(spark, tmp_path):
+    """Re-granulation: a 3-day aggregate exports to one .nc per UTC day,
+    each written by its own task; reading the granules back reproduces
+    the aggregate exactly (ingest/export closure)."""
+    from ncagg_spark.sources.nc_granules import write_nc_granules
+
+    n_days, per_day = 3, 48
+    rows = [
+        (int((T0 + d * 86400 + i * 1800) * 1e6), float(d * 1000 + i))
+        for d in range(n_days)
+        for i in range(per_day)
+    ]
+    df = spark.createDataFrame(rows, "us long, value double").select(
+        F.timestamp_micros(F.col("us")).alias("time"), "value"
+    )
+    out = str(tmp_path / "granules")
+    manifest = write_nc_granules(df, out, index_col="time").collect()
+    assert len(manifest) == n_days
+    assert sorted(m["n_records"] for m in manifest) == [per_day] * n_days
+    back = read_nc_granules(spark, [m["path"] for m in manifest])
+    got = back.orderBy("time").collect()
+    assert len(got) == n_days * per_day
+    assert got[0]["time"] == T0
+    assert got[-1]["value"] == 2000.0 + per_day - 1
+    # CF units attribute present on every granule
+    a = nc_attributes(manifest[0]["path"])
+    assert a["variables"]["time"]["units"].startswith("seconds since")
