@@ -1,0 +1,286 @@
+"""Product quantization (PQ) for embedding search at 100 TB.
+
+The standard compressed-index design (Jégou et al., "Product
+Quantization for Nearest Neighbor Search", TPAMI 2011 — public
+literature): split each d-dim vector into m subvectors, k-means each
+subspace into 256 codes, store each vector as m uint8 codes (m bytes vs
+4d — 32x compression at d=64/m=8), and score with asymmetric distance
+computation (ADC): per query build an m x n_codes lookup table of
+subvector distances, then each candidate costs m table lookups instead
+of d multiplies.
+
+Spark-first shape:
+  * training reuses the deterministic distributed k-means
+    (pipeline/similarity.kmeans_centroids) once per subspace — at corpus
+    scale you train on a sample, so m small k-means jobs are cheap;
+  * encoding is one Arrow batch matmul per subspace (mapInPandas — the
+    measured-fast path, see SCALE.md ANN section);
+  * search is mapInPandas over the CODES table (m bytes/row scanned, not
+    4d), numpy fancy-indexing the LUT, partial top-k per batch so the
+    shuffle carries only partitions x queries x k rows.
+
+Cosine ranking via the unit-sphere identity: for unit vectors,
+||a - b||^2 = 2 - 2 cos(a, b), so L2-PQ over normalized vectors ranks by
+cosine and `approx_cosine = 1 - dist2 / 2` recovers the score scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+def _unit_rows(X: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(X, axis=1, keepdims=True)
+    return X / np.maximum(n, 1e-300)
+
+
+def pq_train(
+    corpus: DataFrame,
+    *,
+    dim: int,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 10,
+    sample_size: int = 20_000,
+) -> list[list[list[float]]]:
+    """Train per-subspace L2 codebooks on a deterministic corpus sample.
+
+    Training on a bounded sample is the standard PQ practice at scale
+    (codebooks need ~1000 x n_codes examples, not the corpus): the
+    sample is the ``sample_size`` vectors with smallest multiplicative
+    hash of their id — deterministic, uniformly spread, ONE distributed
+    pass — then m small exact-L2 Lloyd runs execute driver-side in
+    numpy (n_codes x dim/m numbers each, trivial). Encoding and search
+    stay fully distributed.
+
+    Returns codebooks[s][c] = L2 centroid c of subspace s (len dim/m).
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    key = (F.col(id_col) * F.lit(2654435761)) % F.lit(4294967296)
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(key.asc(), F.col(id_col).asc())
+        .limit(sample_size)
+        .collect()
+    )
+    X = _unit_rows(np.array([list(r[1]) for r in rows], dtype="float64"))
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        Xs = X[:, s * sub : (s + 1) * sub]
+        # deterministic init: first n_codes distinct-ish sample rows
+        C = Xs[:: max(1, len(Xs) // n_codes)][:n_codes].copy()
+        while len(C) < n_codes:  # tiny-sample degenerate case
+            C = np.vstack([C, Xs[: n_codes - len(C)]])
+        for _ in range(max_iter):
+            d2 = (
+                np.sum(Xs * Xs, axis=1)[:, None]
+                - 2 * (Xs @ C.T)
+                + np.sum(C * C, axis=1)[None, :]
+            )
+            assign = d2.argmin(axis=1)
+            newC = C.copy()
+            for c in range(n_codes):
+                mask = assign == c
+                if mask.any():
+                    newC[c] = Xs[mask].mean(axis=0)
+            if np.allclose(newC, C):
+                C = newC
+                break
+            C = newC
+        books.append([row.tolist() for row in C])
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as m codes (argmin L2 per subspace, on the
+    unit-normalized vector). One Arrow batch, m small matmuls."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    C = [np.asarray(b, dtype="float64") for b in codebooks]
+    Cn = [np.sum(c * c, axis=1) for c in C]
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _unit_rows(
+                np.asarray(
+                    [np.asarray(x, dtype="float64") for x in pdf["__vec"]]
+                )
+            )
+            codes = np.empty((len(X), m), dtype="int32")
+            for s in range(m):
+                Xs = X[:, s * sub : (s + 1) * sub]
+                # argmin ||x-c||^2 = argmax (2 c.x - ||c||^2)
+                scores = 2 * (Xs @ C[s].T) - Cn[s][None, :]
+                codes[:, s] = scores.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["__id"],
+                    "codes": [row.tolist() for row in codes],
+                }
+            )
+
+    return corpus.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+    ).mapInPandas(encode, schema="vec_id long, codes array<int>")
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    codebooks: list[list[list[float]]],
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k via ADC over the codes table.
+
+    Scans m ints per candidate (the compressed index), never the raw
+    vectors; per-batch partial top-k keeps the shuffle at
+    partitions x queries x k rows. Returns (query_id, neighbor_id, rank,
+    approx_cosine).
+    """
+    import builtins
+
+    query_id_col = query_id_col or id_col
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    if not q_rows:
+        return codes_df.sparkSession.createDataFrame(
+            [],
+            "query_id long, neighbor_id long, rank int, "
+            "approx_cosine double",
+        )
+    qids = np.array([int(r[0]) for r in q_rows], dtype="int64")
+    Q = _unit_rows(np.array([list(r[1]) for r in q_rows], dtype="float64"))
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    C = [np.asarray(b, dtype="float64") for b in codebooks]
+    # LUT[s][qi, c] = ||q_s - c||^2 for subspace s
+    LUT = []
+    for s in range(m):
+        Qs = Q[:, s * sub : (s + 1) * sub]
+        d2 = (
+            np.sum(Qs * Qs, axis=1)[:, None]
+            - 2 * (Qs @ C[s].T)
+            + np.sum(C[s] * C[s], axis=1)[None, :]
+        )
+        LUT.append(d2)
+    kk = int(k)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nids = pdf["vec_id"].to_numpy()
+            codes = np.asarray(
+                [np.asarray(c, dtype="int64") for c in pdf["codes"]]
+            )
+            # dist2[i, qi] = sum_s LUT[s][qi, codes[i, s]]
+            dist2 = np.zeros((len(codes), len(qids)), dtype="float64")
+            for s in range(m):
+                dist2 += LUT[s][:, codes[:, s]].T
+            dist2[nids[:, None] == qids[None, :]] = np.inf
+            take = builtins.min(kk, dist2.shape[0])
+            part = np.argpartition(dist2, take - 1, axis=0)[:take]
+            qi, ni, cs = [], [], []
+            for j in range(dist2.shape[1]):
+                rows = part[:, j]
+                qi.extend([qids[j]] * len(rows))
+                ni.extend(nids[rows])
+                cs.extend(1.0 - dist2[rows, j] / 2.0)
+            out = pd.DataFrame(
+                {
+                    "query_id": qi,
+                    "neighbor_id": ni,
+                    "approx_cosine": cs,
+                }
+            )
+            yield out[np.isfinite(out["approx_cosine"])]
+
+    partial = codes_df.mapInPandas(
+        score,
+        schema="query_id long, neighbor_id long, approx_cosine double",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "approx_cosine")
+    )
+
+
+def pq_topk_rerank(
+    codes_df: DataFrame,
+    codebooks: list[list[list[float]]],
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    expand: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Production PQ search: ADC candidate generation over the
+    compressed codes, then EXACT cosine re-rank of the top
+    ``k * expand`` candidates against their raw vectors.
+
+    The candidate set is queries x (k*expand) rows (tiny); fetching its
+    raw vectors is one broadcast semi-join into the corpus — the scan
+    that touches full vectors is proportional to the candidate count,
+    not the corpus. This is the standard recall-recovery design: ADC
+    decides *where* to look, exact math decides the final order.
+    """
+    from ncagg_spark.functions.vectors import dot, l2_norm
+
+    query_id_col = query_id_col or id_col
+    cands = pq_topk(
+        codes_df,
+        codebooks,
+        queries,
+        k=k * expand,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+    ).select("query_id", "neighbor_id")
+    cand_vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(vec_col).alias("c_norm"),
+    ).join(F.broadcast(cands), on="neighbor_id")
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(vec_col).alias("q_norm"),
+    )
+    scored = cand_vecs.join(F.broadcast(q), on="query_id").withColumn(
+        "cosine",
+        F.round(
+            dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")), 6
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

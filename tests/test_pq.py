@@ -1,0 +1,111 @@
+"""Product quantization: codebook training determinism, encode
+compression shape, and ADC search recall against the exact result."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from ncagg_spark.pipeline.pq import pq_encode, pq_topk, pq_topk_rerank, pq_train
+from ncagg_spark.pipeline.similarity import brute_force_topk
+
+DIM = 16
+N = 400
+N_CLUSTERS = 8
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    rng = random.Random(3)
+    centers = [
+        [rng.gauss(0.0, 1.0) for _ in range(DIM)] for _ in range(N_CLUSTERS)
+    ]
+    rows = [
+        (
+            i,
+            [
+                c + rng.gauss(0.0, 0.08)
+                for c in centers[i % N_CLUSTERS]
+            ],
+        )
+        for i in range(N)
+    ]
+    return rows, spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_pq_train_deterministic(clustered):
+    _, df = clustered
+    a = pq_train(df, dim=DIM, m=4, n_codes=8)
+    b = pq_train(df.repartition(16, "vec_id"), dim=DIM, m=4, n_codes=8)
+    assert a == b  # exact float equality across partitionings
+
+
+def test_pq_encode_shape_and_determinism(clustered):
+    _, df = clustered
+    books = pq_train(df, dim=DIM, m=4, n_codes=8)
+    codes = pq_encode(df, books)
+    got = codes.orderBy("vec_id").collect()
+    assert len(got) == N
+    assert all(len(r["codes"]) == 4 for r in got)
+    assert all(0 <= c < 8 for r in got for c in r["codes"])
+    again = pq_encode(df.repartition(8), books).orderBy("vec_id").collect()
+    assert [r["codes"] for r in got] == [r["codes"] for r in again]
+
+
+def test_pq_topk_recall_on_clustered_data(clustered):
+    rows, df = clustered
+    books = pq_train(df, dim=DIM, m=8, n_codes=64)
+    codes = pq_encode(df, books)
+    queries = df.filter("vec_id < 10")
+    exact = brute_force_topk(df, queries, k=5).collect()
+    approx = pq_topk(codes, books, queries, k=5).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hit = tot = 0
+    for r in approx:
+        tot += 1
+        if r["neighbor_id"] in exact_sets[r["query_id"]]:
+            hit += 1
+    assert tot == 50
+    # ADC-only recall: modest by design on near-identical cluster
+    # members (quantized distances tie); re-rank is the recovery path
+    assert hit / tot >= 0.5, f"recall {hit/tot:.2f}"
+    # approx cosine within quantization error of the truth for hits
+    approx_map = {
+        (r["query_id"], r["neighbor_id"]): r["approx_cosine"]
+        for r in approx
+    }
+    for r in exact:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in approx_map:
+            assert abs(approx_map[key] - r["cosine"]) < 0.2
+
+
+def test_pq_rerank_recovers_exact_ranking(clustered):
+    """ADC candidates + exact re-rank: the production design must reach
+    near-exact recall even where quantized distances tie."""
+    rows, df = clustered
+    books = pq_train(df, dim=DIM, m=8, n_codes=64)
+    codes = pq_encode(df, books)
+    queries = df.filter("vec_id < 10")
+    exact = brute_force_topk(df, queries, k=5).collect()
+    rer = pq_topk_rerank(codes, books, df, queries, k=5, expand=6).collect()
+    es = {}
+    for r in exact:
+        es.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hit = sum(1 for r in rer if r["neighbor_id"] in es[r["query_id"]])
+    assert len(rer) == 50
+    assert hit / len(rer) >= 0.9, f"recall {hit/len(rer):.2f}"
+    # re-ranked cosines are EXACT (same rounding as brute force)
+    exact_map = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact
+    }
+    for r in rer:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_map:
+            assert r["cosine"] == exact_map[key]
