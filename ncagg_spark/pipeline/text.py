@@ -257,3 +257,97 @@ def benchmark_overlap(
             "bench_frac"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition signals (the published web-corpus repetition filters:
+# Rae et al. 2021 "Scaling Language Models" §A1.1 — duplicate-line
+# fraction, duplicate-paragraph fraction, top-n-gram mass, duplicated
+# n-gram mass). Pure Catalyst expressions — no UDFs, codegen throughout.
+# ---------------------------------------------------------------------------
+
+
+def _lines(col: Column | str) -> Column:
+    return F.filter(
+        F.transform(F.split(_c(col), r"\n"), lambda s: F.trim(s)),
+        lambda s: s != F.lit(""),
+    )
+
+
+def duplicate_line_fraction(col: Column | str) -> Column:
+    """Fraction of (non-blank, trimmed) lines that are duplicates of an
+    earlier line: 1 - distinct/total. 0 for empty docs."""
+    lines = _lines(col)
+    n = F.size(lines)
+    return F.when(n > 0, 1.0 - F.size(F.array_distinct(lines)) / n).otherwise(
+        F.lit(0.0)
+    )
+
+
+def duplicate_paragraph_fraction(col: Column | str) -> Column:
+    """Same signal over blank-line-separated paragraphs."""
+    paras = F.filter(
+        F.transform(
+            F.split(_c(col), r"\n\s*\n"), lambda s: F.trim(s)
+        ),
+        lambda s: s != F.lit(""),
+    )
+    n = F.size(paras)
+    return F.when(n > 0, 1.0 - F.size(F.array_distinct(paras)) / n).otherwise(
+        F.lit(0.0)
+    )
+
+
+def top_ngram_fraction(col: Column | str, n: int = 2) -> Column:
+    """Fraction of all n-gram occurrences taken by the single most
+    frequent n-gram — high values mean one phrase dominates the doc.
+
+    Expression-only mode count: sort the gram array, then the longest
+    run of equal neighbors is the mode multiplicity (aggregate over the
+    sorted array with a (run, best, prev) accumulator).
+    """
+    grams = F.array_sort(word_ngrams(tokenize(_c(col)), n))
+    total = F.size(grams)
+    best = F.aggregate(
+        grams,
+        F.struct(
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+            F.lit(None).cast("string").alias("prev"),
+        ),
+        lambda acc, g: F.struct(
+            F.when(acc["prev"].isNotNull() & (g == acc["prev"]),
+                   acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(acc["prev"].isNotNull() & (g == acc["prev"]),
+                       acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+            g.alias("prev"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return F.when(total > 0, best / total).otherwise(F.lit(0.0))
+
+
+def duplicated_ngram_fraction(col: Column | str, n: int = 5) -> Column:
+    """Fraction of n-gram occurrences whose gram appears more than once
+    (1 - distinct/total over the n-gram multiset) — boilerplate pages
+    score high even when no single gram dominates."""
+    grams = word_ngrams(tokenize(_c(col)), n)
+    total = F.size(grams)
+    return F.when(
+        total > 0, 1.0 - F.size(F.array_distinct(grams)) / total
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_signals(col: Column | str) -> list[Column]:
+    """The published filter set as aliased columns, ready for select():
+    gating thresholds (e.g. dup_line_frac > 0.30 => drop) are corpus
+    policy, left to the caller."""
+    return [
+        duplicate_line_fraction(col).alias("dup_line_frac"),
+        duplicate_paragraph_fraction(col).alias("dup_para_frac"),
+        top_ngram_fraction(col, 2).alias("top_2gram_frac"),
+        duplicated_ngram_fraction(col, 5).alias("dup_5gram_frac"),
+    ]

@@ -143,3 +143,77 @@ def test_benchmark_overlap_min_shared_threshold(spark):
     )
     assert benchmark_overlap(docs, bench, n=4, min_shared=2).count() == 0
     assert benchmark_overlap(docs, bench, n=4, min_shared=1).count() == 1
+
+
+class TestRepetitionSignals:
+    def test_duplicate_line_fraction(self, spark):
+        from ncagg_spark.pipeline.text import duplicate_line_fraction
+
+        df = spark.createDataFrame(
+            [
+                ("a\nb\nc",),            # no dups
+                ("x\nx\nx\nx",),         # 3 of 4 are dups
+                ("",),                   # empty
+                ("  a \n\n a\n",),       # trims + blanks: a,a -> 0.5
+            ],
+            "text string",
+        )
+        got = [
+            round(r[0], 4)
+            for r in df.select(duplicate_line_fraction("text")).collect()
+        ]
+        assert got == [0.0, 0.75, 0.0, 0.5]
+
+    def test_duplicate_paragraph_fraction(self, spark):
+        from ncagg_spark.pipeline.text import duplicate_paragraph_fraction
+
+        df = spark.createDataFrame(
+            [("p one\n\np two\n\np one",), ("solo",)], "text string"
+        )
+        got = [
+            round(r[0], 4)
+            for r in df.select(
+                duplicate_paragraph_fraction("text")
+            ).collect()
+        ]
+        assert got == [round(1 - 2 / 3, 4), 0.0]
+
+    def test_top_ngram_fraction(self, spark):
+        from ncagg_spark.pipeline.text import top_ngram_fraction
+
+        # "the cat" appears 3x of 6 bigrams
+        text = "the cat sat the cat ran the cat"
+        df = spark.createDataFrame([(text,), ("a b c d",)], "text string")
+        got = [
+            round(r[0], 4)
+            for r in df.select(top_ngram_fraction("text", 2)).collect()
+        ]
+        # 8 tokens -> 7 bigrams; "the cat" x3
+        assert got[0] == round(3 / 7, 4)
+        assert got[1] == round(1 / 3, 4)  # all unique: mode 1 of 3
+
+    def test_duplicated_ngram_fraction(self, spark):
+        from ncagg_spark.pipeline.text import duplicated_ngram_fraction
+
+        text = " ".join(["one two three four five"] * 3)  # heavy 5-gram dup
+        df = spark.createDataFrame([(text,), ("tiny",)], "text string")
+        got = df.select(
+            duplicated_ngram_fraction("text", 5)
+        ).collect()
+        assert got[0][0] > 0.5
+        assert got[1][0] == 0.0  # shorter than n -> empty grams
+
+    def test_repetition_signals_no_python_udfs(self, spark):
+        import io
+        from contextlib import redirect_stdout
+
+        from ncagg_spark.pipeline.text import repetition_signals
+
+        df = spark.createDataFrame([("a b c",)], "text string").select(
+            *repetition_signals("text")
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        assert "BatchEvalPython" not in buf.getvalue()
+        assert "ArrowEvalPython" not in buf.getvalue()
