@@ -3,7 +3,10 @@
 ``clean_corpus`` chains the engine's primitives in the order a real
 pretraining pipeline runs them:
 
-    1. quality gate        (quality_score >= min_quality)
+    1. quality gate        (quality_score >= min_quality, plus the
+                            published repetition filters when
+                            ``max_dup_line_frac``/``max_dup_5gram_frac``
+                            are set — cheap expression-only gates first)
     2. exact dedup         (md5 groupBy, keep min id)
     3. near dedup          (MinHash -> LSH candidates -> n-gram Jaccard
                             verify -> connected components -> keep one
@@ -30,7 +33,12 @@ from ncagg_spark.pipeline.dedup import (
     near_dedup,
     ngram_jaccard,
 )
-from ncagg_spark.pipeline.text import benchmark_overlap, quality_score
+from ncagg_spark.pipeline.text import (
+    benchmark_overlap,
+    duplicate_line_fraction,
+    duplicated_ngram_fraction,
+    quality_score,
+)
 
 
 def clean_corpus(
@@ -46,6 +54,8 @@ def clean_corpus(
     bench_id_col: str = "bench_id",
     max_bench_frac: float = 0.5,
     bench_ngram_n: int = 8,
+    max_dup_line_frac: float | None = None,
+    max_dup_5gram_frac: float | None = None,
 ) -> DataFrame:
     """Run the full cleaning chain; returns surviving rows of ``docs``
     (original columns plus ``n_members``, the near-dup cluster size each
@@ -55,6 +65,16 @@ def clean_corpus(
     if min_quality > 0.0:
         kept = kept.filter(
             quality_score(F.col(text_col)) >= F.lit(min_quality)
+        )
+    if max_dup_line_frac is not None:
+        kept = kept.filter(
+            duplicate_line_fraction(F.col(text_col))
+            <= F.lit(max_dup_line_frac)
+        )
+    if max_dup_5gram_frac is not None:
+        kept = kept.filter(
+            duplicated_ngram_fraction(F.col(text_col), 5)
+            <= F.lit(max_dup_5gram_frac)
         )
     kept = exact_dedup(kept, text_col=text_col, id_col=id_col)
 

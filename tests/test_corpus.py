@@ -63,3 +63,17 @@ def test_clean_corpus_preserves_columns(spark):
     got = clean_corpus(df)
     assert set(got.columns) == {"doc_id", "text", "lang", "n_members"}
     assert got.count() == 2
+
+
+def test_clean_corpus_repetition_gate(spark):
+    from ncagg_spark.pipeline.corpus import clean_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "normal document with several distinct words here"),
+            (2, "spam spam\nspam spam\nspam spam\nspam spam"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = clean_corpus(docs, max_dup_line_frac=0.3)
+    assert [r["doc_id"] for r in kept.collect()] == [1]
