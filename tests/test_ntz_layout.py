@@ -114,3 +114,26 @@ def test_asof_join_on_raw_ntz(spark, ntz_path):
         direction="backward",
     )
     assert j.count() == 10
+
+
+def test_load_table_tz_aware_layout(spark, tmp_path):
+    """Third physical layout: timestamp[us] WITH timezone (tz-aware
+    parquet) — Spark reads TimestampType natively; bounds must still
+    push down and values must match the NTZ layout exactly (UTC)."""
+    path = str(tmp_path / "events_tz.parquet")
+    us = [ORIGIN_US + i * STEP_US for i in range(10)]
+    tbl = pa.table(
+        {
+            "ts": pa.array(us, type=pa.timestamp("us", tz="UTC")),
+            "rid": pa.array(range(10), type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, path)
+    lo, hi = ORIGIN_US + 2 * STEP_US, ORIGIN_US + 7 * STEP_US
+    df = load_table(spark, path, time_bounds=("ts", lo, hi))
+    assert df.schema["ts"].dataType.typeName() == "timestamp"
+    assert df.count() == 5
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(ts" in plan
+    got = [r[0] for r in df.select(F.unix_micros("ts")).orderBy("rid").collect()]
+    assert got == us[2:7]
