@@ -68,7 +68,7 @@ def aggregate_nc(
     config: AggregationConfig,
     *,
     anchor: str = "grid",
-    decoder: str = "classic",
+    decoder: str = "auto",
     max_records_per_file: int | None = None,
     num_files: int | None = None,
     partition_by_date: bool = False,
@@ -78,12 +78,13 @@ def aggregate_nc(
     input format (it opens granules with netCDF4, ncagg/aggrelist.py:
     533-543; CF time decode at ncagg/aggregator.py:99-105).
 
-    Classic (CDF-1/2/5) granules decode via the pure-numpy reader in
-    sources/netcdf3.py; NetCDF-4/HDF5 needs ``decoder="netcdf4"`` (a
-    declared seam in this environment). If the index variable carries a
-    CF ``units`` attribute ("<unit> since <epoch>") and is numeric, it
-    is decoded to TimestampType before the pipeline runs — the engine's
-    internal index type.
+    ``decoder="auto"`` handles both physical formats with pure-Python
+    readers: classic CDF-1/2/5 (sources/netcdf3.py) and NetCDF-4/HDF5
+    (sources/hdf5.py — verified against the reference's own fixture
+    granules, tests/test_reference_fixtures.py). If the index variable
+    carries a CF ``units`` attribute ("<unit> since <epoch>") and is
+    numeric, it is decoded to TimestampType before the pipeline runs —
+    the engine's internal index type.
     """
     from ncagg_spark.functions.time import cf_to_timestamp
     from ncagg_spark.sources.nc_granules import (

@@ -1,0 +1,819 @@
+"""Minimal pure-Python read-only HDF5 — enough to open NetCDF-4 files.
+
+Implemented from the public HDF5 File Format Specification (version 3;
+https://docs.hdfgroup.org/ — format spec, not library code), covering
+the subset the netCDF-4 classic model writes:
+
+  * superblock v0/v2/v3;
+  * object headers v1 and v2 ('OHDR'), with continuation blocks;
+  * group storage: compact (Link messages), dense (fractal heap +
+    v2 B-tree name index), and old-style (v1 B-tree + SNOD + local heap);
+  * dataspace (simple), datatype (fixed/float/string/vlen/reference),
+    data layout v3 (compact/contiguous/chunked + v1 chunk B-tree),
+    filter pipeline (deflate, shuffle; fletcher32 checksum stripped);
+  * attributes: compact messages and dense (attribute-info) storage;
+  * the netCDF-4 dimension model: DIMENSION_LIST vlen-of-object-
+    reference attributes resolved to dimension-scale dataset names.
+
+This is NOT a general HDF5 implementation — unsupported features raise
+with the feature name so the failure mode is explicit.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass, field
+
+import numpy as np
+
+UNDEF = 0xFFFFFFFFFFFFFFFF
+
+
+class Hdf5Error(ValueError):
+    pass
+
+
+def _u(buf, off, n):
+    return int.from_bytes(buf[off : off + n], "little")
+
+
+@dataclass
+class Dataspace:
+    shape: tuple
+    maxshape: tuple
+
+
+@dataclass
+class Datatype:
+    cls: int
+    size: int
+    np_dtype: object = None  # numpy dtype for atomic types
+    is_vlen_str: bool = False
+    vlen_base: "Datatype | None" = None
+    str_pad: int = 0
+
+
+@dataclass
+class Dataset:
+    name: str
+    dataspace: Dataspace = None
+    datatype: Datatype = None
+    layout: dict = field(default_factory=dict)
+    filters: list = field(default_factory=list)
+    attributes: dict = field(default_factory=dict)
+    header_addr: int = 0
+
+
+class Hdf5File:
+    def __init__(self, source):
+        if isinstance(source, (bytes, bytearray)):
+            self.buf = bytes(source)
+        elif isinstance(source, str):
+            with open(source, "rb") as f:
+                self.buf = f.read()
+        else:
+            self.buf = source.read()
+        if self.buf[:8] != b"\x89HDF\r\n\x1a\n":
+            raise Hdf5Error("not an HDF5 file")
+        self.datasets: dict[str, Dataset] = {}
+        self.root_attributes: dict = {}
+        self._addr_names: dict[int, str] = {}
+        self._parse_superblock()
+        self._walk_group(self.root_header, prefix="")
+        self._resolve_dimension_lists()
+
+    # -- superblock ---------------------------------------------------------
+
+    def _parse_superblock(self):
+        b = self.buf
+        ver = b[8]
+        if ver == 0:
+            if b[13] != 8 or b[14] != 8:
+                raise Hdf5Error("only 8-byte offsets/lengths supported")
+            # root group symbol table entry at 56
+            self.root_header = _u(b, 56 + 8, 8)
+            cache = _u(b, 56 + 16, 4)
+            self._root_v1_scratch = (
+                (_u(b, 56 + 24, 8), _u(b, 56 + 32, 8)) if cache == 1 else None
+            )
+        elif ver in (2, 3):
+            if b[9] != 8 or b[10] != 8:
+                raise Hdf5Error("only 8-byte offsets/lengths supported")
+            self.root_header = _u(b, 12 + 8 * 3, 8)
+            self._root_v1_scratch = None
+        else:
+            raise Hdf5Error(f"superblock v{ver} unsupported")
+
+    # -- object headers -----------------------------------------------------
+
+    def _messages(self, addr):
+        """Yield (msg_type, data_bytes) for an object header at addr,
+        following continuation blocks. Handles v1 and v2 headers."""
+        b = self.buf
+        if b[addr : addr + 4] == b"OHDR":
+            yield from self._messages_v2(addr)
+        else:
+            yield from self._messages_v1(addr)
+
+    def _messages_v1(self, addr):
+        b = self.buf
+        if b[addr] != 1:
+            raise Hdf5Error(f"object header v{b[addr]} at {addr}")
+        nmsg = _u(b, addr + 2, 2)
+        hsize = _u(b, addr + 8, 4)
+        blocks = [(addr + 16, hsize)]
+        seen = 0
+        while blocks and seen < nmsg:
+            off, size = blocks.pop(0)
+            end = off + size
+            while off + 8 <= end and seen < nmsg:
+                mtype = _u(b, off, 2)
+                msize = _u(b, off + 2, 2)
+                data = b[off + 8 : off + 8 + msize]
+                seen += 1
+                off += 8 + msize
+                if mtype == 0x10:  # continuation
+                    blocks.append((_u(data, 0, 8), _u(data, 8, 8)))
+                else:
+                    yield mtype, data
+
+    def _messages_v2(self, addr):
+        b = self.buf
+        if b[addr : addr + 4] != b"OHDR" or b[addr + 4] != 2:
+            raise Hdf5Error(f"bad OHDR at {addr}")
+        flags = b[addr + 5]
+        off = addr + 6
+        if flags & 0x20:  # times present
+            off += 16
+        if flags & 0x10:  # max-compact/min-dense
+            off += 4
+        csize_bytes = 1 << (flags & 0x3)
+        chunk0 = _u(b, off, csize_bytes)
+        off += csize_bytes
+        track = bool(flags & 0x04)
+        blocks = [(off, chunk0, False)]
+        while blocks:
+            off, size, is_cont = blocks.pop(0)
+            if is_cont:
+                if b[off : off + 4] != b"OCHK":
+                    raise Hdf5Error("bad OCHK")
+                off += 4
+                size -= 8  # signature + trailing checksum
+            end = off + size
+            # message needs at least 4 (+2 creation order) header bytes;
+            # trailing gap smaller than that is padding
+            hdr = 6 if track else 4
+            while off + hdr <= end:
+                mtype = b[off]
+                msize = _u(b, off + 1, 2)
+                off += hdr
+                data = b[off : off + msize]
+                off += msize
+                if mtype == 0x10:
+                    blocks.append((_u(data, 0, 8), _u(data, 8, 8), True))
+                elif mtype != 0:
+                    yield mtype, data
+
+    # -- groups -------------------------------------------------------------
+
+    def _walk_group(self, header_addr, prefix):
+        attrs = {}
+        links = []  # (name, child_addr)
+        stmsg = None
+        attr_info = None
+        link_info = None
+        for mtype, data in self._messages(header_addr):
+            if mtype == 0x06:  # link message (compact group)
+                links.append(self._parse_link(data))
+            elif mtype == 0x0C:
+                k, v = self._parse_attribute(data)
+                attrs[k] = v
+            elif mtype == 0x11:
+                stmsg = (_u(data, 0, 8), _u(data, 8, 8))
+            elif mtype == 0x02:
+                link_info = data
+            elif mtype == 0x15:
+                attr_info = data
+        if attr_info is not None:
+            attrs.update(self._dense_attributes(attr_info))
+        if prefix == "":
+            self.root_attributes = attrs
+        if stmsg is not None:
+            links += self._old_group_links(*stmsg)
+        elif self._root_v1_scratch and prefix == "" and not links:
+            links += self._old_group_links(*self._root_v1_scratch)
+        if link_info is not None and not links:
+            links += self._dense_links(link_info)
+        for name, child in links:
+            if child == UNDEF:
+                continue
+            self._addr_names[child] = name
+            self._visit(child, prefix + name)
+
+    def _visit(self, header_addr, path):
+        kinds = {m for m, _ in self._messages(header_addr)}
+        if 0x08 in kinds or 0x03 in kinds:  # layout/datatype => dataset
+            self._read_dataset_meta(header_addr, path)
+        else:
+            self._walk_group(header_addr, path + "/")
+
+    def _parse_link(self, data):
+        ver, flags = data[0], data[1]
+        if ver != 1:
+            raise Hdf5Error(f"link message v{ver}")
+        off = 2
+        ltype = 0
+        if flags & 0x08:
+            ltype = data[off]
+            off += 1
+        if flags & 0x04:
+            off += 8  # creation order
+        if flags & 0x10:
+            off += 1  # charset
+        lsize = 1 << (flags & 0x3)
+        nlen = _u(data, off, lsize)
+        off += lsize
+        name = data[off : off + nlen].decode("utf-8")
+        off += nlen
+        if ltype != 0:
+            return name, UNDEF  # soft/external links: ignore
+        return name, _u(data, off, 8)
+
+    def _old_group_links(self, btree_addr, heap_addr):
+        b = self.buf
+        if heap_addr == UNDEF or btree_addr == UNDEF:
+            return []
+        if b[heap_addr : heap_addr + 4] != b"HEAP":
+            raise Hdf5Error("bad local heap")
+        heap_data = _u(b, heap_addr + 24, 8)
+        out = []
+
+        def walk(addr):
+            if b[addr : addr + 4] != b"TREE":
+                raise Hdf5Error("bad v1 btree")
+            level = b[addr + 5]
+            n = _u(b, addr + 6, 2)
+            off = addr + 24  # past sig, type, level, n, left, right
+            # keys/children interleaved: key0 child0 key1 child1 ... keyn
+            children = []
+            p = off + 8  # skip key0
+            for _ in range(n):
+                children.append(_u(b, p, 8))
+                p += 16  # child + key
+            for c in children:
+                if level > 0:
+                    walk(c)
+                else:
+                    if b[c : c + 4] != b"SNOD":
+                        raise Hdf5Error("bad SNOD")
+                    cnt = _u(b, c + 6, 2)
+                    q = c + 8
+                    for _ in range(cnt):
+                        name_off = _u(b, q, 8)
+                        hdr = _u(b, q + 8, 8)
+                        nm_start = heap_data + name_off
+                        nm_end = b.index(b"\x00", nm_start)
+                        out.append(
+                            (b[nm_start:nm_end].decode("utf-8"), hdr)
+                        )
+                        q += 40
+        walk(btree_addr)
+        return out
+
+    # -- dense storage (fractal heap + v2 btree) ----------------------------
+
+    def _fractal_heap(self, addr):
+        """Parse a fractal heap; return a function heap_id -> bytes."""
+        b = self.buf
+        if b[addr : addr + 4] != b"FRHP":
+            raise Hdf5Error("bad FRHP")
+        o = addr + 5
+        heap_id_len = _u(b, o, 2)
+        o += 2
+        io_filter_len = _u(b, o, 2)
+        o += 2 + 1  # flags
+        o += 4  # max size of managed objects
+        o += 8  # next huge object id
+        o += 8  # huge btree addr
+        o += 8 + 8 + 8 + 8 + 8  # free space, fs mgr, managed space, alloc, iterator
+        o += 8  # number managed
+        o += 8 + 8 + 8 + 8  # huge size, n huge, tiny size, n tiny
+        table_width = _u(b, o, 2)
+        o += 2
+        start_block = _u(b, o, 8)
+        o += 8
+        max_direct = _u(b, o, 8)
+        o += 8
+        max_heap_log2 = _u(b, o, 2)
+        o += 2
+        start_rows = _u(b, o, 2)
+        o += 2
+        root_addr = _u(b, o, 8)
+        o += 8
+        cur_rows = _u(b, o, 2)
+        heap_off_size = (max_heap_log2 + 7) // 8
+
+        blocks: dict[int, tuple[int, int]] = {}  # heap offset -> (file addr, size)
+
+        def block_size(row):
+            return start_block * (1 << max(0, row - 1))
+
+        def add_direct(addr_, size_, heap_off_):
+            # direct block header: FHDB(4) ver(1) heap hdr addr(8)
+            # block offset (heap_off_size) [+checksum 4 if flagged]
+            if b[addr_ : addr_ + 4] != b"FHDB":
+                raise Hdf5Error("bad FHDB")
+            hdr = 4 + 1 + 8 + heap_off_size
+            blocks[heap_off_] = (addr_ + 0, size_)
+
+        def walk_indirect(addr_, nrows, block_off):
+            if b[addr_ : addr_ + 4] != b"FHIB":
+                raise Hdf5Error("bad FHIB")
+            p = addr_ + 4 + 1 + 8 + heap_off_size
+            off_ = block_off
+            for r in range(nrows):
+                sz = block_size(r)
+                for _ in range(table_width):
+                    child = _u(b, p, 8)
+                    p += 8
+                    if io_filter_len and r < max_rows_direct():
+                        p += 8 + 4  # filtered size + mask
+                    if child != UNDEF:
+                        if r < max_rows_direct():
+                            add_direct(child, sz, off_)
+                        else:
+                            walk_indirect(child, 16, off_)  # nested
+                    off_ += sz
+
+        def max_rows_direct():
+            import math
+
+            return (
+                int(math.log2(max_direct)) - int(math.log2(start_block)) + 2
+            )
+
+        if root_addr != UNDEF:
+            if cur_rows == 0:
+                # root is a single direct block covering the whole heap
+                add_direct(root_addr, 0, 0)
+            else:
+                walk_indirect(root_addr, cur_rows, 0)
+
+        def get(heap_id: bytes) -> bytes:
+            vt = heap_id[0]
+            if (vt >> 4) & 0x3 != 0:
+                raise Hdf5Error("only managed heap objects supported")
+            off_ = int.from_bytes(heap_id[1 : 1 + heap_off_size], "little")
+            ln_bytes = len(heap_id) - 1 - heap_off_size
+            ln = int.from_bytes(
+                heap_id[1 + heap_off_size : 1 + heap_off_size + ln_bytes],
+                "little",
+            )
+            # locate containing block
+            best = None
+            for ho, (fa, sz) in blocks.items():
+                if sz == 0 or ho <= off_ < ho + sz:
+                    best = (ho, fa)
+                    if sz != 0:
+                        break
+            if best is None:
+                raise Hdf5Error("heap id outside blocks")
+            ho, fa = best
+            return b[fa + (off_ - ho) : fa + (off_ - ho) + ln]
+
+        return get
+
+    def _btree_v2_records(self, addr):
+        """Yield raw records from a v2 B-tree (BTHD), any depth."""
+        b = self.buf
+        if b[addr : addr + 4] != b"BTHD":
+            raise Hdf5Error("bad BTHD")
+        # sig(4) ver(1) type(1) node_size(4) rec_size(2) depth(2)
+        # split(1) merge(1) root(8) nrec_root(2) total(8)
+        node_size = _u(b, addr + 6, 4)
+        rec_size = _u(b, addr + 10, 2)
+        depth = _u(b, addr + 12, 2)
+        root = _u(b, addr + 16, 8)
+        nrec_root = _u(b, addr + 24, 2)
+        if root == UNDEF:
+            return
+
+        # capacity math (spec III.A.2): leaf overhead = sig+ver+type+
+        # checksum = 10; child pointer at level L = addr(8) +
+        # min-bytes(max_nrec[L]) + (min-bytes(cum_total[L]) if L>0)
+        def nbytes(x):
+            return max(1, (int(x).bit_length() + 7) // 8)
+
+        max_nrec = [(node_size - 10) // rec_size]
+        cum_total = [max_nrec[0]]
+        for d in range(1, depth + 1):
+            ptr = 8 + nbytes(max_nrec[d - 1]) + (
+                nbytes(cum_total[d - 1]) if d - 1 > 0 else 0
+            )
+            cap = (node_size - 10 - ptr) // (rec_size + ptr)
+            max_nrec.append(cap)
+            cum_total.append(cum_total[d - 1] * (cap + 1) + cap)
+
+        def walk(node_addr, nrec, level):
+            if level == 0:
+                if b[node_addr : node_addr + 4] != b"BTLF":
+                    raise Hdf5Error("bad BTLF")
+                p = node_addr + 6
+                for _ in range(nrec):
+                    yield b[p : p + rec_size]
+                    p += rec_size
+                return
+            if b[node_addr : node_addr + 4] != b"BTIN":
+                raise Hdf5Error("bad BTIN")
+            p = node_addr + 6
+            recs = []
+            for _ in range(nrec):
+                recs.append(b[p : p + rec_size])
+                p += rec_size
+            child_l = level - 1
+            ptr_nrec_sz = nbytes(max_nrec[child_l])
+            ptr_tot_sz = nbytes(cum_total[child_l]) if child_l > 0 else 0
+            children = []
+            for _ in range(nrec + 1):
+                caddr = _u(b, p, 8)
+                p += 8
+                cn = _u(b, p, ptr_nrec_sz)
+                p += ptr_nrec_sz
+                p += ptr_tot_sz
+                children.append((caddr, cn))
+            for i, (caddr, cn) in enumerate(children):
+                yield from walk(caddr, cn, child_l)
+                if i < len(recs):
+                    yield recs[i]
+
+        yield from walk(root, nrec_root, depth)
+
+    def _dense_links(self, link_info):
+        ver, flags = link_info[0], link_info[1]
+        off = 2
+        if flags & 0x1:
+            off += 8  # max creation index
+        fheap = _u(link_info, off, 8)
+        name_bt = _u(link_info, off + 8, 8)
+        if fheap == UNDEF:
+            return []
+        get = self._fractal_heap(fheap)
+        out = []
+        for rec in self._btree_v2_records(name_bt):
+            # type 5 record: hash(4) + heap id (7)
+            hid = rec[4:]
+            out.append(self._parse_link(get(hid)))
+        return out
+
+    def _dense_attributes(self, attr_info):
+        ver, flags = attr_info[0], attr_info[1]
+        off = 2
+        if flags & 0x1:
+            off += 2  # max creation index
+        fheap = _u(attr_info, off, 8)
+        name_bt = _u(attr_info, off + 8, 8)
+        if fheap == UNDEF:
+            return {}
+        get = self._fractal_heap(fheap)
+        out = {}
+        for rec in self._btree_v2_records(name_bt):
+            # type 8 record: heap id(8) + flags(1) + corder(4) + hash(4)
+            hid = rec[0:8]
+            k, v = self._parse_attribute(get(hid))
+            out[k] = v
+        return out
+
+    # -- messages: dataspace / datatype / attributes ------------------------
+
+    def _parse_dataspace(self, data) -> Dataspace:
+        ver = data[0]
+        rank = data[1]
+        if ver == 1:
+            flags = data[2]
+            off = 8
+        elif ver == 2:
+            flags = data[2]
+            off = 4
+        else:
+            raise Hdf5Error(f"dataspace v{ver}")
+        dims = tuple(_u(data, off + 8 * i, 8) for i in range(rank))
+        off += 8 * rank
+        maxdims = dims
+        if flags & 0x1:
+            maxdims = tuple(_u(data, off + 8 * i, 8) for i in range(rank))
+        return Dataspace(dims, maxdims)
+
+    def _parse_datatype(self, data) -> Datatype:
+        cls_ver = data[0]
+        cls = cls_ver & 0x0F
+        bits0, bits8, bits16 = data[1], data[2], data[3]
+        size = _u(data, 4, 4)
+        dt = Datatype(cls=cls, size=size)
+        if cls == 0:  # fixed point
+            signed = bool(bits0 & 0x08)
+            dt.np_dtype = np.dtype(
+                ("<" if not (bits0 & 1) else ">")
+                + ("i" if signed else "u")
+                + str(size)
+            )
+        elif cls == 1:  # float
+            dt.np_dtype = np.dtype(
+                ("<" if not (bits0 & 1) else ">") + "f" + str(size)
+            )
+        elif cls == 3:  # string
+            dt.np_dtype = np.dtype(f"S{size}")
+            dt.str_pad = bits0 & 0x0F
+        elif cls == 7:  # reference
+            dt.np_dtype = np.dtype(f"V{size}")
+        elif cls == 9:  # vlen
+            base = self._parse_datatype(data[8:])
+            dt.vlen_base = base
+            dt.is_vlen_str = bool((bits0 & 0x0F) == 1)
+        elif cls == 6:  # compound — unsupported for data, tolerate decl
+            dt.np_dtype = np.dtype(f"V{size}")
+        else:
+            dt.np_dtype = np.dtype(f"V{size}")
+        return dt
+
+    def _parse_attribute(self, data):
+        ver = data[0]
+        if ver == 1:
+            name_size = _u(data, 2, 2)
+            dt_size = _u(data, 4, 2)
+            ds_size = _u(data, 6, 2)
+            off = 8
+            pad = lambda n: (n + 7) // 8 * 8
+            name = data[off : off + name_size].split(b"\x00")[0].decode()
+            off += pad(name_size)
+            dtype = self._parse_datatype(data[off : off + dt_size])
+            off += pad(dt_size)
+            space = self._parse_dataspace(data[off : off + ds_size])
+            off += pad(ds_size)
+        elif ver == 3:
+            name_size = _u(data, 2, 2)
+            dt_size = _u(data, 4, 2)
+            ds_size = _u(data, 6, 2)
+            off = 9  # + name charset
+            name = data[off : off + name_size].split(b"\x00")[0].decode()
+            off += name_size
+            dtype = self._parse_datatype(data[off : off + dt_size])
+            off += dt_size
+            space = self._parse_dataspace(data[off : off + ds_size])
+            off += ds_size
+        else:
+            raise Hdf5Error(f"attribute v{ver}")
+        raw = data[off:]
+        return name, self._decode_values(raw, dtype, space)
+
+    def _decode_values(self, raw, dtype: Datatype, space: Dataspace):
+        n = 1
+        for d in space.shape:
+            n *= d
+        if dtype.cls == 9:  # vlen
+            out = []
+            for i in range(n):
+                rec = raw[i * dtype.size : (i + 1) * dtype.size]
+                ln = _u(rec, 0, 4)
+                gheap = _u(rec, 4, 8)
+                idx = _u(rec, 12, 4)
+                obj = self._global_heap_object(gheap, idx)
+                if dtype.is_vlen_str:
+                    out.append(obj.decode("utf-8", "replace"))
+                elif dtype.vlen_base and dtype.vlen_base.cls == 7:
+                    out.append(
+                        [
+                            _u(obj, 8 * j, 8)
+                            for j in range(len(obj) // 8)
+                        ][:ln]
+                    )
+                else:
+                    out.append(obj)
+            return out if space.shape else out[0]
+        if dtype.cls == 3:
+            s = raw[: dtype.size * n]
+            if n == 1 and not space.shape:
+                return s.split(b"\x00")[0].decode("utf-8", "replace")
+            arr = np.frombuffer(s, dtype=f"S{dtype.size}", count=n)
+            return [x.split(b"\x00")[0].decode() for x in arr]
+        if dtype.np_dtype is None:
+            return raw
+        arr = np.frombuffer(
+            raw, dtype=dtype.np_dtype, count=n
+        ).reshape(space.shape or ())
+        if not space.shape:
+            return arr[()].item()
+        return arr.tolist() if arr.ndim == 1 else arr
+
+    def _global_heap_object(self, addr, idx):
+        b = self.buf
+        if b[addr : addr + 4] != b"GCOL":
+            raise Hdf5Error("bad GCOL")
+        size = _u(b, addr + 8, 8)
+        p = addr + 16
+        end = addr + size
+        while p < end:
+            oidx = _u(b, p, 2)
+            osize = _u(b, p + 8, 8)
+            if oidx == idx:
+                return b[p + 16 : p + 16 + osize]
+            if oidx == 0:
+                break
+            p += 16 + (osize + 7) // 8 * 8
+        raise Hdf5Error(f"global heap object {idx} not found")
+
+    # -- datasets -----------------------------------------------------------
+
+    def _read_dataset_meta(self, header_addr, path):
+        ds = Dataset(name=path, header_addr=header_addr)
+        attr_info = None
+        for mtype, data in self._messages(header_addr):
+            if mtype == 0x01:
+                ds.dataspace = self._parse_dataspace(data)
+            elif mtype == 0x03:
+                ds.datatype = self._parse_datatype(data)
+            elif mtype == 0x08:
+                ds.layout = self._parse_layout(data)
+            elif mtype == 0x0B:
+                ds.filters = self._parse_filters(data)
+            elif mtype == 0x0C:
+                k, v = self._parse_attribute(data)
+                ds.attributes[k] = v
+            elif mtype == 0x15:
+                attr_info = data
+        if attr_info is not None:
+            ds.attributes.update(self._dense_attributes(attr_info))
+        self.datasets[path] = ds
+
+    def _parse_layout(self, data):
+        ver = data[0]
+        if ver == 3:
+            lclass = data[1]
+            if lclass == 0:  # compact
+                sz = _u(data, 2, 2)
+                return {"class": "compact", "data": data[4 : 4 + sz]}
+            if lclass == 1:  # contiguous
+                return {
+                    "class": "contiguous",
+                    "addr": _u(data, 2, 8),
+                    "size": _u(data, 10, 8),
+                }
+            if lclass == 2:  # chunked
+                ndim = data[2]
+                btree = _u(data, 3, 8)
+                chunk = tuple(
+                    _u(data, 11 + 4 * i, 4) for i in range(ndim)
+                )
+                # last entry is element size; chunk dims = ndim-1
+                return {
+                    "class": "chunked",
+                    "btree": btree,
+                    "chunk": chunk[:-1],
+                    "elem_size": chunk[-1],
+                }
+        raise Hdf5Error(f"layout v{ver} unsupported")
+
+    def _parse_filters(self, data):
+        ver = data[0]
+        out = []
+        if ver == 1:
+            n = data[1]
+            off = 8
+        elif ver == 2:
+            n = data[1]
+            off = 2
+        else:
+            raise Hdf5Error(f"filter pipeline v{ver}")
+        for _ in range(n):
+            fid = _u(data, off, 2)
+            if ver == 1 or fid >= 256:
+                name_len = _u(data, off + 2, 2)
+            else:
+                name_len = 0
+            flags = _u(data, off + 4, 2)
+            ncv = _u(data, off + 6, 2)
+            off += 8 + name_len
+            cvals = [_u(data, off + 4 * i, 4) for i in range(ncv)]
+            off += 4 * ncv
+            if ver == 1 and ncv % 2 == 1:
+                off += 4
+            out.append((fid, cvals))
+        return out
+
+    def _chunk_records(self, btree_addr, ndim):
+        """v1 B-tree (type 1) chunk records: (chunk_offset, addr, size,
+        filter_mask)."""
+        b = self.buf
+        out = []
+
+        def walk(addr):
+            if b[addr : addr + 4] != b"TREE":
+                raise Hdf5Error("bad chunk btree")
+            level = b[addr + 5]
+            n = _u(b, addr + 6, 2)
+            # key: chunk size(4) + filter mask(4) + ndim offsets (the
+            # caller's ndim already includes the trailing element dim)
+            key_size = 8 + 8 * ndim
+            p = addr + 24
+            entries = []
+            for i in range(n):
+                key = b[p : p + key_size]
+                p += key_size
+                child = _u(b, p, 8)
+                p += 8
+                entries.append((key, child))
+            for key, child in entries:
+                if level > 0:
+                    walk(child)
+                else:
+                    size = _u(key, 0, 4)
+                    mask = _u(key, 4, 4)
+                    offs = tuple(
+                        _u(key, 8 + 8 * i, 8) for i in range(ndim)
+                    )
+                    out.append((offs, child, size, mask))
+
+        walk(btree_addr)
+        return out
+
+    def read(self, name: str) -> np.ndarray:
+        """Materialize a dataset as a numpy array."""
+        ds = self.datasets[name]
+        shape = ds.dataspace.shape
+        dt = ds.datatype.np_dtype
+        if dt is None or ds.datatype.cls in (6, 9):
+            raise Hdf5Error(f"dataset {name}: unsupported datatype class")
+        n = 1
+        for d in shape:
+            n *= d
+        lay = ds.layout
+        if lay["class"] == "compact":
+            raw = lay["data"]
+            return np.frombuffer(raw, dtype=dt, count=n).reshape(shape)
+        if lay["class"] == "contiguous":
+            if lay["addr"] == UNDEF:  # never written: fill
+                fill = ds.attributes.get("_FillValue", 0)
+                return np.full(shape, fill, dtype=dt)
+            raw = self.buf[lay["addr"] : lay["addr"] + lay["size"]]
+            return np.frombuffer(raw, dtype=dt, count=n).reshape(shape)
+        # chunked
+        chunk = lay["chunk"]
+        ndim = len(chunk) + 1  # btree keys carry ndim+1 dims
+        out = np.zeros(shape, dtype=dt)
+        if lay["btree"] == UNDEF:
+            fill = ds.attributes.get("_FillValue", 0)
+            out[...] = fill
+            return out
+        for offs, addr, size, mask in self._chunk_records(
+            lay["btree"], ndim
+        ):
+            raw = self.buf[addr : addr + size]
+            for fid, cvals in reversed(ds.filters):
+                if mask and False:
+                    continue
+                if fid == 1:  # deflate
+                    raw = zlib.decompress(raw)
+                elif fid == 2:  # shuffle
+                    esz = cvals[0]
+                    arr = np.frombuffer(raw, dtype="u1")
+                    arr = (
+                        arr.reshape(esz, len(arr) // esz).T.reshape(-1)
+                    )
+                    raw = arr.tobytes()
+                elif fid == 3:  # fletcher32: strip trailing checksum
+                    raw = raw[:-4]
+                else:
+                    raise Hdf5Error(f"filter {fid} unsupported")
+            carr = np.frombuffer(raw, dtype=dt, count=int(np.prod(chunk)))
+            carr = carr.reshape(chunk)
+            sl = tuple(
+                slice(o, min(o + c, s))
+                for o, c, s in zip(offs[: len(shape)], chunk, shape)
+            )
+            csl = tuple(
+                slice(0, s.stop - s.start) for s in sl
+            )
+            out[sl] = carr[csl]
+        return out
+
+    # -- netCDF-4 dimension model ------------------------------------------
+
+    def _resolve_dimension_lists(self):
+        addr_to_name = {
+            d.header_addr: nm for nm, d in self.datasets.items()
+        }
+        for ds in self.datasets.values():
+            dl = ds.attributes.get("DIMENSION_LIST")
+            if not dl:
+                continue
+            names = []
+            for refs in dl:
+                if isinstance(refs, list) and refs:
+                    names.append(addr_to_name.get(refs[0], "?"))
+                else:
+                    names.append("?")
+            ds.attributes["_dim_names"] = names
+
+
+def read_hdf5(source) -> Hdf5File:
+    return Hdf5File(source)

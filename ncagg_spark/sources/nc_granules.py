@@ -60,28 +60,109 @@ _NP_TO_SPARK = {
 
 
 def _decode(blob: bytes, decoder: str) -> NcFile:
-    if decoder == "classic":
-        if not is_netcdf3(blob[:4]):
-            if blob[:4] == b"\x89HDF":
-                raise ValueError(
-                    "granule is NetCDF-4/HDF5; pass decoder='netcdf4' "
-                    "(requires the netCDF4 library in the environment)"
-                )
-            raise ValueError("not a NetCDF classic granule")
-        return read_netcdf3(blob)
+    if decoder in ("classic", "auto"):
+        if is_netcdf3(blob[:4]):
+            return read_netcdf3(blob)
+        if blob[:4] == b"\x89HDF":
+            if decoder == "auto":
+                return _decode_hdf5(blob)
+            raise ValueError(
+                "granule is NetCDF-4/HDF5; pass decoder='auto' (built-in "
+                "minimal HDF5 reader) or decoder='netcdf4' (library)"
+            )
+        raise ValueError("not a NetCDF granule")
+    if decoder == "hdf5":
+        return _decode_hdf5(blob)
     if decoder == "netcdf4":
         try:
             import netCDF4  # noqa: F401
         except ImportError as e:
             raise NotImplementedError(
-                "NetCDF-4/HDF5 granules need the netCDF4 library, which "
-                "is not installed in this environment; plug a decoder in "
+                "decoder='netcdf4' needs the netCDF4 library, which is "
+                "not installed in this environment; use decoder='auto' "
+                "(built-in minimal HDF5 reader) or plug a decoder in "
                 "here (contract: bytes -> sources.netcdf3.NcFile)"
             ) from e
         raise NotImplementedError(
             "netCDF4-backed decode not wired in this environment"
         )
     raise ValueError(f"unknown decoder: {decoder!r}")
+
+
+def _decode_hdf5(blob: bytes) -> NcFile:
+    """NetCDF-4 (HDF5 container) -> NcFile via the pure-Python minimal
+    HDF5 reader (sources/hdf5.py). Maps the netCDF-4 data model onto the
+    classic one: dimension-scale datasets become dims (unlimited when
+    their maxshape is H5S_UNLIMITED), every other root dataset becomes a
+    variable with dims resolved from DIMENSION_LIST. Variables whose
+    datatype the minimal reader can't materialize (vlen/compound data)
+    are skipped — schema-level presence without data loses to an
+    explicit skip."""
+    from ncagg_spark.sources.hdf5 import UNDEF, Hdf5Error, read_hdf5
+    from ncagg_spark.sources.netcdf3 import NcDim, NcVar
+
+    h5 = read_hdf5(blob)
+    dims: dict[str, NcDim] = {}
+    variables: dict[str, NcVar] = {}
+    data: dict[str, np.ndarray] = {}
+    numrecs = 0
+
+    def is_dim_scale(ds) -> bool:
+        return ds.attributes.get("CLASS") == "DIMENSION_SCALE"
+
+    for name, ds in h5.datasets.items():
+        if not is_dim_scale(ds):
+            continue
+        unlimited = bool(
+            ds.dataspace.maxshape and ds.dataspace.maxshape[0] == UNDEF
+        )
+        size = 0 if unlimited else (
+            ds.dataspace.shape[0] if ds.dataspace.shape else 1
+        )
+        dims[name] = NcDim(name, size)
+
+    for name, ds in h5.datasets.items():
+        if is_dim_scale(ds) and "_dim_names" not in ds.attributes:
+            continue  # pure dimension scale, no data role
+        shape = ds.dataspace.shape
+        dim_names = ds.attributes.get("_dim_names") or [
+            f"phony_dim_{i}_{s}" for i, s in enumerate(shape)
+        ]
+        for dn, s in zip(dim_names, shape):
+            if dn not in dims:
+                dims[dn] = NcDim(dn, s)
+        try:
+            arr = h5.read(name)
+        except Hdf5Error:
+            continue  # vlen/compound data: explicit skip
+        is_rec = bool(dim_names) and dims[dim_names[0]].size == 0
+        if is_rec:
+            numrecs = max(numrecs, shape[0] if shape else 0)
+        attrs = {
+            k: v
+            for k, v in ds.attributes.items()
+            if not k.startswith("_Netcdf4")
+            and k not in ("CLASS", "NAME", "DIMENSION_LIST", "_dim_names",
+                          "REFERENCE_LIST")
+        }
+        v = NcVar(
+            name=name, dims=list(dim_names), nc_type=0, attributes=attrs
+        )
+        v.is_record = is_rec
+        v.shape = tuple(
+            -1 if dims[d].size == 0 else dims[d].size for d in dim_names
+        )
+        variables[name] = v
+        data[name] = arr
+
+    return NcFile(
+        dims=list(dims.values()),
+        variables=variables,
+        attributes=h5.root_attributes,
+        numrecs=numrecs,
+        version=4,
+        data=data,
+    )
 
 
 def _record_var_fields(nc: NcFile) -> list[tuple[str, T.DataType, bool]]:
@@ -107,7 +188,7 @@ def _record_var_fields(nc: NcFile) -> list[tuple[str, T.DataType, bool]]:
     return fields
 
 
-def nc_schema(path_or_bytes, *, decoder: str = "classic") -> T.StructType:
+def nc_schema(path_or_bytes, *, decoder: str = "auto") -> T.StructType:
     """Spark schema of a granule's record variables (+ provenance)."""
     if isinstance(path_or_bytes, str):
         with open(path_or_bytes, "rb") as f:
@@ -122,7 +203,7 @@ def nc_schema(path_or_bytes, *, decoder: str = "classic") -> T.StructType:
     return T.StructType(fields)
 
 
-def nc_attributes(path: str, *, decoder: str = "classic") -> dict:
+def nc_attributes(path: str, *, decoder: str = "auto") -> dict:
     """Global + per-variable attributes of one granule (header only)."""
     with open(path, "rb") as f:
         blob = f.read()
@@ -381,7 +462,7 @@ def read_nc_granules(
     paths: str | Sequence[str],
     *,
     columns: Sequence[str] | None = None,
-    decoder: str = "classic",
+    decoder: str = "auto",
     schema: T.StructType | None = None,
     schema_sample: str | None = None,
 ) -> DataFrame:
@@ -408,7 +489,7 @@ def read_nc_granules(
     )
 
 
-def granule_parse_fn(schema: T.StructType, decoder: str = "classic"):
+def granule_parse_fn(schema: T.StructType, decoder: str = "auto"):
     """The (path, content) -> rows decode closure — shared by the batch
     reader above and the streaming source
     (streaming/regularize.py:incremental_aggregate_nc)."""

@@ -144,7 +144,7 @@ def incremental_aggregate_nc(
     *,
     schema_sample: str,
     anchor: str = "grid",
-    decoder: str = "classic",
+    decoder: str = "auto",
     available_now: bool = True,
     extra_stream_options: dict[str, Any] | None = None,
 ) -> StreamingQuery:

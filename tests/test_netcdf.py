@@ -151,10 +151,17 @@ def test_nc_attributes_probe(tmp_path):
     assert a["variables"]["time"]["units"] == "seconds since 1970-01-01"
 
 
-def test_netcdf4_decoder_is_declared_seam(spark, tmp_path):
+def test_netcdf4_library_decoder_is_declared_seam(spark, tmp_path):
     p = tmp_path / "h.nc"
     p.write_bytes(b"\x89HDF\r\n\x1a\n" + b"\x00" * 64)
-    with pytest.raises(ValueError, match="netcdf4"):
+    with pytest.raises(NotImplementedError, match="netCDF4 library"):
+        read_nc_granules(spark, str(p), decoder="netcdf4").collect()
+
+
+def test_auto_decoder_rejects_corrupt_hdf5(spark, tmp_path):
+    p = tmp_path / "h.nc"
+    p.write_bytes(b"\x89HDF\r\n\x1a\n" + b"\x00" * 64)
+    with pytest.raises(Exception):
         read_nc_granules(spark, str(p)).collect()
 
 

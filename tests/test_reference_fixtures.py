@@ -1,0 +1,119 @@
+"""Parity tests against the reference's OWN NetCDF-4 fixtures (read-only
+at /root/reference/test/**/data/*.nc) — possible because of the minimal
+pure-Python HDF5 reader (sources/hdf5.py).
+
+The flagship here mirrors the reference's EXIS test verbatim
+(reference: test/exis/EXISL1bSFXR_5min/test_EXISL1bSFXR.py
+test_exis_with_config): aggregate the 13 real EXIS-L1b-SFXR granules at
+1 Hz over 2017-03-05 00:30:00–00:35:00 and assert the output time steps
+are exactly 1 s with bounds containment — the same assertions the
+reference makes on its own output.
+"""
+
+from __future__ import annotations
+
+import glob
+from datetime import datetime, timezone
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+REF = "/root/reference/test"
+
+pytestmark = pytest.mark.skipif(
+    not glob.glob(f"{REF}/*/*/data/*.nc"),
+    reason="reference fixtures not present",
+)
+
+
+def test_hdf5_decodes_every_fixture_product():
+    from ncagg_spark.sources.nc_granules import _decode
+
+    prod_dirs = sorted(glob.glob(f"{REF}/*/*/data"))
+    assert len(prod_dirs) >= 15
+    for d in prod_dirs:
+        ps = sorted(glob.glob(d + "/*.nc"))
+        if not ps:
+            continue
+        nc = _decode(open(ps[0], "rb").read(), "auto")
+        assert nc.variables, d
+        assert nc.version == 4
+
+
+def test_mag_granule_values_sane():
+    from ncagg_spark.sources.hdf5 import read_hdf5
+
+    p = sorted(
+        glob.glob(f"{REF}/mag/MAGL1bGEOF_1min/data/*.nc")
+    )[1]
+    f = read_hdf5(p)
+    t = f.read("OB_time")
+    assert t.shape == (60, 10)
+    # 1 Hz reports, 10 Hz samples (the reference's multidim index case)
+    assert np.all(np.diff(t[:, 0]) > 0.99)
+    assert np.all(np.abs(np.diff(t[0]) - 0.1) < 0.01)
+    assert (
+        f.datasets["OB_time"].attributes["units"]
+        == "seconds since 2000-01-01 12:00:00"
+    )
+    q = f.read("attitude_quat_Q3")
+    assert np.all(np.abs(q) <= 1.0)
+
+
+def test_spark_reads_real_mag_granules(spark):
+    from ncagg_spark.sources.nc_granules import read_nc_granules
+
+    paths = sorted(glob.glob(f"{REF}/mag/MAGL1bGEOF_1min/data/*.nc"))
+    assert len(paths) == 2
+    df = read_nc_granules(
+        spark,
+        paths,
+        decoder="auto",
+        columns=["OB_time", "attitude_quat_Q3", "OB_status"],
+    )
+    assert df.count() == 120  # 2 granules x 60 reports
+    assert dict(df.dtypes)["OB_time"] == "array<double>"
+    assert df.select("granule").distinct().count() == 2
+
+
+def test_exis_5min_aggregation_parity(spark, tmp_path):
+    """The reference's own 5-minute EXIS aggregation, re-run on this
+    engine: 1 Hz grid over [00:30, 00:35), every step exactly one
+    cadence, bounds contained — the reference asserts diff(time) == 1.0
+    +/- 0.001 on its output; the fill-enabled twin here asserts the
+    same on real records and exact grid placement on fills."""
+    from ncagg_spark.api import aggregate_nc
+    from ncagg_spark.config import AggregationConfig
+
+    paths = sorted(glob.glob(f"{REF}/exis/EXISL1bSFXR_5min/data/*.nc"))
+    assert len(paths) == 13
+    start = datetime(2017, 3, 5, 0, 30, tzinfo=timezone.utc)
+    end = datetime(2017, 3, 5, 0, 35, tzinfo=timezone.utc)
+    cfg = AggregationConfig(
+        index_by="time",
+        cadence_hz=1.0,
+        min_bound=start.timestamp(),
+        max_bound=end.timestamp(),
+    )
+    out = str(tmp_path / "exis5")
+    aggregate_nc(spark, paths, out, cfg, decoder="auto")
+    got = spark.read.parquet(out)
+    assert got.count() == 300  # exact 1 Hz slot grid over 5 minutes
+
+    rows = (
+        got.select("time", "is_fill", F.unix_micros("time").alias("us"))
+        .orderBy("time")
+        .collect()
+    )
+    us = np.array([r["us"] for r in rows], dtype="int64")
+    # bounds containment (reference: time[0] >= start, time[-1] < end)
+    assert us[0] >= int(start.timestamp() * 1e6)
+    assert us[-1] < int(end.timestamp() * 1e6)
+    # the reference's regularity assertion: every step 1 s +/- 1 ms
+    d = np.diff(us) / 1e6
+    assert abs(d.min() - 1.0) < 1e-3
+    assert abs(d.max() - 1.0) < 1e-3
+    # real data present (most of the window is covered by granules)
+    n_real = sum(1 for r in rows if not r["is_fill"])
+    assert n_real > 200
