@@ -94,7 +94,9 @@ def aggregate_nc(
 
     if isinstance(files, str):
         files = [files]
-    df = read_nc_granules(spark, files, decoder=decoder)
+    df = read_nc_granules(
+        spark, files, decoder=decoder, grain_of=config.index_by
+    )
     index_sources = [
         config.index_by,
         *config.copy_from_alt.get(config.index_by, []),

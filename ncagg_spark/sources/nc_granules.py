@@ -121,13 +121,29 @@ def _decode_hdf5(blob: bytes) -> NcFile:
         )
         dims[name] = NcDim(name, size)
 
+    def is_placeholder_scale(ds) -> bool:
+        # netCDF-4 writes dimensions WITHOUT a coordinate variable as
+        # placeholder scales tagged "This is a netCDF dimension but not
+        # a netCDF variable"; a real coordinate variable (e.g. a `time`
+        # coord on a `time` dim) is a dimension scale carrying data
+        nm = ds.attributes.get("NAME", "")
+        return isinstance(nm, str) and nm.startswith(
+            "This is a netCDF dimension"
+        )
+
     for name, ds in h5.datasets.items():
-        if is_dim_scale(ds) and "_dim_names" not in ds.attributes:
+        if is_dim_scale(ds) and is_placeholder_scale(ds):
             continue  # pure dimension scale, no data role
         shape = ds.dataspace.shape
-        dim_names = ds.attributes.get("_dim_names") or [
-            f"phony_dim_{i}_{s}" for i, s in enumerate(shape)
-        ]
+        if is_dim_scale(ds):
+            # coordinate variable: its own name is its dimension
+            dim_names = [name] + [
+                f"phony_dim_{i}_{s}" for i, s in enumerate(shape[1:], 1)
+            ]
+        else:
+            dim_names = ds.attributes.get("_dim_names") or [
+                f"phony_dim_{i}_{s}" for i, s in enumerate(shape)
+            ]
         for dn, s in zip(dim_names, shape):
             if dn not in dims:
                 dims[dn] = NcDim(dn, s)
@@ -165,16 +181,28 @@ def _decode_hdf5(blob: bytes) -> NcFile:
     )
 
 
-def _record_var_fields(nc: NcFile) -> list[tuple[str, T.DataType, bool]]:
+def _record_var_fields(
+    nc: NcFile, grain_of: str | None = None
+) -> list[tuple[str, T.DataType, bool]]:
     """(name, spark_type, is_array) for each record variable.
 
     char matrices (record x strlen) surface as StringType; variables with
     one trailing non-record dim surface as arrays; deeper nesting as
-    nested arrays.
+    nested arrays. ``grain_of`` names a variable whose record dimension
+    selects the grain: netCDF-4 granules may carry SEVERAL unlimited
+    dims (the reference aggregates one per run, ncagg/aggregator.py:
+    54-85), and only vars sharing the grain's record dim become columns.
     """
+    grain_dim = None
+    if grain_of is not None:
+        gv = nc.variables.get(grain_of)
+        if gv is not None and gv.dims:
+            grain_dim = gv.dims[0]
     fields = []
     for name, v in nc.variables.items():
         if not v.is_record:
+            continue
+        if grain_dim is not None and (not v.dims or v.dims[0] != grain_dim):
             continue
         arr = nc.data[name]
         if arr.dtype.kind == "S":
@@ -188,8 +216,12 @@ def _record_var_fields(nc: NcFile) -> list[tuple[str, T.DataType, bool]]:
     return fields
 
 
-def nc_schema(path_or_bytes, *, decoder: str = "auto") -> T.StructType:
-    """Spark schema of a granule's record variables (+ provenance)."""
+def nc_schema(
+    path_or_bytes, *, decoder: str = "auto", grain_of: str | None = None
+) -> T.StructType:
+    """Spark schema of a granule's record variables (+ provenance).
+    ``grain_of`` restricts to the record dimension of that variable
+    (multi-unlimited-dim granules)."""
     if isinstance(path_or_bytes, str):
         with open(path_or_bytes, "rb") as f:
             blob = f.read()
@@ -197,7 +229,8 @@ def nc_schema(path_or_bytes, *, decoder: str = "auto") -> T.StructType:
         blob = path_or_bytes
     nc = _decode(blob, decoder)
     fields = [
-        T.StructField(n, t, True) for n, t, _ in _record_var_fields(nc)
+        T.StructField(n, t, True)
+        for n, t, _ in _record_var_fields(nc, grain_of)
     ]
     fields.append(T.StructField(GRANULE_COL, T.StringType(), True))
     return T.StructType(fields)
@@ -219,15 +252,28 @@ def nc_attributes(path: str, *, decoder: str = "auto") -> dict:
 def _granule_frame(
     nc: NcFile, path: str, schema: T.StructType
 ) -> pd.DataFrame:
+    # frame length = the record count of THIS schema's grain: the first
+    # schema variable present in the granule (multi-unlimited-dim files
+    # have different record counts per grain)
     n = nc.numrecs
+    for f in schema.fields:
+        v = nc.variables.get(f.name)
+        if v is not None and v.is_record and f.name in nc.data:
+            n = len(nc.data[f.name])
+            break
     cols: dict[str, object] = {}
     for f in schema.fields:
         if f.name == GRANULE_COL:
             cols[f.name] = [path] * n
             continue
         v = nc.variables.get(f.name)
-        if v is None or not v.is_record:
-            cols[f.name] = [None] * n  # P4: missing variable -> nulls
+        if (
+            v is None
+            or not v.is_record
+            or f.name not in nc.data
+            or len(nc.data[f.name]) != n
+        ):
+            cols[f.name] = [None] * n  # P4: missing/off-grain -> nulls
             continue
         arr = nc.data[f.name]
         if arr.dtype.kind == "S":
@@ -465,18 +511,24 @@ def read_nc_granules(
     decoder: str = "auto",
     schema: T.StructType | None = None,
     schema_sample: str | None = None,
+    grain_of: str | None = None,
 ) -> DataFrame:
     """Read `.nc` granules into a tall DataFrame (one row per record).
 
     The schema comes from ``schema`` if given, else from probing
     ``schema_sample`` (default: the first path). Granules missing a
     schema variable contribute nulls for it (P4); extra variables in a
-    granule are ignored (template projection, P1).
+    granule are ignored (template projection, P1). ``grain_of`` selects
+    the record dimension of that variable when a granule carries several
+    unlimited dims (one grain per read, like the reference's per-dim
+    aggregation).
     """
     if isinstance(paths, str):
         paths = [paths]
     if schema is None:
-        schema = nc_schema(schema_sample or paths[0], decoder=decoder)
+        schema = nc_schema(
+            schema_sample or paths[0], decoder=decoder, grain_of=grain_of
+        )
     if columns:
         keep = set(columns) | {GRANULE_COL}
         schema = T.StructType(

