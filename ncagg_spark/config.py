@@ -63,6 +63,12 @@ class AggregationConfig:
     # output column -> ordered list of alternate source columns
     # (reference: copy_from_alt, ncagg/config.py:282-289)
     copy_from_alt: dict[str, list[str]] = field(default_factory=dict)
+    # cadence-slot alignment: slot = floor((t - origin)/step + phase).
+    # 0.0 (default) = floor buckets [k, k+1) — the engine's oracle-checked
+    # semantics; 0.5 = NEAREST-slot buckets [k-1/2, k+1/2), the
+    # reference's phase (its too-close chop merges records within half a
+    # cadence of each other, ncagg/aggrelist.py:290-293)
+    bucket_phase: float = 0.0
     # global-attribute name -> strategy name (see plans/attributes.py)
     # (reference: ncagg/config.py:355-382)
     attribute_strategies: dict[str, str] = field(default_factory=dict)

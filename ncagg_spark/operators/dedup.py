@@ -36,12 +36,16 @@ BUCKET_COL = "__bucket"
 
 
 def cadence_bucket(
-    df: DataFrame, index_col: str, origin_us: int, step_us: int
+    df: DataFrame, index_col: str, origin_us: int, step_us: int,
+    phase: float = 0.0,
 ) -> DataFrame:
     """Add the integer cadence-slot column. Index may be TIMESTAMP or
-    TIMESTAMP_NTZ (epoch_us tolerates both)."""
+    TIMESTAMP_NTZ (epoch_us tolerates both). ``phase=0.5`` gives
+    nearest-slot assignment (the reference's alignment); 0.0 gives
+    floor buckets (the oracle-checked default)."""
     b = F.floor(
         (epoch_us(index_col) - F.lit(origin_us)) / F.lit(step_us)
+        + F.lit(float(phase))
     ).cast("long")
     return df.withColumn(BUCKET_COL, b)
 

@@ -61,7 +61,10 @@ def regularize(
     if cfg.cadence_hz is not None:
         if lo_us is None or hi_us is None:
             raise ValueError("cadence regularization requires both bounds")
-        df = cadence_bucket(df, ix, origin_us=lo_us, step_us=cfg.step_us)
+        df = cadence_bucket(
+            df, ix, origin_us=lo_us, step_us=cfg.step_us,
+            phase=getattr(cfg, 'bucket_phase', 0.0),
+        )
         df = dedup_cadence(df, ix, tiebreak=cfg.tiebreak)
         df = gap_fill(
             spark,

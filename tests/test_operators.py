@@ -183,3 +183,29 @@ def test_per_file_scalar_grain(spark):
     m = build_manifest(df, "ts", file_col="src", attr_cols=["crota"])
     got = {r[FILE_COL]: (r["crota"], r["row_count"]) for r in m.collect()}
     assert got == {"f1": (0.75, 2), "f2": (0.80, 1)}
+
+
+def test_cadence_bucket_phase_nearest_slot(spark):
+    """bucket_phase=0.5 assigns jittered records to their NEAREST slot
+    (the reference's alignment): a record at k*step - 0.05s belongs to
+    slot k, not k-1. Default phase 0 keeps floor semantics (the
+    oracle-checked driver queries)."""
+    from ncagg_spark.operators.dedup import cadence_bucket
+
+    t0 = 1_704_153_600_000_000
+    us = [t0 + 950_000, t0 + 1_050_000, t0 + 2_499_000, t0 + 2_501_000]
+    df = spark.createDataFrame([(u,) for u in us], "us long").select(
+        F.timestamp_micros(F.col("us")).alias("ts")
+    )
+    floor_b = [
+        r[0]
+        for r in cadence_bucket(df, "ts", t0, 1_000_000)
+        .select("__bucket").orderBy("ts").collect()
+    ]
+    near_b = [
+        r[0]
+        for r in cadence_bucket(df, "ts", t0, 1_000_000, phase=0.5)
+        .select("__bucket").orderBy("ts").collect()
+    ]
+    assert floor_b == [0, 1, 2, 2]
+    assert near_b == [1, 1, 2, 3]
