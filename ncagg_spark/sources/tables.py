@@ -35,6 +35,27 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import TimestampNTZType
 
 
+# Per-path footer schema cache: one driver-side metadata read per path
+# per process, shared by _timestamp_layout and _uint64_cols.  The driver
+# testdata is immutable within a run; for long-lived sessions over
+# mutable paths call clear_schema_cache().  Keyed by the raw path string
+# (the granularity callers use).
+_SCHEMA_CACHE: dict[str, pa.Schema] = {}
+
+
+def _footer_schema(path: str) -> pa.Schema:
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        schema = pa_ds.dataset(path, format="parquet").schema
+        _SCHEMA_CACHE[path] = schema
+    return schema
+
+
+def clear_schema_cache() -> None:
+    """Drop cached footer schemas (e.g. after rewriting a table in place)."""
+    _SCHEMA_CACHE.clear()
+
+
 def _timestamp_layout(path: str) -> tuple[list[str], list[str]]:
     """Footer probe -> (nanos_cols, us_ntz_cols).
 
@@ -43,7 +64,7 @@ def _timestamp_layout(path: str) -> tuple[list[str], list[str]]:
     no timezone — Spark reads TIMESTAMP_NTZ (since inferTimestampNTZ
     defaults on); we cast to TimestampType post-read.
     """
-    schema = pa_ds.dataset(path, format="parquet").schema
+    schema = _footer_schema(path)
     nanos, ntz = [], []
     for f in schema:
         if not pat.is_timestamp(f.type):
@@ -59,8 +80,7 @@ def _uint64_cols(path: str) -> list[str]:
     """Columns that are genuinely parquet UINT_64 per the footer — the
     only ones unsigned normalization may touch (a decimal(20,0) Spark
     type alone could be real decimal data)."""
-    schema = pa_ds.dataset(path, format="parquet").schema
-    return [f.name for f in schema if f.type == pa.uint64()]
+    return [f.name for f in _footer_schema(path) if f.type == pa.uint64()]
 
 
 def _ntz_literal(epoch_us: int):

@@ -137,3 +137,28 @@ def test_load_table_tz_aware_layout(spark, tmp_path):
     assert "GreaterThanOrEqual(ts" in plan
     got = [r[0] for r in df.select(F.unix_micros("ts")).orderBy("rid").collect()]
     assert got == us[2:7]
+
+
+def test_footer_probe_cached_per_path(spark, ntz_path, monkeypatch):
+    """load_table must hit the pyarrow footer once per path per process:
+    the probed layout is cached so repeated loads (50 driver queries over
+    the same handful of tables) pay zero extra driver metadata reads."""
+    from ncagg_spark.sources import tables as tables_mod
+
+    tables_mod.clear_schema_cache()
+    calls = {"n": 0}
+    real_dataset = tables_mod.pa_ds.dataset
+
+    def counting_dataset(*a, **kw):
+        calls["n"] += 1
+        return real_dataset(*a, **kw)
+
+    monkeypatch.setattr(tables_mod.pa_ds, "dataset", counting_dataset)
+    try:
+        load_table(spark, ntz_path)
+        load_table(spark, ntz_path)
+        # _uint64_cols shares the same cached schema
+        assert tables_mod._uint64_cols(ntz_path) == []
+        assert calls["n"] == 1
+    finally:
+        tables_mod.clear_schema_cache()
