@@ -26,6 +26,23 @@ from ncagg_spark.sources.granules import GRANULE_COL, read_granules
 from ncagg_spark.sources.writer import write_aggregate
 
 
+def _first_nc_file(spec: str) -> str:
+    """Resolve a file / glob / directory source spec to one concrete
+    `.nc` file for driver-side header probing (schema + attributes)."""
+    import glob as _glob
+    import os
+
+    if os.path.isfile(spec):
+        return spec
+    if os.path.isdir(spec):
+        matches = sorted(_glob.glob(os.path.join(spec, "*.nc")))
+    else:
+        matches = sorted(m for m in _glob.glob(spec) if os.path.isfile(m))
+    if not matches:
+        raise FileNotFoundError(f"no .nc file matches source {spec!r}")
+    return matches[0]
+
+
 def aggregate(
     spark: SparkSession,
     files: str | Sequence[str],
@@ -101,7 +118,11 @@ def aggregate_nc(
         config.index_by,
         *config.copy_from_alt.get(config.index_by, []),
     ]
-    var_attrs = nc_attributes(files[0], decoder=decoder)["variables"]
+    # the driver-side header probe needs ONE real file — the source list
+    # may lead with a glob or directory (binaryFile accepts those)
+    var_attrs = nc_attributes(
+        _first_nc_file(files[0]), decoder=decoder
+    )["variables"]
     for ix in index_sources:
         units = (var_attrs.get(ix) or {}).get("units")
         if (

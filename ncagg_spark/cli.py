@@ -39,6 +39,25 @@ from ncagg_spark.functions.time import parse_partial_datetime
 from ncagg_spark.session import get_spark
 
 
+def _source_kinds(src: list[str]) -> set[str]:
+    """Classify each source (file / glob / directory) as 'nc' or
+    'parquet', resolving globs and peeking into directories so route
+    selection sees what the reader will actually consume."""
+    import glob as _glob
+    import os
+
+    kinds: set[str] = set()
+    for s in src:
+        matches = _glob.glob(s) if any(c in s for c in "*?[") else [s]
+        for m in matches or [s]:
+            if os.path.isdir(m):
+                has_nc = bool(_glob.glob(os.path.join(m, "*.nc")))
+                kinds.add("nc" if has_nc else "parquet")
+            else:
+                kinds.add("nc" if m.endswith(".nc") else "parquet")
+    return kinds
+
+
 def parse_bounds(spec: str) -> tuple:
     """'YYYYMMDD' -> that period; 'A:B' -> [start(A), end(B))."""
     if ":" in spec:
@@ -162,8 +181,18 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name="ncagg-aggregate", cpus=args.cpus)
     # native .nc granules route through the NetCDF source (the
-    # reference's own input format); parquet stays the default
-    agg_fn = aggregate_nc if all(s.endswith(".nc") for s in src) else aggregate
+    # reference's own input format); parquet stays the default. A mixed
+    # source list is an explicit error — silently routing .nc files to
+    # the parquet reader fails later with an unrelated error.
+    kinds = _source_kinds(src)
+    if kinds == {"nc", "parquet"}:
+        print(
+            "error: mixed .nc and parquet sources — aggregate them "
+            "separately (or convert one side)",
+            file=sys.stderr,
+        )
+        return 2
+    agg_fn = aggregate_nc if kinds == {"nc"} else aggregate
     nc_dst = args.dst.endswith(".nc")
     parquet_dst = args.dst[:-3] + "_parquet" if nc_dst else args.dst
     out = agg_fn(

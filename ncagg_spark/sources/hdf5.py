@@ -343,7 +343,15 @@ class Hdf5File:
                         if r < max_rows_direct():
                             add_direct(child, sz, off_)
                         else:
-                            walk_indirect(child, 16, off_)  # nested
+                            # Nested indirect blocks: their row count is
+                            # derived from the covered heap size per spec;
+                            # no netCDF-4 writer fixture produces them —
+                            # fail explicitly rather than guess (the
+                            # declared unsupported-feature contract).
+                            raise Hdf5Error(
+                                "nested fractal-heap indirect blocks "
+                                "unsupported"
+                            )
                     off_ += sz
 
         def max_rows_direct():
@@ -768,8 +776,10 @@ class Hdf5File:
             lay["btree"], ndim
         ):
             raw = self.buf[addr : addr + size]
-            for fid, cvals in reversed(ds.filters):
-                if mask and False:
+            # mask bit i set => filter i (pipeline order) was SKIPPED for
+            # this chunk when written (e.g. compression grew the data)
+            for fidx, (fid, cvals) in reversed(list(enumerate(ds.filters))):
+                if mask & (1 << fidx):
                     continue
                 if fid == 1:  # deflate
                     raw = zlib.decompress(raw)

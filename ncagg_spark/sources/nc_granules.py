@@ -349,15 +349,33 @@ def write_nc_aggregate(
         col = pdf[name]
         first = next((v for v in col if v is not None), None)
         if isinstance(first, (list, np.ndarray)):
-            inner = len(first)
+            # inner width from the widest non-null row (the first row may
+            # be an empty list); short rows pad with NaN
+            inner = max((len(v) for v in col if v is not None), default=0)
+            if inner == 0:
+                raise ValueError(
+                    f"array column {name!r} has no non-empty rows — "
+                    "cannot derive a fixed inner dimension"
+                )
             dim_name = f"{name}_dim1"
             dims.append((dim_name, inner))
+            # int64 only when every row is present and integral: null rows
+            # fill with NaN, which int64 cannot represent (ADVICE r4)
+            has_null = any(v is None or len(v) < inner for v in col)
+            is_int = (
+                len(first) > 0
+                and isinstance(first[0], (int, np.integer))
+                and not isinstance(first[0], bool)
+            )
             fill = [np.nan] * inner
             mat = np.array(
-                [list(v) if v is not None else fill for v in col],
-                dtype="float64"
-                if not isinstance(first[0], (int, np.integer))
-                else "int64",
+                [
+                    list(v) + [np.nan] * (inner - len(v))
+                    if v is not None
+                    else fill
+                    for v in col
+                ],
+                dtype="int64" if (is_int and not has_null) else "float64",
             )
             variables[name] = ([record_dim, dim_name], mat)
         elif col.dtype == object and isinstance(first, str):

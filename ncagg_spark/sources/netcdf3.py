@@ -330,6 +330,44 @@ def _att_type(v) -> int:
     return _NP_TO_NC[str(a.dtype)]
 
 
+_I32_MIN, _I32_MAX = -(2**31), 2**31 - 1
+
+
+def _coerce_classic_attrs(attrs: dict) -> tuple[dict, bool]:
+    """Downcast CDF-5-only attribute types to classic equivalents.
+
+    A plain Python int maps to NC_INT64 (CDF-5-only); embedding that in a
+    CDF-1/2 header makes an invalid classic file that netCDF-C rejects.
+    Per common netCDF practice, integer attributes that fit int32 become
+    NC_INT; values that genuinely need 64 bits keep their type and the
+    second return is False (caller must promote to CDF-5 or raise).
+    """
+    out, ok = {}, True
+    for k, v in attrs.items():
+        if isinstance(v, str):
+            out[k] = v
+            continue
+        a = np.atleast_1d(np.asarray(v))
+        t = _NP_TO_NC.get(str(a.dtype))
+        if t in _CDF5_ONLY:
+            if (
+                np.issubdtype(a.dtype, np.integer)
+                and a.size
+                and int(a.min()) >= _I32_MIN
+                and int(a.max()) <= _I32_MAX
+            ):
+                # keep numpy int32 (a plain Python int would re-map to
+                # NC_INT64 at write time)
+                a32 = a.astype(np.int32)
+                out[k] = a32 if a32.size > 1 else a32[0]
+            else:
+                out[k] = v
+                ok = False
+        else:
+            out[k] = v
+    return out, ok
+
+
 def write_netcdf3(
     path_or_buf,
     *,
@@ -364,10 +402,38 @@ def write_netcdf3(
         nc_types[name] = t
         if vdims and vdims[0] == rec_dim:
             numrecs = max(numrecs, a.shape[0])
-    if version is None:
-        version = (
-            5 if any(t in _CDF5_ONLY for t in nc_types.values()) else 2
+
+    # Version selection must account for ATTRIBUTE types too: a type-10
+    # (NC_INT64) attribute inside a CDF-1/2 header is an invalid classic
+    # file (ADVICE r4). Variables force CDF-5 as before; attributes are
+    # first downcast to classic types when their values fit, and only
+    # promote the version when they genuinely need 64 bits.
+    var_needs5 = any(t in _CDF5_ONLY for t in nc_types.values())
+    if version in (1, 2) and var_needs5:
+        raise ValueError(
+            "variable dtype requires CDF-5 but version="
+            f"{version} was requested"
         )
+    if version == 5 or (version is None and var_needs5):
+        version = 5
+    else:
+        g_attrs, g_ok = _coerce_classic_attrs(attributes)
+        v_attrs, v_ok = {}, True
+        for vn, d in var_attributes.items():
+            cd, ok = _coerce_classic_attrs(d)
+            v_attrs[vn] = cd
+            v_ok &= ok
+        if g_ok and v_ok:
+            attributes, var_attributes = g_attrs, v_attrs
+            if version is None:
+                version = 2
+        elif version is None:
+            version = 5
+        else:
+            raise ValueError(
+                "attribute type requires CDF-5 but version="
+                f"{version} was requested"
+            )
 
     # variable headers need data offsets; lay out fixed vars first, then
     # record vars (spec ordering), computing vsize (padded) per var

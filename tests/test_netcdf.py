@@ -343,3 +343,122 @@ def test_write_nc_granules_distributed_export(spark, tmp_path):
     # CF units attribute present on every granule
     a = nc_attributes(manifest[0]["path"])
     assert a["variables"]["time"]["units"].startswith("seconds since")
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r4 pins: version selection must honor ATTRIBUTE types too
+# ---------------------------------------------------------------------------
+
+
+def test_plain_int_attr_stays_classic():
+    """A plain Python int attribute (-> int64) must NOT produce a CDF-2
+    file with an embedded CDF-5-only NC_INT64 attribute; it downcasts to
+    NC_INT when the value fits (common netCDF practice)."""
+    blob = write_netcdf3(
+        None,
+        dims=[("t", 0)],
+        variables={"t": (["t"], np.arange(3.0))},
+        attributes={"count": 5},
+        var_attributes={"t": {"n": 7}},
+    )
+    assert blob[3] == 2  # still classic
+    f = read_netcdf3(blob)
+    assert f.attributes["count"] == 5
+    assert f.variables["t"].attributes["n"] == 7
+    # no CDF-5-only attr type byte anywhere in the header: type word of
+    # the 'count' attribute is NC_INT (4), not NC_INT64 (10)
+    i = blob.index(b"count")
+    assert struct.unpack(">I", blob[i + 8 : i + 12])[0] == 4
+
+
+def test_big_int_attr_promotes_to_cdf5():
+    blob = write_netcdf3(
+        None,
+        dims=[("t", 0)],
+        variables={"t": (["t"], np.arange(3.0))},
+        attributes={"mask": 1 << 40},
+    )
+    assert blob[3] == 5
+    assert read_netcdf3(blob).attributes["mask"] == 1 << 40
+
+
+def test_explicit_classic_version_rejects_64bit():
+    with pytest.raises(ValueError, match="attribute type requires CDF-5"):
+        write_netcdf3(
+            None,
+            dims=[("t", 0)],
+            variables={"t": (["t"], np.arange(3.0))},
+            attributes={"mask": 1 << 40},
+            version=2,
+        )
+    with pytest.raises(ValueError, match="variable dtype requires CDF-5"):
+        write_netcdf3(
+            None,
+            dims=[("t", 0)],
+            variables={"t": (["t"], np.arange(3, dtype="int64"))},
+            version=2,
+        )
+
+
+def test_write_nc_aggregate_int_array_with_nulls(spark, tmp_path):
+    """Integer array columns containing null rows must export as float64
+    with NaN fill instead of crashing np.array (ADVICE r4); a leading
+    empty-list row must not break inner-width inference."""
+    from ncagg_spark.sources.nc_granules import write_nc_aggregate
+
+    df = spark.createDataFrame(
+        [(0, [1, 2]), (1, None), (2, []), (3, [7, 8])],
+        "rid long, arr array<long>",
+    )
+    out = str(tmp_path / "a.nc")
+    write_nc_aggregate(df, out, index_col="rid")
+    f = read_netcdf3(out)
+    mat = f.data["arr"]
+    assert mat.dtype == np.dtype(">f8")
+    np.testing.assert_array_equal(mat[0], [1.0, 2.0])
+    assert np.isnan(mat[1]).all() and np.isnan(mat[2]).all()
+    np.testing.assert_array_equal(mat[3], [7.0, 8.0])
+
+    # all-null / all-empty column: explicit error, not a 0-size dim
+    df2 = spark.createDataFrame([(0, []), (1, None)], "rid long, arr array<long>")
+    with pytest.raises(ValueError, match="no non-empty rows"):
+        write_nc_aggregate(df2, str(tmp_path / "b.nc"), index_col="rid")
+
+
+def test_cli_source_kind_classification(tmp_path):
+    from ncagg_spark.api import _first_nc_file
+    from ncagg_spark.cli import _source_kinds
+
+    ncdir = tmp_path / "gr"
+    ncdir.mkdir()
+    _granule(ncdir / "g1.nc", T0, 3)
+    _granule(ncdir / "g0.nc", T0, 3)
+    (tmp_path / "t.parquet").write_bytes(b"PAR1")
+
+    assert _source_kinds([str(ncdir / "g0.nc")]) == {"nc"}
+    assert _source_kinds([str(ncdir)]) == {"nc"}
+    assert _source_kinds([str(ncdir / "*.nc")]) == {"nc"}
+    assert _source_kinds([str(tmp_path / "t.parquet")]) == {"parquet"}
+    assert _source_kinds(
+        [str(ncdir / "g0.nc"), str(tmp_path / "t.parquet")]
+    ) == {"nc", "parquet"}
+
+    # header probe resolves globs and directories to a concrete file
+    assert _first_nc_file(str(ncdir)).endswith("g0.nc")
+    assert _first_nc_file(str(ncdir / "*.nc")).endswith("g0.nc")
+    assert _first_nc_file(str(ncdir / "g1.nc")).endswith("g1.nc")
+    with pytest.raises(FileNotFoundError):
+        _first_nc_file(str(tmp_path / "missing" / "*.nc"))
+
+
+def test_cli_rejects_mixed_sources(tmp_path, capsys):
+    from ncagg_spark.cli import main as cli_main
+
+    nc = _granule(tmp_path / "g0.nc", T0, 3)
+    pq_file = tmp_path / "t.parquet"
+    pq_file.write_bytes(b"PAR1")
+    rc = cli_main(
+        [str(tmp_path / "out"), nc, str(pq_file), "-i", "time"]
+    )
+    assert rc == 2
+    assert "mixed" in capsys.readouterr().err
