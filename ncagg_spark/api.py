@@ -27,20 +27,9 @@ from ncagg_spark.sources.writer import write_aggregate
 
 
 def _first_nc_file(spec: str) -> str:
-    """Resolve a file / glob / directory source spec to one concrete
-    `.nc` file for driver-side header probing (schema + attributes)."""
-    import glob as _glob
-    import os
+    from ncagg_spark.sources.nc_granules import first_nc_file
 
-    if os.path.isfile(spec):
-        return spec
-    if os.path.isdir(spec):
-        matches = sorted(_glob.glob(os.path.join(spec, "*.nc")))
-    else:
-        matches = sorted(m for m in _glob.glob(spec) if os.path.isfile(m))
-    if not matches:
-        raise FileNotFoundError(f"no .nc file matches source {spec!r}")
-    return matches[0]
+    return first_nc_file(spec)
 
 
 def aggregate(

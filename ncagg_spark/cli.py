@@ -105,6 +105,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="print a JSON template inferred from a sample granule and exit",
     )
     p.add_argument("--cpus", default=None, help="local[] parallelism override")
+    p.add_argument(
+        "--nc-format", choices=("classic", "netcdf4"), default=None,
+        help="single-file .nc output container (default: classic; a DST "
+        "ending in .nc4 implies netcdf4 — the reference's output format)",
+    )
+    p.add_argument(
+        "--complevel", type=int, default=None, metavar="0-9",
+        help="zlib level for netcdf4 output (the reference uses 7)",
+    )
     return p
 
 
@@ -193,8 +202,10 @@ def main(argv: list[str] | None = None) -> int:
         )
         return 2
     agg_fn = aggregate_nc if kinds == {"nc"} else aggregate
-    nc_dst = args.dst.endswith(".nc")
-    parquet_dst = args.dst[:-3] + "_parquet" if nc_dst else args.dst
+    nc_dst = args.dst.endswith(".nc") or args.dst.endswith(".nc4")
+    parquet_dst = (
+        args.dst.rsplit(".", 1)[0] + "_parquet" if nc_dst else args.dst
+    )
     out = agg_fn(
         spark,
         src,
@@ -207,11 +218,22 @@ def main(argv: list[str] | None = None) -> int:
         columns=columns,
     )
     if nc_dst:
-        # DST ending in .nc: single-file NetCDF export, the reference's
-        # own output contract (one aggregate file)
+        # DST ending in .nc/.nc4: single-file NetCDF export, the
+        # reference's own output contract (one aggregate file)
         from ncagg_spark.sources.nc_granules import write_nc_aggregate
 
-        write_nc_aggregate(out, args.dst, index_col=cfg.index_by)
+        fmt = args.nc_format or (
+            "netcdf4" if args.dst.endswith(".nc4") else "classic"
+        )
+        write_nc_aggregate(
+            out,
+            args.dst,
+            index_col=cfg.index_by,
+            fmt=fmt,
+            compression=args.complevel
+            if fmt == "netcdf4"
+            else None,
+        )
     n = spark.read.parquet(parquet_dst).count()
     print(f"wrote {n} records to {args.dst}", file=sys.stderr)
     return 0

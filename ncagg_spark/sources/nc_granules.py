@@ -236,6 +236,25 @@ def nc_schema(
     return T.StructType(fields)
 
 
+def first_nc_file(spec: str) -> str:
+    """Resolve a file / glob / directory source spec to one concrete
+    `.nc` file for driver-side header probing (schema + attributes)."""
+    import glob as _glob
+    import os
+
+    if os.path.isfile(spec):
+        return spec
+    if os.path.isdir(spec):
+        matches = sorted(_glob.glob(os.path.join(spec, "*.nc")))
+    else:
+        matches = sorted(
+            m for m in _glob.glob(spec) if os.path.isfile(m)
+        )
+    if not matches:
+        raise FileNotFoundError(f"no .nc file matches source {spec!r}")
+    return matches[0]
+
+
 def nc_attributes(path: str, *, decoder: str = "auto") -> dict:
     """Global + per-variable attributes of one granule (header only)."""
     with open(path, "rb") as f:
@@ -304,10 +323,20 @@ def write_nc_aggregate(
     attributes: dict | None = None,
     var_attributes: dict[str, dict] | None = None,
     record_dim: str | None = None,
+    fmt: str = "classic",
+    chunksizes: dict[str, tuple[int, ...]] | None = None,
+    compression: int | None = None,
 ) -> None:
-    """Write an aggregate DataFrame as ONE classic NetCDF file — the
+    """Write an aggregate DataFrame as ONE NetCDF file — the
     reference's output format (it initializes and appends to a single
     .nc, ncagg/aggregator.py:239-417).
+
+    ``fmt="classic"`` emits CDF-1/2/5 (sources/netcdf3.py);
+    ``fmt="netcdf4"`` emits an HDF5-container netCDF-4 file
+    (sources/hdf5_writer.py) honoring per-variable ``chunksizes`` and
+    zlib ``compression`` level — the reference's actual output settings
+    (chunksizes + zlib level 7, ncagg/aggregator.py:362-417,
+    ncagg/cli.py:207-218).
 
     The result is materialized on the driver: an aggregate is BOUNDED by
     construction (cadence x time-bounds slots, e.g. a 1 Hz day = 86,400
@@ -396,6 +425,21 @@ def write_nc_aggregate(
                 arr = col.astype("float64").to_numpy()
             variables[name] = ([record_dim], arr)
 
+    if fmt == "netcdf4":
+        from ncagg_spark.sources.hdf5_writer import write_hdf5
+
+        write_hdf5(
+            path,
+            dims=dims,
+            variables=variables,
+            attributes=attributes,
+            var_attributes=var_attributes,
+            chunksizes=chunksizes,
+            compression=compression,
+        )
+        return
+    if fmt != "classic":
+        raise ValueError(f"unknown NetCDF format {fmt!r}")
     from ncagg_spark.sources.netcdf3 import write_netcdf3
 
     write_netcdf3(
@@ -545,7 +589,9 @@ def read_nc_granules(
         paths = [paths]
     if schema is None:
         schema = nc_schema(
-            schema_sample or paths[0], decoder=decoder, grain_of=grain_of
+            first_nc_file(schema_sample or paths[0]),
+            decoder=decoder,
+            grain_of=grain_of,
         )
     if columns:
         keep = set(columns) | {GRANULE_COL}

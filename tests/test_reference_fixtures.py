@@ -247,3 +247,54 @@ def test_mag_1hr_multidim_aggregation_parity(spark, tmp_path):
     # bounds +/- one inner sample (reference allows 0.25 s slack)
     assert real_us[0] / 1e6 >= start.timestamp() - 0.25
     assert real_us[-1] / 1e6 <= end.timestamp() + 0.25
+
+
+def test_exis_aggregate_exports_netcdf4(spark, tmp_path):
+    """End-to-end .nc -> .nc4: the reference's EXIS 5-minute aggregation
+    (real granules) exported as a single netCDF-4 file — the reference's
+    own output container (chunked + zlib 7, ncagg/aggregator.py:362-417)
+    — then re-read by the from-spec HDF5 reader with the reference's
+    regularity assertion holding on the decoded values."""
+    from ncagg_spark.api import aggregate_nc
+    from ncagg_spark.config import AggregationConfig
+    from ncagg_spark.sources.hdf5 import read_hdf5
+    from ncagg_spark.sources.nc_granules import write_nc_aggregate
+
+    paths = sorted(glob.glob(f"{REF}/exis/EXISL1bSFXR_5min/data/*.nc"))
+    start = datetime(2017, 3, 5, 0, 30, tzinfo=timezone.utc)
+    end = datetime(2017, 3, 5, 0, 35, tzinfo=timezone.utc)
+    cfg = AggregationConfig(
+        index_by="time",
+        cadence_hz=1.0,
+        min_bound=start.timestamp(),
+        max_bound=end.timestamp(),
+    )
+    out = str(tmp_path / "exis5")
+    agg = aggregate_nc(spark, paths, out, cfg, decoder="auto")
+
+    nc4 = str(tmp_path / "exis5.nc4")
+    write_nc_aggregate(
+        agg.select("time", "irradiance_xrsb1", "is_fill"),
+        nc4,
+        index_col="time",
+        cf_units="seconds since 2000-01-01 12:00:00",
+        attributes={"title": "EXIS-L1b-SFXR aggregate"},
+        fmt="netcdf4",
+        chunksizes={"irradiance_xrsb1": (128,)},
+        compression=7,
+    )
+    h5 = read_hdf5(nc4)
+    assert h5.buf[:8] == b"\x89HDF\r\n\x1a\n"
+    t = h5.read("time")
+    assert t.shape == (300,)
+    d = np.diff(t)
+    assert abs(d.min() - 1.0) < 1e-3 and abs(d.max() - 1.0) < 1e-3
+    assert h5.datasets["irradiance_xrsb1"].layout["chunk"] == (128,)
+    assert [f for f, _ in h5.datasets["irradiance_xrsb1"].filters] == [2, 1]
+    assert (
+        h5.datasets["time"].attributes["units"]
+        == "seconds since 2000-01-01 12:00:00"
+    )
+    # CF round-trip: decoded epoch == the aggregate's timestamps
+    t0_epoch = datetime(2000, 1, 1, 12, tzinfo=timezone.utc).timestamp()
+    assert abs((t[0] + t0_epoch) - start.timestamp()) < 1.0
