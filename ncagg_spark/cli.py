@@ -220,20 +220,27 @@ def main(argv: list[str] | None = None) -> int:
     if nc_dst:
         # DST ending in .nc/.nc4: single-file NetCDF export, the
         # reference's own output contract (one aggregate file)
-        from ncagg_spark.sources.nc_granules import write_nc_aggregate
+        from ncagg_spark.sources.nc_granules import (
+            write_nc_aggregate,
+            write_nc_aggregate_streamed,
+        )
 
         fmt = args.nc_format or (
             "netcdf4" if args.dst.endswith(".nc4") else "classic"
         )
-        write_nc_aggregate(
-            out,
-            args.dst,
-            index_col=cfg.index_by,
-            fmt=fmt,
-            compression=args.complevel
-            if fmt == "netcdf4"
-            else None,
-        )
+        if fmt == "classic":
+            # bounded-memory path: same bytes, driver holds one block
+            write_nc_aggregate_streamed(
+                out, args.dst, index_col=cfg.index_by
+            )
+        else:
+            write_nc_aggregate(
+                out,
+                args.dst,
+                index_col=cfg.index_by,
+                fmt=fmt,
+                compression=args.complevel,
+            )
     n = spark.read.parquet(parquet_dst).count()
     print(f"wrote {n} records to {args.dst}", file=sys.stderr)
     return 0

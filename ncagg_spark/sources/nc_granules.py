@@ -314,6 +314,33 @@ def _granule_frame(
     return pd.DataFrame(cols)
 
 
+def _cf_encode_timestamps(
+    df: DataFrame, cf_units: str, var_attributes: dict[str, dict]
+) -> tuple[DataFrame, dict[str, dict]]:
+    """TimestampType columns -> CF numeric time (JVM-side projection);
+    annotates each converted column's ``units`` attribute."""
+    from ncagg_spark.functions.time import _parse_units, epoch_us
+
+    var_attributes = dict(var_attributes)
+    out_cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.TimestampType):
+            scale, epoch = _parse_units(cf_units)
+            epoch_us_off = int(round(epoch.timestamp() * 1_000_000))
+            out_cols.append(
+                (
+                    (epoch_us(f.name) - F.lit(epoch_us_off))
+                    / F.lit(scale * 1e6)
+                ).alias(f.name)
+            )
+            va = dict(var_attributes.get(f.name, {}))
+            va.setdefault("units", cf_units)
+            var_attributes[f.name] = va
+        else:
+            out_cols.append(F.col(f.name))
+    return df.select(*out_cols), var_attributes
+
+
 def write_nc_aggregate(
     df: DataFrame,
     path: str,
@@ -338,39 +365,24 @@ def write_nc_aggregate(
     (chunksizes + zlib level 7, ncagg/aggregator.py:362-417,
     ncagg/cli.py:207-218).
 
-    The result is materialized on the driver: an aggregate is BOUNDED by
-    construction (cadence x time-bounds slots, e.g. a 1 Hz day = 86,400
-    records), so unlike the input side this is not a scale risk — it is
-    the single-file contract itself that is inherently single-writer.
-    For unbounded exports keep the parquet sink (sources/writer.py).
+    The result is materialized on the driver — fine for the reference's
+    bounded day-file sizes (a 1 Hz day = 86,400 records) and required
+    for ``fmt="netcdf4"`` (the HDF5 writer lays out the whole object
+    graph). For the classic format at scale use
+    ``write_nc_aggregate_streamed`` (byte-identical output, driver
+    memory bounded to one block); the CLI routes classic single-file
+    output through it.
 
     A TimestampType index encodes back to CF numeric time using
     ``cf_units``; array columns become (record, inner) 2-D variables;
     the record dimension is named after the index column by default.
     """
-    from ncagg_spark.functions.time import epoch_us, _parse_units
-
     attributes = attributes or {}
     var_attributes = dict(var_attributes or {})
     record_dim = record_dim or index_col
 
-    out_cols = []
-    for f in df.schema.fields:
-        if isinstance(f.dataType, T.TimestampType):
-            scale, epoch = _parse_units(cf_units)
-            epoch_us_off = int(round(epoch.timestamp() * 1_000_000))
-            out_cols.append(
-                (
-                    (epoch_us(f.name) - F.lit(epoch_us_off))
-                    / F.lit(scale * 1e6)
-                ).alias(f.name)
-            )
-            va = dict(var_attributes.get(f.name, {}))
-            va.setdefault("units", cf_units)
-            var_attributes[f.name] = va
-        else:
-            out_cols.append(F.col(f.name))
-    pdf = df.select(*out_cols).orderBy(index_col).toPandas()
+    df2, var_attributes = _cf_encode_timestamps(df, cf_units, var_attributes)
+    pdf = df2.orderBy(index_col).toPandas()
 
     dims: list[tuple[str, int]] = [(record_dim, 0)]
     variables: dict[str, tuple[list[str], np.ndarray]] = {}
@@ -449,6 +461,216 @@ def write_nc_aggregate(
         attributes=attributes,
         var_attributes=var_attributes,
     )
+
+
+def _streamed_col_specs(df: DataFrame):
+    """One distributed aggregate -> per-column export specs.
+
+    Returns (numrecs, specs) where each spec is
+    (name, kind, np_dtype_str, inner_width):
+      kind 'scalar' | 'array' | 'string'.
+    The dtype decisions replicate ``write_nc_aggregate``'s pandas-side
+    rules exactly (byte-identical output is pytest-asserted): integer
+    columns with any null -> float64; array columns -> int64 only when
+    the element type is integral and every row is present & full-width;
+    strings -> fixed width = max length.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for f in df.schema.fields:
+        c = f.name
+        aggs.append(
+            F.max(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nl__{c}")
+        )
+        if isinstance(f.dataType, T.ArrayType):
+            aggs.append(F.max(F.size(c)).alias(f"xw__{c}"))
+            aggs.append(F.min(F.size(c)).alias(f"nw__{c}"))
+        elif isinstance(f.dataType, T.StringType):
+            aggs.append(F.max(F.length(c)).alias(f"xw__{c}"))
+    row = df.agg(*aggs).collect()[0].asDict()
+    numrecs = int(row["__n"])
+
+    _scalar = {
+        "byte": "int8", "short": "int16", "int": "int32",
+        "long": "int64", "float": "float32", "double": "float64",
+    }
+    specs = []
+    for f in df.schema.fields:
+        c = f.name
+        has_null = bool(row.get(f"nl__{c}") or 0)
+        if isinstance(f.dataType, T.ArrayType):
+            inner = int(row.get(f"xw__{c}") or 0)
+            if inner == 0:
+                raise ValueError(
+                    f"array column {c!r} has no non-empty rows — "
+                    "cannot derive a fixed inner dimension"
+                )
+            el = f.dataType.elementType.typeName()
+            full = (row.get(f"nw__{c}") == inner) and not has_null
+            is_int = el in ("byte", "short", "int", "long")
+            dt = "int64" if (is_int and full) else "float64"
+            specs.append((c, "array", dt, inner))
+        elif isinstance(f.dataType, T.StringType):
+            width = max(int(row.get(f"xw__{c}") or 0), 1)
+            specs.append((c, "string", "S1", width))
+        elif f.dataType.typeName() == "boolean":
+            specs.append(
+                (c, "scalar", "float64" if has_null else "int8", 0)
+            )
+        else:
+            base = _scalar.get(f.dataType.typeName())
+            if base is None:
+                raise ValueError(
+                    f"unsupported column type {f.dataType} for {c!r}"
+                )
+            if has_null and base.startswith("int"):
+                base = "float64"
+            specs.append((c, "scalar", base, 0))
+    return numrecs, specs
+
+
+def write_nc_aggregate_streamed(
+    df: DataFrame,
+    path: str,
+    *,
+    index_col: str,
+    cf_units: str = "seconds since 1970-01-01",
+    attributes: dict | None = None,
+    var_attributes: dict[str, dict] | None = None,
+    record_dim: str | None = None,
+    target_block_bytes: int = 64 << 20,
+) -> None:
+    """Bounded-memory single-file classic NetCDF export.
+
+    ``write_nc_aggregate`` materializes the whole aggregate on the
+    driver (fine for the reference's day-file sizes, a driver OOM at
+    100x). This variant keeps the single-file contract with bounded
+    driver memory — the reference itself streams records to the output
+    at a running offset (ncagg/aggregator.py:291-335); this is the
+    distributed equivalent:
+
+      1. one aggregate pass derives column specs (dtypes, inner widths,
+         null-driven promotions) and the record count — no data on the
+         driver;
+      2. the header is emitted from specs alone (``write_netcdf3`` with
+         zero-length arrays + a ``numrecs`` override);
+      3. records are range-partitioned and sorted by the index, each
+         partition encodes its rows to the spec's interleaved record
+         stream via ``mapInPandas`` (pure numpy byte assembly);
+      4. the driver streams encoded blocks to the file in partition
+         order via ``toLocalIterator`` — peak driver memory is one
+         block (~``target_block_bytes``), never the dataset.
+
+    Byte-identical to ``write_nc_aggregate`` on the same input
+    (pytest-asserted), so readers cannot tell which path wrote the file.
+    """
+    from ncagg_spark.sources.netcdf3 import _DTYPES, _NP_TO_NC, write_netcdf3
+
+    attributes = attributes or {}
+    record_dim = record_dim or index_col
+    df2, var_attributes = _cf_encode_timestamps(
+        df, cf_units, dict(var_attributes or {})
+    )
+    numrecs, specs = _streamed_col_specs(df2)
+
+    dims: list[tuple[str, int]] = [(record_dim, 0)]
+    variables: dict[str, tuple[list[str], np.ndarray]] = {}
+    for name, kind, dt, width in specs:
+        if kind == "array":
+            dn = f"{name}_dim1"
+            dims.append((dn, width))
+            variables[name] = ([record_dim, dn], np.empty((0, width), dt))
+        elif kind == "string":
+            dn = f"{name}_str_len"
+            dims.append((dn, width))
+            variables[name] = ([record_dim, dn], np.empty((0, width), dt))
+        else:
+            variables[name] = ([record_dim], np.empty((0,), dt))
+    header = write_netcdf3(
+        None,
+        dims=dims,
+        variables=variables,
+        attributes=attributes,
+        var_attributes=var_attributes,
+        numrecs=numrecs,
+    )
+
+    # per-variable record layout (matching write_netcdf3's data section)
+    layout = []  # (name, kind, be_dtype, inner, per, vsize)
+    for name, kind, dt, width in specs:
+        t = _NP_TO_NC[str(np.dtype(dt))] if kind != "string" else 2
+        be, esz = _DTYPES[t]
+        inner = width if kind in ("array", "string") else 1
+        per = esz * inner
+        vsize = per + ((4 - per % 4) % 4)
+        layout.append((name, kind, be, inner, per, vsize))
+    packed = len(layout) == 1  # single record var: no per-record padding
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            chunks = []
+            for name, kind, be, inner, per, vsize in layout:
+                col = pdf[name]
+                if kind == "array":
+                    base = np.dtype(be).newbyteorder("=")
+                    mat = np.full((n, inner), np.nan if base.kind == "f" else 0,
+                                  dtype=base)
+                    for i, v in enumerate(col):
+                        if v is None:
+                            continue
+                        a = np.asarray(v, dtype=base)
+                        mat[i, : len(a)] = a
+                    a = mat.astype(be)
+                elif kind == "string":
+                    mat = np.zeros((n, inner), dtype="S1")
+                    for i, s in enumerate(col):
+                        if s is None:
+                            continue
+                        bs = s.encode("utf-8")[:inner]
+                        mat[i, : len(bs)] = [bytes([c]) for c in bs]
+                    a = mat
+                else:
+                    a = col.to_numpy()
+                    if a.dtype == object:
+                        a = col.astype(np.dtype(be).newbyteorder("=")).to_numpy()
+                    a = a.astype(be).reshape(n, 1)
+                raw = np.ascontiguousarray(a).view("u1").reshape(n, per)
+                if not packed and vsize > per:
+                    padded = np.zeros((n, vsize), dtype="u1")
+                    padded[:, :per] = raw
+                    raw = padded
+                chunks.append(raw)
+            block = np.hstack(chunks) if len(chunks) > 1 else chunks[0]
+            yield pd.DataFrame(
+                {
+                    "ord": [float(pdf[index_col].iloc[0])],
+                    "data": [block.tobytes()],
+                }
+            )
+
+    recsize = sum(v for *_, v in layout) if not packed else layout[0][4]
+    n_blocks = max(1, int(np.ceil(numrecs * recsize / target_block_bytes)))
+    n_blocks = max(n_blocks, df2.sparkSession.sparkContext.defaultParallelism
+                   if numrecs * recsize > 4 << 20 else 1)
+    enc = (
+        df2.repartitionByRange(n_blocks, F.col(index_col))
+        .sortWithinPartitions(index_col)
+        .mapInPandas(encode, schema="ord double, data binary")
+    )
+
+    with open(path, "wb") as f:
+        f.write(header)
+        last = -np.inf
+        for row in enc.toLocalIterator(prefetchPartitions=False):
+            if row["ord"] < last:
+                raise RuntimeError(
+                    "record blocks arrived out of order — range "
+                    "partitioning violated"
+                )
+            last = row["ord"]
+            f.write(row["data"])
 
 
 def write_nc_granules(

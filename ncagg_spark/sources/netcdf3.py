@@ -376,6 +376,7 @@ def write_netcdf3(
     attributes: dict | None = None,
     var_attributes: dict[str, dict] | None = None,
     version: int | None = None,
+    numrecs: int | None = None,
 ) -> bytes:
     """Write a classic NetCDF file.
 
@@ -384,6 +385,10 @@ def write_netcdf3(
     record dim first and their arrays' first axis is the record count.
     Version auto-selects: 5 (CDF-5) if any 64-bit/unsigned type is used,
     else 2 (64-bit offsets classic).
+
+    ``numrecs`` overrides the record count in the header — the streamed
+    single-file export passes zero-length record arrays and appends the
+    interleaved record stream itself (write_nc_aggregate_streamed).
     """
     attributes = attributes or {}
     var_attributes = var_attributes or {}
@@ -392,15 +397,23 @@ def write_netcdf3(
 
     arrs: dict[str, np.ndarray] = {}
     nc_types: dict[str, int] = {}
-    numrecs = 0
+    numrecs_given = numrecs
+    numrecs = numrecs or 0
     for name, (vdims, arr) in variables.items():
         a = np.asarray(arr)
-        t = _NP_TO_NC.get(str(a.dtype))
+        if a.dtype.kind == "S":  # char matrix (classic string idiom)
+            if a.dtype.itemsize != 1:
+                raise ValueError(
+                    f"char variable {name!r} must be S1 (got {a.dtype})"
+                )
+            t = NC_CHAR
+        else:
+            t = _NP_TO_NC.get(str(a.dtype))
         if t is None:
             raise ValueError(f"unsupported dtype {a.dtype} for {name!r}")
         arrs[name] = a.astype(_DTYPES[t][0])
         nc_types[name] = t
-        if vdims and vdims[0] == rec_dim:
+        if numrecs_given is None and vdims and vdims[0] == rec_dim:
             numrecs = max(numrecs, a.shape[0])
 
     # Version selection must account for ATTRIBUTE types too: a type-10
@@ -499,12 +512,19 @@ def write_netcdf3(
         body.write(_pad4(arrs[n].tobytes()))
     if record:
         recsize = sum(vsizes[n] for n in record)
+        # numrecs override (streamed export): arrays hold fewer records
+        # than the header claims — emit only the records actually present
+        data_recs = (
+            numrecs
+            if numrecs_given is None
+            else min(arrs[n].shape[0] for n in record)
+        )
         if len(record) == 1:
             # single record var: packed, no per-record padding
             n = record[0]
             body.write(arrs[n].tobytes())
         else:
-            for rec in range(numrecs):
+            for rec in range(data_recs):
                 for n in record:
                     per = _per_record(n)
                     # slice (not index): a scalar from 1-D indexing drops

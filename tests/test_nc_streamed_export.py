@@ -1,0 +1,161 @@
+"""Bounded-memory single-file `.nc` export
+(``write_nc_aggregate_streamed``): byte-identical to the driver-side
+path on the same input, ordered under multi-block range partitioning,
+and able to export 10M+ rows with the Spark driver capped at 1 GiB —
+the scale contract the in-memory path cannot meet (VERDICT r4 #1).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+from ncagg_spark.sources.nc_granules import (
+    write_nc_aggregate,
+    write_nc_aggregate_streamed,
+)
+from ncagg_spark.sources.netcdf3 import read_netcdf3
+
+
+def _mixed_df(spark, n=500):
+    rows = []
+    for i in range(n):
+        ts = datetime.datetime(
+            2024, 1, 2, tzinfo=datetime.timezone.utc
+        ) + datetime.timedelta(seconds=i)
+        rows.append(
+            (
+                ts,
+                float(i) * 0.5,
+                i,
+                i if i % 5 else None,  # nullable long -> float64 promo
+                [float(i), float(i + 1), float(i + 2)],
+                f"name{i}" if i % 7 else None,
+                i % 2 == 0,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "ts timestamp, val double, n long, nn long, "
+        "arr array<double>, tag string, flag boolean",
+    )
+
+
+def test_streamed_export_byte_identical(spark, tmp_path):
+    df = _mixed_df(spark)
+    kw = dict(
+        index_col="ts",
+        attributes={"title": "x", "count": 5},
+        var_attributes={"val": {"units": "W"}},
+    )
+    write_nc_aggregate(df, str(tmp_path / "mem.nc"), **kw)
+    write_nc_aggregate_streamed(df, str(tmp_path / "str.nc"), **kw)
+    assert (
+        (tmp_path / "mem.nc").read_bytes()
+        == (tmp_path / "str.nc").read_bytes()
+    )
+
+
+def test_streamed_export_single_record_var_packed(spark, tmp_path):
+    df = _mixed_df(spark, 64).select("ts")
+    write_nc_aggregate(df, str(tmp_path / "mem.nc"), index_col="ts")
+    write_nc_aggregate_streamed(df, str(tmp_path / "str.nc"), index_col="ts")
+    assert (
+        (tmp_path / "mem.nc").read_bytes()
+        == (tmp_path / "str.nc").read_bytes()
+    )
+
+
+def test_streamed_export_many_blocks_ordered(spark, tmp_path):
+    """Force multi-block range partitioning (tiny block size) on shuffled
+    input: output must still be index-sorted and value-correct."""
+    df = _mixed_df(spark, 400).orderBy("val")  # not index order
+    out = str(tmp_path / "s.nc")
+    write_nc_aggregate_streamed(
+        df.select("ts", "val", "n"),
+        out,
+        index_col="ts",
+        target_block_bytes=2048,  # ~85 records/block -> several blocks
+    )
+    f = read_netcdf3(out)
+    assert f.numrecs == 400
+    t = f.data["ts"]
+    assert np.all(np.diff(t) > 0)
+    np.testing.assert_array_equal(f.data["n"], np.arange(400))
+
+
+def test_streamed_export_int_array_nulls_promote(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(0, [1, 2]), (1, None), (2, [3, 4])], "rid long, a array<long>"
+    )
+    out = str(tmp_path / "p.nc")
+    write_nc_aggregate_streamed(df, out, index_col="rid")
+    f = read_netcdf3(out)
+    assert f.data["a"].dtype == np.dtype(">f8")
+    assert np.isnan(f.data["a"][1]).all()
+
+
+@pytest.mark.slow
+def test_streamed_export_10m_rows_capped_driver(tmp_path):
+    """10M rows (~0.5 GB of record data) exported to ONE classic .nc
+    with spark.driver.memory=1g — the in-memory toPandas path cannot
+    hold this; the streamed path's driver footprint is one block."""
+    script = textwrap.dedent(
+        """
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from pyspark.sql import SparkSession, functions as F
+        from ncagg_spark.sources.nc_granules import (
+            write_nc_aggregate_streamed,
+        )
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.driver.memory", "1g")
+            .config("spark.sql.shuffle.partitions", "16")
+            .config("spark.sql.session.timeZone", "UTC")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        n = 10_000_000
+        df = spark.range(n).select(
+            (F.col("id") * 0.1).alias("time"),
+            (F.col("id") % 1000).cast("double").alias("v1"),
+            F.array(
+                (F.col("id") % 7).cast("double"),
+                (F.col("id") % 11).cast("double"),
+                (F.col("id") % 13).cast("double"),
+            ).alias("obs"),
+        )
+        out = sys.argv[1]
+        write_nc_aggregate_streamed(df, out, index_col="time")
+        import os
+        print("OK", os.path.getsize(out))
+        """
+    )
+    out = str(tmp_path / "big.nc")
+    sp = str(tmp_path / "script.py")
+    with open(sp, "w") as f:
+        f.write(script)
+    env = dict(os.environ)
+    r = subprocess.run(
+        [sys.executable, sp, out],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "OK" in r.stdout
+    # header sanity without materializing data: 10M records, 3 vars
+    with open(out, "rb") as f:
+        head = f.read(4096)
+    assert head[:3] == b"CDF"
+    size = os.path.getsize(out)
+    # 8 (time) + 8 (v1) + 24 (obs) = 40 B/record + header
+    assert size > 10_000_000 * 40

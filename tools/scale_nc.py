@@ -105,6 +105,24 @@ def main() -> None:
         f"rows/s ({len(manifest)} granules)"
     )
 
+    # bounded-memory single-file export: the one-big-file contract with
+    # driver memory ~ one 64 MB block, never the dataset
+    from ncagg_spark.sources.nc_granules import write_nc_aggregate_streamed
+
+    one = f"{tmp}/aggregate.nc"
+    t0 = time.time()
+    write_nc_aggregate_streamed(
+        spark.read.parquet(out).drop("is_fill"), one, index_col="time"
+    )
+    t_one = time.time() - t0
+    import os
+
+    sz = os.path.getsize(one)
+    print(
+        f"single-file streamed export: {t_one:.2f}s = "
+        f"{n_rows/t_one/1e6:.2f}M rows/s ({sz/1e6:.0f} MB, one .nc)"
+    )
+
 
 if __name__ == "__main__":
     main()
