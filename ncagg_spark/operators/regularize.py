@@ -61,10 +61,21 @@ def regularize(
     if cfg.cadence_hz is not None:
         if lo_us is None or hi_us is None:
             raise ValueError("cadence regularization requires both bounds")
+        phase = getattr(cfg, "bucket_phase", 0.0)
         df = cadence_bucket(
-            df, ix, origin_us=lo_us, step_us=cfg.step_us,
-            phase=getattr(cfg, 'bucket_phase', 0.0),
+            df, ix, origin_us=lo_us, step_us=cfg.step_us, phase=phase
         )
+        if phase > 0:
+            # nearest-slot rounding can push an in-bounds record past the
+            # final slot (t in [hi - phase*step, hi) rounds to n_buckets);
+            # the reference keeps every in-bounds record
+            # (ncagg/aggregator.py:198-236 chops strictly on the bounds),
+            # so clamp into the last slot — dedup resolves double
+            # occupancy deterministically.
+            df = df.withColumn(
+                BUCKET_COL,
+                F.least(F.col(BUCKET_COL), F.lit(cfg.n_buckets() - 1)),
+            )
         df = dedup_cadence(df, ix, tiebreak=cfg.tiebreak)
         df = gap_fill(
             spark,
