@@ -162,6 +162,30 @@ def q_agg_dedup_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_dedup_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-slot cadence alignment (bucket_phase=0.5) — the reference's
+    actual slot assignment (ncagg/aggregator.py:206-212 rounds a record to
+    the nearest cadence slot, not the floor). Buckets are clamped into the
+    last slot exactly as ``operators/regularize.py`` does, so an in-bounds
+    record in the final half-slot cannot round off the grid."""
+    ev = load_table(
+        spark,
+        f"{sf_dir}/events.parquet",
+        time_bounds=("ts", DAY_LO_US, DAY_HI_US),
+    )
+    ev = drop_invalid_index(ev, "ts")
+    df = cadence_bucket(
+        ev, "ts", origin_us=DAY_LO_US, step_us=STEP_US, phase=0.5
+    )
+    df = df.withColumn(
+        "__bucket", F.least(F.col("__bucket"), F.lit(N_BUCKETS - 1))
+    )
+    df = dedup_cadence(df, "ts", tiebreak=["event_id"])
+    return df.select(
+        F.col("__bucket").alias("bucket"), "ts", "event_id", "value"
+    )
+
+
 def q_agg_bounds_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(
         spark,
@@ -926,6 +950,27 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(em, queries, k=5, n_cells=16, n_probe=4)
 
 
+PQ_M = 8  # subspaces (dim 64 -> 8 floats each)
+PQ_CODES = 16  # codes per subspace
+PQ_K, PQ_EXPAND = 5, 4
+
+
+def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (ADC candidates + exact cosine rerank) in the
+    oracle-parity relational form — codebooks are deterministic anchor
+    subvectors, every float op left-to-right double (pipeline/pq.py:
+    pq_topk_relational; production Arrow path = pq_train/pq_encode/
+    pq_topk, measured in SCALE.md)."""
+    from ncagg_spark.pipeline.pq import pq_topk_relational
+
+    em = _t(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 10)
+    return pq_topk_relational(
+        em, queries, dim=64, m=PQ_M, n_codes=PQ_CODES, k=PQ_K,
+        expand=PQ_EXPAND,
+    )
+
+
 KM_CELLS = 8
 KM_ITERS = 2
 KM_QUANT = 1_000_000
@@ -1022,6 +1067,7 @@ def queries() -> dict[str, _T]:
         "agg_regularize_day": q_agg_regularize_day,
         "agg_regularize_anchored": q_agg_regularize_anchored,
         "agg_dedup_cadence": q_agg_dedup_cadence,
+        "agg_dedup_phase": q_agg_dedup_phase,
         "agg_bounds_filter": q_agg_bounds_filter,
         "agg_manifest_attrs": q_agg_manifest_attrs,
         "agg_coalesce_alt": q_agg_coalesce_alt,
@@ -1072,6 +1118,7 @@ def queries() -> dict[str, _T]:
         # -- embeddings (similarity) --
         "emb_near_dup": q_emb_near_dup,
         "emb_brute_topk": q_emb_brute_topk,
+        "emb_pq_topk": q_emb_pq_topk,
     }
 
 
@@ -1216,6 +1263,23 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["agg_dedup_cadence"] = f"""
         SELECT bucket, ts, event_id, value FROM ({_EV_DEDUP})
+    """
+
+    # nearest-slot assignment: floor(x + 0.5) on the identical IEEE-double
+    # expression, clamped into the final slot like operators/regularize.py
+    sqls["agg_dedup_phase"] = f"""
+        WITH ph AS (
+            SELECT *, least(
+                CAST(floor((epoch_us(ts) - {DAY_LO_US}) / {STEP_US} + 0.5) AS BIGINT),
+                {N_BUCKETS - 1}) AS bucket
+            FROM events
+            WHERE ts IS NOT NULL AND epoch_us(ts) > 0
+              AND ts >= make_timestamp({DAY_LO_US}) AND ts < make_timestamp({DAY_HI_US})
+        )
+        SELECT bucket, ts, event_id, value FROM (
+            SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY ts, event_id) AS rn
+            FROM ph
+        ) WHERE rn = 1
     """
 
     # multidim (G8): both real and synthesized fill arrays follow
@@ -1959,5 +2023,79 @@ def oracle_sql() -> dict[str, str]:
                CAST(CAST(({_u32})::BIGINT AS DOUBLE) / 4294967296.0
                     AS REAL) AS value
         FROM base, (SELECT unnest(range(16)) AS pos) p
+    """
+
+    # emb_pq_topk: product quantization, oracle-parity form (see
+    # pipeline/pq.py:pq_topk_relational). Codebooks = subvectors of the
+    # PQ_CODES anchor rows with smallest multiplicative id-hash (pure
+    # data, no trained floats); encode = first-argmin of left-to-right
+    # squared L2 per subspace; ADC = fixed-order sum of per-subspace
+    # distances against the decoded anchor; exact cosine rerank of the
+    # PQ_K*PQ_EXPAND candidates.
+    _sub = 64 // PQ_M
+
+    def _sqd(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({a}, {b}), "
+            "x -> (x[1]::DOUBLE - x[2]::DOUBLE) * "
+            "(x[1]::DOUBLE - x[2]::DOUBLE)))"
+        )
+
+    def _slice(v: str, s: int) -> str:
+        return f"{v}[{s * _sub + 1}:{s * _sub + _sub}]"
+
+    pq_codes = []
+    for s in range(PQ_M):
+        dists = (
+            f"list_transform(b.bk, a -> {_sqd(_slice('c.embedding', s), _slice('a', s))})"
+        )
+        pq_codes.append(
+            f"(list_position({dists}, list_min({dists})) - 1) AS code_{s}"
+        )
+    pq_adc = " + ".join(
+        _sqd(_slice("q.embedding", s), _slice(f"b.bk[e.code_{s} + 1]", s))
+        for s in range(PQ_M)
+    )
+    _pq_cos = _sql_cosine("q.embedding", "c.embedding")
+    sqls["emb_pq_topk"] = f"""
+        WITH samp AS (
+            SELECT vec_id, embedding,
+                   (vec_id * 2654435761) % 4294967296 AS hkey
+            FROM embeddings
+            ORDER BY hkey ASC, vec_id ASC LIMIT {PQ_CODES}
+        ),
+        books AS (
+            SELECT list(embedding ORDER BY hkey ASC, vec_id ASC) AS bk
+            FROM samp
+        ),
+        enc AS (
+            SELECT c.vec_id AS neighbor_id, {', '.join(pq_codes)}
+            FROM embeddings c CROSS JOIN books b
+        ),
+        adc AS (
+            SELECT q.vec_id AS query_id, e.neighbor_id,
+                   ({pq_adc}) AS dist2
+            FROM embeddings q
+            JOIN enc e ON e.neighbor_id <> q.vec_id
+            CROSS JOIN books b
+            WHERE q.vec_id < 10
+        ),
+        cand AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                           ORDER BY dist2 ASC, neighbor_id ASC) AS rn
+                FROM adc
+            ) WHERE rn <= {PQ_K * PQ_EXPAND}
+        )
+        SELECT query_id, neighbor_id, rank, cosine FROM (
+            SELECT cand.query_id, cand.neighbor_id,
+                   round({_pq_cos}, 6) AS cosine,
+                   row_number() OVER (PARTITION BY cand.query_id
+                       ORDER BY round({_pq_cos}, 6) DESC,
+                                cand.neighbor_id ASC) AS rank
+            FROM cand
+            JOIN embeddings q ON q.vec_id = cand.query_id
+            JOIN embeddings c ON c.vec_id = cand.neighbor_id
+        ) WHERE rank <= {PQ_K}
     """
     return sqls

@@ -226,6 +226,151 @@ def pq_topk(
     )
 
 
+def pq_topk_relational(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    dim: int = 64,
+    m: int = 8,
+    n_codes: int = 16,
+    k: int = 5,
+    expand: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Oracle-parity PQ search: pure Catalyst expressions end-to-end.
+
+    Same ADC-then-exact-rerank semantics as ``pq_topk_rerank`` but with
+    every float operation expressible bit-for-bit in ANSI SQL (the same
+    design precedent as IVF's default ``method="sql"`` cell assignment):
+
+      * codebooks are DATA, not arithmetic: codebook[s][c] = subvector s
+        of the c-th "anchor" vector, anchors being the ``n_codes`` corpus
+        rows with smallest multiplicative hash of their id (Knuth
+        2654435761 mod 2^32 — deterministic, uniformly spread, one
+        sort-limit). No Lloyd iterations, so no float accumulation to
+        replicate; raw parquet floats round-trip exactly into both
+        engines.
+      * encoding: code[s] = first-argmin over the n_codes left-to-right
+        squared L2 distances (array_position(min) == DuckDB
+        list_position(list_min) — both first-match).
+      * ADC: dist2 = d0 + d1 + ... + d_{m-1}, each d_s a left-to-right
+        subspace distance against element_at(codebook, code+1) — fixed
+        association order in both engines.
+      * exact rerank of the k*expand ADC candidates by cosine (the
+        production recall-recovery design, identical to pq_topk_rerank).
+
+    Raw (un-normalized) vectors are used throughout so the oracle needs
+    no normalization arithmetic; L2-ADC over raw vectors is standard PQ,
+    the cosine order comes from the exact rerank. Scale: the anchor
+    collect is n_codes rows; encode is a projection over the corpus; the
+    ADC join broadcasts the (tiny) query side; only candidates' raw
+    vectors are touched in the rerank. Production throughput path =
+    pq_train/pq_encode/pq_topk (Arrow matmul, SCALE.md ANN section).
+    """
+    from ncagg_spark.functions.vectors import _array_sql, dot, l2_norm
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    query_id_col = query_id_col or id_col
+
+    key = (F.col(id_col) * F.lit(2654435761)) % F.lit(4294967296)
+    anchors = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(key.asc(), F.col(id_col).asc())
+        .limit(n_codes)
+        .collect()
+    )
+    books = [[float(x) for x in r[1]] for r in anchors]
+
+    def sqdist_const(col_sql: str, values: list[float]) -> str:
+        return (
+            f"aggregate(zip_with({col_sql}, {_array_sql(values)}, "
+            "(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+            "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+
+    # -- encode: one int code per subspace, first-argmin tiebreak --
+    enc = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    )
+    for s in range(m):
+        sl = f"slice(__cvec, {s * sub + 1}, {sub})"
+        dists = (
+            "array("
+            + ",".join(
+                sqdist_const(sl, books[c][s * sub : (s + 1) * sub])
+                for c in range(n_codes)
+            )
+            + ")"
+        )
+        enc = enc.withColumn(
+            f"__code_{s}",
+            F.expr(f"array_position({dists}, array_min({dists})) - 1"),
+        )
+    enc = enc.drop("__cvec")
+
+    # -- ADC scoring against the broadcast query side --
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    joined = enc.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    )
+    terms = []
+    for s in range(m):
+        book_lit = (
+            "array("
+            + ",".join(
+                _array_sql(books[c][s * sub : (s + 1) * sub])
+                for c in range(n_codes)
+            )
+            + ")"
+        )
+        terms.append(
+            "aggregate(zip_with("
+            f"slice(__qvec, {s * sub + 1}, {sub}), "
+            f"element_at({book_lit}, CAST(__code_{s} + 1 AS INT)), "
+            "(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+            "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    joined = joined.withColumn("__dist2", F.expr(" + ".join(terms)))
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("__dist2").asc(), F.col("neighbor_id").asc()
+    )
+    cands = (
+        joined.withColumn("__rn", F.row_number().over(w_adc))
+        .filter(F.col("__rn") <= k * expand)
+        .select("query_id", "neighbor_id", "__qvec")
+    )
+
+    # -- exact cosine rerank of the candidate set --
+    cvecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__nvec"),
+    )
+    scored = cvecs.join(F.broadcast(cands), on="neighbor_id").withColumn(
+        "cosine",
+        F.round(
+            dot("__qvec", "__nvec")
+            / (l2_norm("__qvec") * l2_norm("__nvec")),
+            6,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def pq_topk_rerank(
     codes_df: DataFrame,
     codebooks: list[list[list[float]]],

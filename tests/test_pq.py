@@ -8,7 +8,13 @@ import random
 import pytest
 from pyspark.sql import functions as F
 
-from ncagg_spark.pipeline.pq import pq_encode, pq_topk, pq_topk_rerank, pq_train
+from ncagg_spark.pipeline.pq import (
+    pq_encode,
+    pq_topk,
+    pq_topk_relational,
+    pq_topk_rerank,
+    pq_train,
+)
 from ncagg_spark.pipeline.similarity import brute_force_topk
 
 DIM = 16
@@ -109,3 +115,44 @@ def test_pq_rerank_recovers_exact_ranking(clustered):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact_map:
             assert r["cosine"] == exact_map[key]
+
+
+def test_pq_relational_matches_production_semantics(clustered):
+    """The oracle-parity relational PQ (anchor codebooks, expression-only
+    encode/ADC/rerank) returns exactly k rows per query with exact
+    reranked cosines, is deterministic under repartitioning, and reaches
+    the same recall bar as the production rerank path."""
+    rows, df = clustered
+    queries = df.filter("vec_id < 10")
+    got = pq_topk_relational(
+        df, queries, dim=DIM, m=4, n_codes=16, k=5, expand=10
+    ).collect()
+    assert len(got) == 50
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert all(len(v) == 5 for v in per_q.values())
+    assert all(
+        sorted(r["rank"] for r in v) == [1, 2, 3, 4, 5]
+        for v in per_q.values()
+    )
+
+    exact = brute_force_topk(df, queries, k=5).collect()
+    es = {}
+    for r in exact:
+        es.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hit = sum(1 for r in got if r["neighbor_id"] in es[r["query_id"]])
+    assert hit / len(got) >= 0.9, f"recall {hit/len(got):.2f}"
+    exact_map = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact
+    }
+    for r in got:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_map:
+            assert r["cosine"] == exact_map[key]
+
+    again = pq_topk_relational(
+        df.repartition(16, "vec_id"), queries, dim=DIM, m=4, n_codes=16,
+        k=5, expand=10,
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
