@@ -186,6 +186,117 @@ def q_agg_dedup_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_nc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native `.nc` ingest end-to-end: the day window is re-granulated to
+    hourly classic NetCDF files (distributed applyInPandas writer,
+    sources/nc_granules.py:write_nc_granules), read back through the
+    pure-Python codec (binaryFile -> mapInPandas,
+    sources/netcdf3.py), CF time decoded, then regularized — the
+    reference's actual input format driven through its flagship
+    aggregation (ncagg/aggregator.py:239-359). The oracle replicates the
+    CF double round-trip (us -> us/1e6 -> floor(sec*1e6)) in identical
+    IEEE arithmetic, so values — including the decoded timestamps — are
+    hash-checked, not just counted."""
+    import tempfile
+
+    from ncagg_spark.sources.nc_granules import (
+        read_nc_granules,
+        write_nc_granules,
+    )
+
+    ev = load_table(
+        spark,
+        f"{sf_dir}/events.parquet",
+        time_bounds=("ts", DAY_LO_US, DAY_HI_US),
+    )
+    ev = drop_invalid_index(ev, "ts").select("ts", "event_id", "value")
+    out_dir = tempfile.mkdtemp(prefix="ncagg_ingest_")
+    write_nc_granules(
+        ev,
+        out_dir,
+        index_col="ts",
+        cf_units="seconds since 1970-01-01",
+        interval_us=3_600_000_000,  # hourly granules
+    ).collect()  # manifest action runs the distributed export
+
+    df = read_nc_granules(spark, f"{out_dir}/*.nc")
+    df = df.select(
+        cf_to_timestamp("ts", "seconds since 1970-01-01").alias("ts"),
+        "event_id",
+        "value",
+    )
+    df = cadence_bucket(df, "ts", origin_us=DAY_LO_US, step_us=STEP_US)
+    df = dedup_cadence(df, "ts", tiebreak=["event_id"])
+    out = gap_fill(
+        spark,
+        df,
+        "ts",
+        origin_us=DAY_LO_US,
+        step_us=STEP_US,
+        n_buckets=N_BUCKETS,
+        anchor="grid",
+        keep_bucket=True,
+    )
+    return out.select(
+        F.col("__bucket").alias("bucket"), "ts", "event_id", "value",
+        "is_fill",
+    )
+
+
+def q_stream_day_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-incremental equivalence, driver-checked: the day window
+    lands as four quarter-day granule files; ``incremental_aggregate``
+    (streaming/regularize.py — foreachBatch merge with
+    maxFilesPerTrigger=1, so each granule is its own micro-batch)
+    maintains the regularized day aggregate across four successive
+    merges; the final on-disk state is returned and must hash-match the
+    ONE-SHOT batch oracle — the reference's operational re-aggregation
+    loop (a cron drops a granule, the day file is rebuilt) proven
+    incremental == batch."""
+    import glob as _glob
+    import os
+    import tempfile
+
+    from ncagg_spark.streaming.regularize import incremental_aggregate
+
+    base = tempfile.mkdtemp(prefix="ncagg_stream_")
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+
+    ev = load_table(
+        spark,
+        f"{sf_dir}/events.parquet",
+        time_bounds=("ts", DAY_LO_US, DAY_HI_US),
+    )
+    ev = drop_invalid_index(ev, "ts").select("ts", "event_id", "value")
+    quarter_us = (DAY_HI_US - DAY_LO_US) // 4
+    for i in range(4):
+        qlo = DAY_LO_US + i * quarter_us
+        part = ev.filter(
+            (epoch_us("ts") >= qlo) & (epoch_us("ts") < qlo + quarter_us)
+        )
+        tmp_out = os.path.join(base, f"tmp{i}")
+        part.coalesce(1).write.parquet(tmp_out)
+        (pf,) = _glob.glob(os.path.join(tmp_out, "part-*.parquet"))
+        os.rename(pf, os.path.join(in_dir, f"granule_{i}.parquet"))
+
+    out_dir = os.path.join(base, "out")
+    q = incremental_aggregate(
+        spark,
+        in_dir,
+        out_dir,
+        os.path.join(base, "ckpt"),
+        spark.read.parquet(in_dir).schema,
+        _day_cfg(),
+        available_now=True,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        "ts", "event_id", "value", "is_fill"
+    )
+
+
 def q_agg_bounds_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(
         spark,
@@ -1068,6 +1179,8 @@ def queries() -> dict[str, _T]:
         "agg_regularize_anchored": q_agg_regularize_anchored,
         "agg_dedup_cadence": q_agg_dedup_cadence,
         "agg_dedup_phase": q_agg_dedup_phase,
+        "agg_nc_ingest": q_agg_nc_ingest,
+        "stream_day_merge": q_stream_day_merge,
         "agg_bounds_filter": q_agg_bounds_filter,
         "agg_manifest_attrs": q_agg_manifest_attrs,
         "agg_coalesce_alt": q_agg_coalesce_alt,
@@ -1088,16 +1201,17 @@ def queries() -> dict[str, _T]:
         "rel_rollup": q_rel_rollup,
         "rel_grouping_sets": q_rel_grouping_sets,
         "rel_anti_join": q_rel_anti_join,
-        "rel_semi_join": q_rel_semi_join,
         "rel_intersect_except": q_rel_intersect_except,
         "rel_exists_subquery": q_rel_exists_subquery,
         "rel_scalar_subquery": q_rel_scalar_subquery,
-        # rel_moving_avg retired from the 50-query window (window frames
-        # stay covered by rel_window_agg + rel_window_topk + pytest) in
-        # favor of the trained-centroid IVF deliverable
-        "rel_window_agg": q_rel_window_agg,
-        "rel_distinct_count": q_rel_distinct_count,
-        "rel_union_distinct": q_rel_union_distinct,
+        # Retired from the 50-query window in round 5, making room for
+        # agg_nc_ingest / stream_day_merge / agg_dedup_phase /
+        # emb_pq_topk. Every capability keeps a green twin:
+        #   rel_moving_avg + rel_window_agg -> rel_window_topk (frames),
+        #   rel_semi_join -> rel_exists_subquery (LeftSemi plan),
+        #   rel_union_distinct -> rel_intersect_except (set ops),
+        #   rel_distinct_count -> doc_top_ngrams (distinct aggregation).
+        # The query fns + oracles remain below and stay pytest-runnable.
         # -- documents (LLM-pipeline text ops) --
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_text_stats": q_doc_text_stats,
@@ -1263,6 +1377,46 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["agg_dedup_cadence"] = f"""
         SELECT bucket, ts, event_id, value FROM ({_EV_DEDUP})
+    """
+
+    # the .nc round trip: ts (integer us) -> CF double seconds (us/1e6)
+    # in the classic file -> floor(sec*1e6) on decode. Same IEEE ops on
+    # both engines, so the decoded grid hash-matches exactly.
+    sqls["agg_nc_ingest"] = f"""
+        WITH rt AS (
+            SELECT make_timestamp(CAST(floor((epoch_us(ts) / 1000000.0)
+                       * 1000000.0) AS BIGINT)) AS ts,
+                   event_id, value
+            FROM events
+            WHERE ts IS NOT NULL AND epoch_us(ts) > 0
+              AND ts >= make_timestamp({DAY_LO_US})
+              AND ts < make_timestamp({DAY_HI_US})
+        ),
+        bkt AS (
+            SELECT *, (epoch_us(ts) - {DAY_LO_US}) // {STEP_US} AS bucket
+            FROM rt
+        ),
+        dedup AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY bucket
+                           ORDER BY ts, event_id) AS rn
+                FROM bkt
+            ) WHERE rn = 1
+        ),
+        grid AS ({_GRID})
+        SELECT g.bucket,
+               coalesce(d.ts, make_timestamp({DAY_LO_US} + g.bucket * {STEP_US})) AS ts,
+               d.event_id, d.value, (d.ts IS NULL) AS is_fill
+        FROM grid g LEFT JOIN dedup d USING (bucket)
+    """
+
+    # incremental (4-micro-batch foreachBatch merge) == one-shot batch:
+    # the oracle is simply the batch day-regularization
+    sqls["stream_day_merge"] = f"""
+        WITH dedup AS ({_EV_DEDUP}), grid AS ({_GRID})
+        SELECT coalesce(d.ts, make_timestamp({DAY_LO_US} + g.bucket * {STEP_US})) AS ts,
+               d.event_id, d.value, (d.ts IS NULL) AS is_fill
+        FROM grid g LEFT JOIN dedup d USING (bucket)
     """
 
     # nearest-slot assignment: floor(x + 0.5) on the identical IEEE-double

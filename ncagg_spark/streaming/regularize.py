@@ -113,6 +113,7 @@ def incremental_aggregate(
     *,
     anchor: str = "grid",
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
     extra_stream_options: dict[str, Any] | None = None,
 ) -> StreamingQuery:
     """Maintain a regularized day aggregate as granules land: each
@@ -121,8 +122,13 @@ def incremental_aggregate(
 
     Returns the StreamingQuery; with ``available_now`` it processes all
     pending files then stops (the batch-catchup trigger).
+    ``max_files_per_trigger=1`` makes every granule its own micro-batch
+    (the one-file-one-merge arrival pattern).
     """
-    stream = stream_granules(spark, input_path, schema)
+    stream = stream_granules(
+        spark, input_path, schema,
+        max_files_per_trigger=max_files_per_trigger,
+    )
     return _run_incremental(
         spark,
         stream,
