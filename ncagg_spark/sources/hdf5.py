@@ -745,30 +745,70 @@ class Hdf5File:
         return out
 
     def read(self, name: str) -> np.ndarray:
-        """Materialize a dataset as a numpy array."""
+        """Materialize a dataset as a numpy array.
+
+        Variable-length strings (datatype class 9 with a string base —
+        netCDF-4 `string` variables, e.g. the reference's xrsf-l2-flsum
+        flare_class) decode through the global heap into an object array
+        of Python str; never-written elements surface as "" (the netCDF
+        string fill). Non-string vlen and compound data stay explicit
+        raises (the declared unsupported-feature contract)."""
         ds = self.datasets[name]
         shape = ds.dataspace.shape
+        dtype = ds.datatype
+        vlen_str = dtype.cls == 9 and dtype.is_vlen_str
         dt = ds.datatype.np_dtype
-        if dt is None or ds.datatype.cls in (6, 9):
+        if dtype.cls == 6 or (dtype.cls == 9 and not vlen_str) or (
+            dt is None and not vlen_str
+        ):
             raise Hdf5Error(f"dataset {name}: unsupported datatype class")
         n = 1
         for d in shape:
             n *= d
+
+        if vlen_str:
+            esize = dtype.size  # 4-byte length + 8-byte gheap + 4-byte idx
+
+            def from_raw(raw, count):
+                out = np.empty(count, dtype=object)
+                for i in range(count):
+                    rec = raw[i * esize : (i + 1) * esize]
+                    gaddr = _u(rec, 4, 8)
+                    if gaddr in (0, UNDEF):
+                        out[i] = ""  # fill / never-written element
+                    else:
+                        out[i] = self._global_heap_object(
+                            gaddr, _u(rec, 12, 4)
+                        ).decode("utf-8", "replace")
+                return out
+
+            str_fill = ds.attributes.get("_FillValue", "")
+        else:
+
+            def from_raw(raw, count):
+                return np.frombuffer(raw, dtype=dt, count=count)
+
         lay = ds.layout
         if lay["class"] == "compact":
-            raw = lay["data"]
-            return np.frombuffer(raw, dtype=dt, count=n).reshape(shape)
+            return from_raw(lay["data"], n).reshape(shape)
         if lay["class"] == "contiguous":
             if lay["addr"] == UNDEF:  # never written: fill
+                if vlen_str:
+                    return np.full(shape, str_fill, dtype=object)
                 fill = ds.attributes.get("_FillValue", 0)
                 return np.full(shape, fill, dtype=dt)
             raw = self.buf[lay["addr"] : lay["addr"] + lay["size"]]
-            return np.frombuffer(raw, dtype=dt, count=n).reshape(shape)
+            return from_raw(raw, n).reshape(shape)
         # chunked
         chunk = lay["chunk"]
         ndim = len(chunk) + 1  # btree keys carry ndim+1 dims
-        out = np.zeros(shape, dtype=dt)
+        if vlen_str:
+            out = np.full(shape, str_fill, dtype=object)
+        else:
+            out = np.zeros(shape, dtype=dt)
         if lay["btree"] == UNDEF:
+            if vlen_str:
+                return out
             fill = ds.attributes.get("_FillValue", 0)
             out[...] = fill
             return out
@@ -794,8 +834,7 @@ class Hdf5File:
                     raw = raw[:-4]
                 else:
                     raise Hdf5Error(f"filter {fid} unsupported")
-            carr = np.frombuffer(raw, dtype=dt, count=int(np.prod(chunk)))
-            carr = carr.reshape(chunk)
+            carr = from_raw(raw, int(np.prod(chunk))).reshape(chunk)
             sl = tuple(
                 slice(o, min(o + c, s))
                 for o, c, s in zip(offs[: len(shape)], chunk, shape)

@@ -205,7 +205,8 @@ def _record_var_fields(
         if grain_dim is not None and (not v.dims or v.dims[0] != grain_dim):
             continue
         arr = nc.data[name]
-        if arr.dtype.kind == "S":
+        if arr.dtype.kind in ("S", "O"):
+            # char matrices AND vlen strings surface as StringType
             fields.append((name, T.StringType(), False))
             continue
         base = _NP_TO_SPARK[str(arr.dtype.newbyteorder("="))]
@@ -295,7 +296,9 @@ def _granule_frame(
             cols[f.name] = [None] * n  # P4: missing/off-grain -> nulls
             continue
         arr = nc.data[f.name]
-        if arr.dtype.kind == "S":
+        if arr.dtype.kind == "O":  # vlen strings: already Python str
+            cols[f.name] = list(arr.reshape(-1)[:n])
+        elif arr.dtype.kind == "S":
             flat = arr.reshape(n, -1)
             cols[f.name] = [
                 b"".join(row).decode("utf-8", "replace").rstrip("\x00")

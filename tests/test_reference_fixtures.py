@@ -505,3 +505,292 @@ def test_mag_zero_timestamp_removal_parity(spark, tmp_path):
     assert col0[-1] < end.timestamp()
     assert abs(col0[0] - start.timestamp()) < 1
     assert abs(col0[-1] - end.timestamp()) < 1  # real 15:29:59.9 kept
+
+
+def test_exis_bound_parity(spark, tmp_path):
+    """The reference's EXIS bound scenario (reference:
+    test/exis/EXISL1bSFXR_bound/test_EXISL1bSFXR.py test_exis_with_config):
+    16 granules spanning the 2018-06-20/21 day boundary, aggregated at
+    1 Hz over [2018-06-21 00:00, 00:05) — both bounds chop real data.
+    The reference asserts every diff(time) == 1 +/- 0.001 and bounds
+    containment; the engine's exact grid adds the 300-slot count."""
+    from ncagg_spark.api import aggregate_nc
+    from ncagg_spark.config import AggregationConfig
+
+    paths = sorted(glob.glob(f"{REF}/exis/EXISL1bSFXR_bound/data/*.nc"))
+    assert len(paths) == 16
+    start = datetime(2018, 6, 21, 0, 0, tzinfo=timezone.utc)
+    end = datetime(2018, 6, 21, 0, 5, tzinfo=timezone.utc)
+    cfg = AggregationConfig(
+        index_by="time",
+        cadence_hz=1.0,
+        min_bound=start.timestamp(),
+        max_bound=end.timestamp(),
+    )
+    out = str(tmp_path / "exis_bound")
+    aggregate_nc(spark, paths, out, cfg, decoder="auto", anchor="previous")
+    got = spark.read.parquet(out)
+    rows = (
+        got.select(F.unix_micros("time").alias("us"), "is_fill")
+        .orderBy("us")
+        .collect()
+    )
+    assert len(rows) == 300
+    us = np.array([r["us"] for r in rows], dtype="int64")
+    # reference: time[0] >= start, time[-1] < end
+    assert us[0] >= int(start.timestamp() * 1e6)
+    assert us[-1] < int(end.timestamp() * 1e6)
+    # reference: min/max/mean diff all 1 +/- 0.001
+    d = np.diff(us) / 1e6
+    assert abs(d.min() - 1.0) < 1e-3
+    assert abs(d.max() - 1.0) < 1e-3
+    assert abs(d.mean() - 1.0) < 1e-3
+    # the window is fully covered by granules: no fills at all
+    assert not any(r["is_fill"] for r in rows)
+
+
+def test_exis_boundtighter_parity(spark, tmp_path):
+    """The reference's tighter-bound scenario (reference:
+    test/exis/EXISL1bSFXR_boundtighter/test_EXISL1bSFXR.py): a one-minute
+    window [2017-01-10 00:00, 00:01) whose real data ends at 00:00:58.94
+    — the final slot is a synthetic fill whose timestamp must continue
+    the previous record's cadence (G7 previous-anchored, the reference's
+    fill-time rule) for the reference's uniform-diff assertion to hold."""
+    from ncagg_spark.api import aggregate_nc
+    from ncagg_spark.config import AggregationConfig
+
+    paths = sorted(
+        glob.glob(f"{REF}/exis/EXISL1bSFXR_boundtighter/data/*.nc")
+    )
+    assert len(paths) == 3
+    start = datetime(2017, 1, 10, 0, 0, tzinfo=timezone.utc)
+    end = datetime(2017, 1, 10, 0, 1, tzinfo=timezone.utc)
+    cfg = AggregationConfig(
+        index_by="time",
+        cadence_hz=1.0,
+        min_bound=start.timestamp(),
+        max_bound=end.timestamp(),
+    )
+    out = str(tmp_path / "exis_tight")
+    aggregate_nc(spark, paths, out, cfg, decoder="auto", anchor="previous")
+    got = spark.read.parquet(out)
+    rows = (
+        got.select(F.unix_micros("time").alias("us"), "is_fill")
+        .orderBy("us")
+        .collect()
+    )
+    assert len(rows) == 60
+    us = np.array([r["us"] for r in rows], dtype="int64")
+    assert us[0] >= int(start.timestamp() * 1e6)
+    assert us[-1] < int(end.timestamp() * 1e6)
+    d = np.diff(us) / 1e6
+    assert abs(d.min() - 1.0) < 1e-3
+    assert abs(d.max() - 1.0) < 1e-3
+    assert abs(d.mean() - 1.0) < 1e-3
+    # trailing records beyond the data are fills continuing the cadence
+    assert any(r["is_fill"] for r in rows[-1:])
+
+
+def test_seis_mpsh_bound_parity(spark, tmp_path):
+    """The reference's MPSH bound scenario (reference:
+    test/seis/SEISL1bMPSH_bound/test_SEISL1bMPSH.py
+    test_mpsh_with_config): two granules covering exactly
+    [2017-07-20 00:00:00, 00:00:59] at 1 Hz; the reference asserts
+    uniform 1-s spacing, containment, and both bounds within one
+    cadence."""
+    from ncagg_spark.api import aggregate_nc
+    from ncagg_spark.config import AggregationConfig
+
+    paths = sorted(glob.glob(f"{REF}/seis/SEISL1bMPSH_bound/data/*.nc"))
+    assert len(paths) == 2
+    start = datetime(2017, 7, 20, 0, 0, tzinfo=timezone.utc)
+    end = datetime(2017, 7, 20, 0, 1, tzinfo=timezone.utc)
+    cfg = AggregationConfig(
+        index_by="L1a_SciData_TimeStamp",
+        cadence_hz=1.0,
+        min_bound=start.timestamp(),
+        max_bound=end.timestamp(),
+    )
+    out = str(tmp_path / "mpsh_bound")
+    aggregate_nc(spark, paths, out, cfg, decoder="auto")
+    got = spark.read.parquet(out)
+    rows = (
+        got.select(
+            F.unix_micros("L1a_SciData_TimeStamp").alias("us"), "is_fill"
+        )
+        .orderBy("us")
+        .collect()
+    )
+    assert len(rows) == 60
+    us = np.array([r["us"] for r in rows], dtype="int64")
+    d = np.diff(us) / 1e6
+    # reference: min/max/mean diff 1 +/- 0.001
+    assert abs(d.min() - 1.0) < 1e-3
+    assert abs(d.max() - 1.0) < 1e-3
+    assert abs(d.mean() - 1.0) < 1e-3
+    # containment + within one cadence of both bounds
+    s_us, e_us = int(start.timestamp() * 1e6), int(end.timestamp() * 1e6)
+    assert us[0] >= s_us and us[-1] < e_us
+    assert (s_us - us[0]) < 1_000_000
+    assert (e_us - us[-1]) <= 1_000_000
+    assert not any(r["is_fill"] for r in rows)
+
+
+@pytest.mark.parametrize("product", ["SEISL1bSGPS_5min", "SEISL1bSGPSEAST_5min"])
+def test_seis_sgps_5min_parity(spark, tmp_path, product):
+    """The reference's SGPS 5-minute scenarios (reference:
+    test/seis/SEISL1bSGPS_5min/test_SEISL1bSGPS.py and the SGPSEAST
+    twin, test_time): the index variable L1a_SciData_TimeStamp is 2-D
+    (report_number x sensor_unit) with sensor cadence 0 — the index is
+    column 0 (the reference's numeric_times[:, 0]). 1 Hz over
+    [2017-06-08 16:45, 16:50): uniform spacing, containment, both bounds
+    within one cadence."""
+    from ncagg_spark.config import AggregationConfig
+    from ncagg_spark.functions.time import cf_to_timestamp
+    from ncagg_spark.operators.dedup import cadence_bucket, dedup_cadence
+    from ncagg_spark.operators.gapfill import gap_fill
+    from ncagg_spark.operators.normalize import drop_invalid_index
+    from ncagg_spark.sources.nc_granules import read_nc_granules
+
+    UNITS = "seconds since 2000-01-01 12:00:00"
+    paths = sorted(glob.glob(f"{REF}/seis/{product}/data/*.nc"))
+    assert len(paths) == 8
+    df = read_nc_granules(
+        spark, paths, decoder="auto",
+        columns=["L1a_SciData_TimeStamp", "T3P11_IntegralProtonFlux"],
+    )
+    # index = sensor column 0 of the 2-D timestamp (cadence 0 on sensor_unit)
+    df = df.withColumn(
+        "ts",
+        cf_to_timestamp(F.element_at("L1a_SciData_TimeStamp", 1), UNITS),
+    )
+    start = datetime(2017, 6, 8, 16, 45, tzinfo=timezone.utc)
+    end = datetime(2017, 6, 8, 16, 50, tzinfo=timezone.utc)
+    s_us = int(start.timestamp() * 1e6)
+    e_us = int(end.timestamp() * 1e6)
+    df = drop_invalid_index(df, "ts").filter(
+        (F.col("ts") >= F.timestamp_micros(F.lit(s_us)))
+        & (F.col("ts") < F.timestamp_micros(F.lit(e_us)))
+    )
+    df = cadence_bucket(df, "ts", origin_us=s_us, step_us=1_000_000)
+    df = dedup_cadence(df, "ts", tiebreak=["granule"])
+    out = gap_fill(
+        spark, df, "ts", origin_us=s_us, step_us=1_000_000,
+        n_buckets=300, anchor="previous",
+    )
+    rows = (
+        out.select(F.unix_micros("ts").alias("us"), "is_fill")
+        .orderBy("us")
+        .collect()
+    )
+    assert len(rows) == 300
+    us = np.array([r["us"] for r in rows], dtype="int64")
+    d = np.diff(us) / 1e6
+    # reference: min/max/mean diff 1 +/- 0.01
+    assert abs(d.min() - 1.0) < 0.01
+    assert abs(d.max() - 1.0) < 0.01
+    assert abs(d.mean() - 1.0) < 0.01
+    # containment and both bounds within one cadence
+    assert us[0] >= s_us and us[-1] < e_us
+    assert (us[0] - s_us) <= 1_000_000
+    assert (e_us - us[-1]) <= 1_000_000
+    # the window is fully covered by the 8 granules
+    assert not any(r["is_fill"] for r in rows)
+
+
+def test_xrsf_flsum_string_concat_parity(spark):
+    """The reference's xrsf-l2-flsum scenario (reference:
+    test/exis/xrsfl2flsum_simple/test_xrsfl2flsum.py test_main):
+    no-cadence concat of 11 daily flare-summary granules whose
+    `status`/`flare_class` variables are netCDF-4 VLEN STRINGS — the
+    type whose aggregation the reference fixed twice (fills before
+    v0.8.5, string "nan" before v0.8.18). The engine decodes vlen
+    strings through the global heap (sources/hdf5.py:read) and must
+    reproduce the reference's assertions: status has no fills,
+    flare_class contains '' and 'B1.0' but never 'nan'."""
+    from ncagg_spark.sources.nc_granules import read_nc_granules
+
+    paths = sorted(glob.glob(f"{REF}/exis/xrsfl2flsum_simple/data/*.nc"))
+    assert len(paths) == 11
+    df = read_nc_granules(
+        spark, paths, decoder="auto",
+        columns=["time", "status", "flare_class", "xrsb_flux"],
+    )
+    rows = df.orderBy("time", "granule").collect()
+    assert len(rows) == 100
+    status = [r["status"] for r in rows]
+    # no fill values in status (reference: not np.ma.is_masked)
+    assert all(s is not None and s != "" for s in status)
+    assert {"EVENT_START", "EVENT_PEAK", "EVENT_END"} <= set(status)
+    flare_class = [r["flare_class"] for r in rows]
+    assert "nan" not in flare_class  # the pre-v0.8.18 bug
+    assert "" in flare_class  # string fill stays the empty string
+    assert any(fc.startswith("B") for fc in flare_class if fc)
+    # concat ordering: time is non-decreasing across the granule union
+    t = [r["time"] for r in rows]
+    assert all(a <= b for a, b in zip(t, t[1:]))
+
+
+def test_exis_copyfromalt_full_parity(spark):
+    """The reference's copy_from_alt scenario end-to-end (reference:
+    test/exis/EXISL1bSFXR_copyfromalt/test_EXISL1bSFXR_copyfromalt.py):
+    on 2023-05-23 EXIS granules renamed SPP_to_Sun_roll_angle to
+    SPP_roll_angle; one granule carries each name. The reference
+    asserts diff(time) == 1 +/- 0.001 across the 2-granule concat and a
+    complete 2-record SPP_roll_angle with no NaN. Here: the record
+    concat through the Spark reader, and the per-file scalar grain
+    (input_file dimension) coalesced across the rename with
+    coalesce_alternates (P3)."""
+    import math
+
+    from ncagg_spark.operators.projection import coalesce_alternates
+    from ncagg_spark.sources.hdf5 import read_hdf5
+    from ncagg_spark.sources.nc_granules import read_nc_granules
+
+    paths = sorted(
+        glob.glob(f"{REF}/exis/EXISL1bSFXR_copyfromalt/data/*.nc")
+    )
+    assert len(paths) == 2
+    # record grain: time concat across both granules is exactly 1 Hz
+    df = read_nc_granules(spark, paths, decoder="auto", columns=["time"])
+    t = np.array(
+        [r["time"] for r in df.orderBy("time").collect()], dtype="float64"
+    )
+    assert len(t) == 60  # 30 records per file
+    d = np.diff(t)
+    assert abs(d.min() - 1.0) < 1e-3
+    assert abs(d.max() - 1.0) < 1e-3
+    assert abs(d.mean() - 1.0) < 1e-3
+
+    # per-file scalar grain (the reference's added input_file dim):
+    # one row per granule, value under EITHER vintage name
+    recs = []
+    for p in paths:
+        h5 = read_hdf5(p)
+        old = (
+            float(h5.read("SPP_to_Sun_roll_angle"))
+            if "SPP_to_Sun_roll_angle" in h5.datasets
+            else None
+        )
+        new = (
+            float(h5.read("SPP_roll_angle"))
+            if "SPP_roll_angle" in h5.datasets
+            else None
+        )
+        recs.append((p.rsplit("/", 1)[-1], old, new))
+    man = spark.createDataFrame(
+        recs,
+        "granule string, SPP_to_Sun_roll_angle double, "
+        "SPP_roll_angle double",
+    )
+    man = coalesce_alternates(
+        man, {"SPP_roll_angle": ["SPP_to_Sun_roll_angle"]}
+    )
+    vals = [
+        r["SPP_roll_angle"]
+        for r in man.orderBy("granule").collect()
+    ]
+    # reference: len(data) == 2, no NaN anywhere
+    assert len(vals) == 2
+    assert all(v is not None and not math.isnan(v) for v in vals)
+    assert all(abs(v - 179.889) < 0.01 for v in vals)
