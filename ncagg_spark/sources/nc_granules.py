@@ -181,6 +181,47 @@ def _decode_hdf5(blob: bytes) -> NcFile:
     )
 
 
+def _promote_record_dim(nc: NcFile, dim_name: str) -> NcFile:
+    """Treat a FIXED dimension as the record dimension (the reference's
+    type1/type3 remapping, test/exis/EXISL1bSFEU_remapping/README.md:
+    granules whose `report_number` was written fixed aggregate onto an
+    unlimited output dim). Mutates the decoded NcFile in place: the dim
+    becomes unlimited, every variable leading with it becomes a record
+    variable, and numrecs follows the data.
+
+    A ``dim_name`` that does not exist in the granule creates a NEW
+    unlimited dimension and attaches every DIMENSIONLESS variable to it
+    (the reference's crota case, test/exis/EXISL1bSFXR_with_crota/
+    README.md: per-file scalars like SUVI_CROTA become one record per
+    granule on a synthetic `crota_report_number`)."""
+    from ncagg_spark.sources.netcdf3 import NcDim
+
+    if not any(d.name == dim_name for d in nc.dims):
+        nc.dims.append(NcDim(dim_name, 0))
+        for name, v in nc.variables.items():
+            if not v.dims:
+                v.dims = [dim_name]
+                v.is_record = True
+                v.shape = (-1,)
+                if name in nc.data:
+                    nc.data[name] = np.atleast_1d(nc.data[name])
+        nc.numrecs = max(nc.numrecs, 1)
+        return nc
+    for d in nc.dims:
+        if d.name == dim_name:
+            d.size = 0
+    n = 0
+    for name, v in nc.variables.items():
+        if v.dims and v.dims[0] == dim_name:
+            v.is_record = True
+            v.shape = (-1,) + tuple(v.shape[1:])
+            arr = nc.data.get(name)
+            if arr is not None and getattr(arr, "shape", ()):
+                n = max(n, arr.shape[0])
+    nc.numrecs = n or nc.numrecs
+    return nc
+
+
 def _record_var_fields(
     nc: NcFile, grain_of: str | None = None
 ) -> list[tuple[str, T.DataType, bool]]:
@@ -218,17 +259,22 @@ def _record_var_fields(
 
 
 def nc_schema(
-    path_or_bytes, *, decoder: str = "auto", grain_of: str | None = None
+    path_or_bytes, *, decoder: str = "auto", grain_of: str | None = None,
+    record_dim: str | None = None,
 ) -> T.StructType:
     """Spark schema of a granule's record variables (+ provenance).
     ``grain_of`` restricts to the record dimension of that variable
-    (multi-unlimited-dim granules)."""
+    (multi-unlimited-dim granules). ``record_dim`` promotes a FIXED
+    dimension to the record dimension before schema derivation (the
+    reference's type1/type3 remapping)."""
     if isinstance(path_or_bytes, str):
         with open(path_or_bytes, "rb") as f:
             blob = f.read()
     else:
         blob = path_or_bytes
     nc = _decode(blob, decoder)
+    if record_dim:
+        _promote_record_dim(nc, record_dim)
     fields = [
         T.StructField(n, t, True)
         for n, t, _ in _record_var_fields(nc, grain_of)
@@ -799,6 +845,7 @@ def read_nc_granules(
     schema: T.StructType | None = None,
     schema_sample: str | None = None,
     grain_of: str | None = None,
+    record_dim: str | None = None,
 ) -> DataFrame:
     """Read `.nc` granules into a tall DataFrame (one row per record).
 
@@ -817,6 +864,7 @@ def read_nc_granules(
             first_nc_file(schema_sample or paths[0]),
             decoder=decoder,
             grain_of=grain_of,
+            record_dim=record_dim,
         )
     if columns:
         keep = set(columns) | {GRANULE_COL}
@@ -826,11 +874,15 @@ def read_nc_granules(
 
     files = spark.read.format("binaryFile").load(list(paths))
     return files.select("path", "content").mapInPandas(
-        granule_parse_fn(schema, decoder), schema=schema
+        granule_parse_fn(schema, decoder, record_dim=record_dim),
+        schema=schema,
     )
 
 
-def granule_parse_fn(schema: T.StructType, decoder: str = "auto"):
+def granule_parse_fn(
+    schema: T.StructType, decoder: str = "auto",
+    record_dim: str | None = None,
+):
     """The (path, content) -> rows decode closure — shared by the batch
     reader above and the streaming source
     (streaming/regularize.py:incremental_aggregate_nc)."""
@@ -839,6 +891,8 @@ def granule_parse_fn(schema: T.StructType, decoder: str = "auto"):
         for pdf in batches:
             for path, blob in zip(pdf["path"], pdf["content"]):
                 nc = _decode(bytes(blob), decoder)
+                if record_dim:
+                    _promote_record_dim(nc, record_dim)
                 yield _granule_frame(nc, path, schema)
 
     return parse
