@@ -895,3 +895,130 @@ def test_crota_new_dim_parity(spark):
     assert not np.isnan(ct).any()
     assert np.mean(np.diff(ct)) > 0  # increasing on average
     assert all(r["SUVI_CROTA"] is not None for r in rows)
+
+
+def test_seis_ehis_overlap_fill_split_parity(spark):
+    """The reference's EHIS overlap scenario (reference:
+    test/seis/SEISL1bEHIS_overlaps/test_SEISL1bEHIS.py test_time): 20
+    five-minute granules whose reports overlap in pairs (X4:31/X5:31
+    start times 60 s apart at a 300-s cadence) plus a real 540-s gap,
+    indexed by the 2-D ELF_StartStopTime (report x 2 time bounds,
+    inner cadence 1/299 Hz). The reference's documented behavior: the
+    540-s step is split into 300 + 240 by one inserted fill, the
+    overlapping twin of each pair is chopped, and every report's
+    stop-start stays 299 s (fills included). Nearest-slot assignment
+    (bucket_phase=0.5) + previous-anchored fills reproduce the
+    reference's kept set and diffs exactly: starts diff min 240 /
+    max 300 / mean 294 +/- 1."""
+    from ncagg_spark.config import AggregationConfig
+    from ncagg_spark.functions.time import cf_to_timestamp
+    from ncagg_spark.operators.multidim import regularize_multidim
+    from ncagg_spark.sources.nc_granules import read_nc_granules
+
+    UNITS = "seconds since 2000-01-01 12:00:00"
+    paths = sorted(glob.glob(f"{REF}/seis/SEISL1bEHIS_overlaps/data/*.nc"))
+    assert len(paths) == 20
+    # report_number is FIXED (size 1) in these granules — the same
+    # promotion the SFEU scenarios need
+    df = read_nc_granules(
+        spark, paths, decoder="auto", record_dim="report_number",
+        columns=["ELF_StartStopTime"],
+    )
+    df = df.withColumn(
+        "ELF_StartStopTime",
+        F.transform(
+            "ELF_StartStopTime", lambda x: cf_to_timestamp(x, UNITS)
+        ),
+    )
+    start = datetime(2018, 1, 17, 15, 5, tzinfo=timezone.utc)
+    end = datetime(2018, 1, 17, 15, 56, tzinfo=timezone.utc)
+    cfg = AggregationConfig(
+        index_by="ts",
+        cadence_hz=1.0 / 300.0,
+        min_bound=start.timestamp(),
+        max_bound=end.timestamp(),
+        bucket_phase=0.5,
+    )
+    out = regularize_multidim(
+        spark, df, cfg, array_index_col="ELF_StartStopTime",
+        inner_size=2, inner_hz=1.0 / 299.0, anchor="previous",
+    )
+    rows = out.select(
+        F.transform(
+            "ELF_StartStopTime", lambda x: F.unix_micros(x)
+        ).alias("us"),
+        "is_fill",
+    ).collect()
+    mat = np.array([r["us"] for r in rows], dtype="int64")
+    order = np.argsort(mat[:, 0])
+    mat = mat[order]
+    isf = np.array([r["is_fill"] for r in rows])[order]
+    # 11 reports over the 51-minute window, exactly one (the 540-s gap's)
+    # synthetic
+    assert mat.shape == (11, 2)
+    assert isf.sum() == 1 and isf[1]
+    # reference: stop-start == 299 +/- 0.01 on EVERY report, fills too
+    per_report = np.diff(mat, axis=1) / 1e6
+    assert np.all(np.abs(per_report - 299.0) < 0.01)
+    # reference: start diffs min 240, max 300, mean 294 +/- 1 (the
+    # documented 540 -> 300 + 240 split)
+    d0 = np.diff(mat[:, 0]) / 1e6
+    assert abs(d0.min() - 240.0) < 0.01
+    assert abs(d0.max() - 300.0) < 0.01
+    assert abs(d0.mean() - 294.0) < 1.0
+    # containment on the representative start column
+    assert mat[0, 0] / 1e6 >= start.timestamp()
+    assert mat[-1, 0] / 1e6 <= end.timestamp()
+
+
+def test_mag_1min_multidim_parity(spark):
+    """The reference's 1-minute MAG scenario (reference:
+    test/mag/MAGL1bGEOF_1min/test_MAGL1bGEOF.py test_mag_instantiation):
+    two granules at 1 Hz reports x 10 Hz samples over
+    [2017-02-12 15:00, 15:02); representative-element (sample 0) diffs
+    exactly 1 s, containment, and ~120 records. These records sit at
+    +0.9 phase relative to the bounds, so FLOOR bucketing (the engine
+    default) reproduces the reference's no-leading-fill output, as in
+    the zero-timestamp scenario."""
+    from ncagg_spark.config import AggregationConfig
+    from ncagg_spark.functions.time import cf_to_timestamp
+    from ncagg_spark.operators.multidim import regularize_multidim
+    from ncagg_spark.sources.nc_granules import read_nc_granules
+
+    UNITS = "seconds since 2000-01-01 12:00:00"
+    paths = sorted(glob.glob(f"{REF}/mag/MAGL1bGEOF_1min/data/*.nc"))
+    assert len(paths) == 2
+    df = read_nc_granules(
+        spark, paths, decoder="auto", columns=["OB_time", "OB_status"]
+    )
+    df = df.withColumn(
+        "OB_time", F.transform("OB_time", lambda x: cf_to_timestamp(x, UNITS))
+    )
+    start = datetime(2017, 2, 12, 15, 0, tzinfo=timezone.utc)
+    end = datetime(2017, 2, 12, 15, 2, tzinfo=timezone.utc)
+    cfg = AggregationConfig(
+        index_by="ts",
+        cadence_hz=1.0,
+        min_bound=start.timestamp(),
+        max_bound=end.timestamp(),
+    )
+    out = regularize_multidim(
+        spark, df, cfg, array_index_col="OB_time",
+        inner_size=10, inner_hz=10.0, anchor="previous",
+    )
+    rows = (
+        out.select(
+            F.unix_micros(F.element_at("OB_time", 1)).alias("us"), "is_fill"
+        )
+        .orderBy("us")
+        .collect()
+    )
+    # reference: time.size == 120 +/- 1
+    assert abs(len(rows) - 120) <= 1
+    us = np.array([r["us"] for r in rows], dtype="int64")
+    d = np.diff(us) / 1e6
+    assert abs(d.min() - 1.0) < 1e-3
+    assert abs(d.max() - 1.0) < 1e-3
+    assert abs(d.mean() - 1.0) < 1e-3
+    assert us[0] >= int(start.timestamp() * 1e6)
+    assert us[-1] <= int(end.timestamp() * 1e6)
