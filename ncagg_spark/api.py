@@ -75,6 +75,7 @@ def aggregate_nc(
     *,
     anchor: str = "grid",
     decoder: str = "auto",
+    record_dim: str | None = None,
     max_records_per_file: int | None = None,
     num_files: int | None = None,
     partition_by_date: bool = False,
@@ -91,6 +92,12 @@ def aggregate_nc(
     carries a CF ``units`` attribute ("<unit> since <epoch>") and is
     numeric, it is decoded to TimestampType before the pipeline runs —
     the engine's internal index type.
+
+    ``record_dim`` promotes a FIXED granule dimension to the record
+    dimension (the reference's SFEU type1/type3 remapping), or — when
+    the name is absent from the granule — creates a new unlimited dim
+    carrying every dimensionless variable (the crota per-file-scalar
+    case). See sources/nc_granules.py:_promote_record_dim.
     """
     from ncagg_spark.functions.time import cf_to_timestamp
     from ncagg_spark.sources.nc_granules import (
@@ -101,7 +108,8 @@ def aggregate_nc(
     if isinstance(files, str):
         files = [files]
     df = read_nc_granules(
-        spark, files, decoder=decoder, grain_of=config.index_by
+        spark, files, decoder=decoder, grain_of=config.index_by,
+        record_dim=record_dim,
     )
     index_sources = [
         config.index_by,

@@ -104,6 +104,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--generate-template", metavar="SAMPLE",
         help="print a JSON template inferred from a sample granule and exit",
     )
+    p.add_argument(
+        "--record-dim", metavar="DIM",
+        help=".nc sources only: promote this FIXED dimension to the "
+        "record dimension (reference's type1/type3 remapping), or "
+        "create it as a new unlimited dim holding the granule's "
+        "dimensionless variables (the crota case)",
+    )
     p.add_argument("--cpus", default=None, help="local[] parallelism override")
     p.add_argument(
         "--nc-format", choices=("classic", "netcdf4"), default=None,
@@ -202,6 +209,15 @@ def main(argv: list[str] | None = None) -> int:
         )
         return 2
     agg_fn = aggregate_nc if kinds == {"nc"} else aggregate
+    extra_kwargs = {}
+    if args.record_dim:
+        if agg_fn is not aggregate_nc:
+            print(
+                "error: --record-dim applies to .nc sources only",
+                file=sys.stderr,
+            )
+            return 2
+        extra_kwargs["record_dim"] = args.record_dim
     nc_dst = args.dst.endswith(".nc") or args.dst.endswith(".nc4")
     parquet_dst = (
         args.dst.rsplit(".", 1)[0] + "_parquet" if nc_dst else args.dst
@@ -216,6 +232,7 @@ def main(argv: list[str] | None = None) -> int:
         num_files=args.num_files,
         partition_by_date=args.partition_by_date,
         columns=columns,
+        **extra_kwargs,
     )
     if nc_dst:
         # DST ending in .nc/.nc4: single-file NetCDF export, the

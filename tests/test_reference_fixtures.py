@@ -1022,3 +1022,33 @@ def test_mag_1min_multidim_parity(spark):
     assert abs(d.mean() - 1.0) < 1e-3
     assert us[0] >= int(start.timestamp() * 1e6)
     assert us[-1] <= int(end.timestamp() * 1e6)
+
+
+def test_cli_record_dim_remapping(spark, tmp_path):
+    """CLI surface for the remapping: `--record-dim report_number` runs
+    the SFEU type1 aggregation end-to-end (fixed dim promoted at read,
+    one record per granule) — the user-facing equivalent of the
+    reference's modified config template."""
+    from ncagg_spark.cli import main as cli_main
+
+    paths = sorted(
+        glob.glob(f"{REF}/exis/EXISL1bSFEU_remapping/data/type1/*.nc")
+    )
+    out = str(tmp_path / "sfeu_cli")
+    rc = cli_main(
+        [out, *paths, "-i", "time", "--record-dim", "report_number"]
+    )
+    assert rc == 0
+    got = spark.read.parquet(out)
+    assert got.count() == 3
+    assert got.filter(F.col("time").isNotNull()).count() == 3
+
+    # --record-dim on parquet sources is an explicit error
+    rc = cli_main(
+        [
+            str(tmp_path / "nope"),
+            "/root/testdata/sf0.001/events.parquet",
+            "-i", "ts", "--record-dim", "report_number",
+        ]
+    )
+    assert rc == 2
