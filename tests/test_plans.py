@@ -22,7 +22,9 @@ SF = "/root/testdata/sf0.001"
 
 # crossJoin against a broadcast handful of query vectors is the intended
 # physical shape for the exact baselines only:
-CROSS_OK = {"emb_brute_topk", "emb_near_dup"}
+# the two exact ANN baselines + the PQ ADC scoring join (broadcast NL
+# against the 10-row query side — bounded by construction)
+CROSS_OK = {"emb_brute_topk", "emb_near_dup", "emb_pq_topk"}
 
 
 def _plan(spark, name):

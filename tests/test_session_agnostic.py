@@ -58,7 +58,7 @@ def test_read_granules_normalizes_timestamps(vanilla_conf):
 
 
 @pytest.mark.parametrize(
-    "qname", ["agg_regularize_day", "evt_sessionize", "rel_window_agg"]
+    "qname", ["agg_regularize_day", "evt_sessionize", "rel_window_topk"]
 )
 def test_driver_queries_on_vanilla_session(vanilla_conf, qname):
     import __spark_entry__ as entrymod
