@@ -1,0 +1,162 @@
+"""Deterministic sampling, corpus mixing, and train/val splitting — the
+dataset-assembly operations a training-data pipeline runs after cleaning
+and dedup (downsample a source, mix sources to target proportions, carve
+a held-out split).
+
+Everything is keyed CONTENT-HASH sampling, not `df.sample()`:
+
+  * reproducible — the same row set survives re-runs, repartitioning,
+    cluster resizing, and engine upgrades (rand()-based sampling gives a
+    different set per run and per partitioning);
+  * portable — the decision is `hash64(key || salt) % M < fraction * M`
+    on the md5-based 60-bit hash (functions/hashing.py), computable
+    bit-identically in DuckDB SQL, so sampled outputs remain
+    oracle-checkable;
+  * stable under appends — adding new rows never flips the keep/drop
+    decision of existing rows (the property that makes incremental
+    dataset builds reproducible).
+
+Scale: every decision is a pure projection + filter (whole-stage
+codegen, pushes through scans); no shuffle is introduced by sampling
+itself. `mix_corpora` adds one count() aggregate per source to compute
+feasible fractions — driver traffic is one number per source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ncagg_spark.functions.hashing import hash64
+
+# keep-decision resolution: fraction quantized to 1/M
+SAMPLE_MOD = 1_000_000
+
+
+def _keep_ticket(key: Column | str, salt: str) -> Column:
+    """Uniform ticket in [0, SAMPLE_MOD) from the portable content hash.
+    Same expression renders to SQL for the oracle:
+    ('0x'||substring(md5(key||'|'||salt),1,15))::BIGINT % 1000000."""
+    c = F.col(key) if isinstance(key, str) else key
+    return hash64(F.concat_ws("|", c.cast("string"), F.lit(salt))) % F.lit(
+        SAMPLE_MOD
+    )
+
+
+def sample_hash(
+    df: DataFrame,
+    fraction: float,
+    *,
+    key_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep ~`fraction` of rows, decided by content hash of ``key_col``.
+
+    Deterministic per (key, salt): re-runs, repartitioning, and appends
+    never change an existing row's fate. Different salts draw
+    independent samples from the same corpus.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction {fraction} not in [0, 1]")
+    cut = int(round(fraction * SAMPLE_MOD))
+    return df.filter(_keep_ticket(key_col, salt) < F.lit(cut))
+
+
+def split_train_val(
+    df: DataFrame,
+    val_fraction: float,
+    *,
+    key_col: str = "doc_id",
+    salt: str = "split",
+) -> tuple[DataFrame, DataFrame]:
+    """Disjoint, exhaustive (train, val) split by content hash.
+
+    The SAME ticket partitions both sides (val = ticket < cut, train =
+    rest), so membership is mutually exclusive and collectively
+    exhaustive by construction — no row is lost or duplicated, and a
+    document never migrates between splits across rebuilds (the
+    contamination-safety property)."""
+    if not 0.0 <= val_fraction <= 1.0:
+        raise ValueError(f"val_fraction {val_fraction} not in [0, 1]")
+    cut = int(round(val_fraction * SAMPLE_MOD))
+    ticket = _keep_ticket(key_col, salt)
+    return (
+        df.filter(ticket >= F.lit(cut)),
+        df.filter(ticket < F.lit(cut)),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    *,
+    strata_col: str,
+    key_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    salt: str = "strata",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample boilerplate
+    languages, keep all rare ones): stratum s keeps fractions[s] of its
+    rows; strata absent from the map keep ``default_fraction``.
+
+    One projection + filter — the per-stratum cut is a CASE expression,
+    no join, no shuffle."""
+    for s, f_ in fractions.items():
+        if not 0.0 <= f_ <= 1.0:
+            raise ValueError(f"fraction {f_} for stratum {s!r} not in [0, 1]")
+    cut = F.lit(int(round(default_fraction * SAMPLE_MOD)))
+    for s, f_ in sorted(fractions.items()):
+        cut = (
+            F.when(
+                F.col(strata_col) == F.lit(s),
+                F.lit(int(round(f_ * SAMPLE_MOD))),
+            ).otherwise(cut)
+        )
+    return df.filter(_keep_ticket(key_col, salt) < cut)
+
+
+def mix_corpora(
+    sources: dict[str, DataFrame],
+    proportions: dict[str, float],
+    *,
+    key_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "mix",
+) -> DataFrame:
+    """Mix named sources to target proportions WITHOUT oversampling.
+
+    Finds the largest total T such that every source can supply its
+    share from its own rows (T = min_i count_i / prop_i), downsamples
+    source i to T * prop_i rows via deterministic hash sampling, and
+    unions with a ``source`` provenance column. One count() per source
+    (driver traffic: one number each); the mix itself is
+    projection+filter+union — no shuffle.
+
+    The standard pre-training data-mixing shape (web 80% / code 15% /
+    reference 5%): proportions are by ROW COUNT; weight by tokens by
+    pre-aggregating if needed.
+    """
+    if set(sources) != set(proportions):
+        raise ValueError("sources and proportions must share keys")
+    total_p = sum(proportions.values())
+    if total_p <= 0:
+        raise ValueError("proportions must sum to > 0")
+    props = {k: v / total_p for k, v in proportions.items()}
+    counts = {k: df.count() for k, df in sources.items()}
+    feasible_total = min(
+        counts[k] / p for k, p in props.items() if p > 0
+    )
+    parts = []
+    for name in sorted(sources):
+        p = props[name]
+        if p <= 0 or counts[name] == 0:
+            continue
+        frac = min(1.0, (feasible_total * p) / counts[name])
+        part = sample_hash(
+            sources[name], frac, key_col=key_col, salt=f"{salt}:{name}"
+        )
+        parts.append(part.withColumn(source_col, F.lit(name)))
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out
