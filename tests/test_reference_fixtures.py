@@ -1052,3 +1052,44 @@ def test_cli_record_dim_remapping(spark, tmp_path):
         ]
     )
     assert rc == 2
+
+
+def test_xrsf_flsum_export_roundtrip(spark, tmp_path):
+    """flsum end-to-end including the OUTPUT contract: the 11-granule
+    vlen-string concat exported as a single netCDF-4 aggregate (string
+    columns as classic-model char matrices) and re-read by the
+    from-spec HDF5 reader with the reference's string assertions
+    holding on the re-read file."""
+    from ncagg_spark.sources.hdf5 import read_hdf5
+    from ncagg_spark.sources.nc_granules import (
+        read_nc_granules,
+        write_nc_aggregate,
+    )
+
+    paths = sorted(glob.glob(f"{REF}/exis/xrsfl2flsum_simple/data/*.nc"))
+    df = read_nc_granules(
+        spark, paths, decoder="auto",
+        columns=["time", "status", "flare_class", "xrsb_flux"],
+    )
+    out = str(tmp_path / "flsum.nc4")
+    write_nc_aggregate(
+        df.select("time", "status", "flare_class", "xrsb_flux"),
+        out,
+        index_col="time",
+        fmt="netcdf4",
+    )
+    h5 = read_hdf5(out)
+    t = h5.read("time")
+    assert t.shape == (100,)
+    assert np.all(np.diff(t) >= 0)  # concat ordered by the index
+
+    def joined(name):
+        m = h5.read(name)
+        return [b"".join(row).decode() for row in m]
+
+    status = joined("status")
+    assert all(s for s in status)
+    assert {"EVENT_START", "EVENT_PEAK", "EVENT_END"} <= set(status)
+    fc = joined("flare_class")
+    assert "nan" not in fc
+    assert "" in fc and "B1.0" in fc
