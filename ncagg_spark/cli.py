@@ -121,6 +121,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--complevel", type=int, default=None, metavar="0-9",
         help="zlib level for netcdf4 output (the reference uses 7)",
     )
+    p.add_argument(
+        "-c", "--chunksize", metavar="[DIM:]N",
+        help="netcdf4 output: records per chunk along the record "
+        "dimension (the reference's -c udim:chunksize; the DIM: prefix "
+        "is accepted and ignored — single-file output has one record "
+        "dim)",
+    )
     return p
 
 
@@ -251,11 +258,15 @@ def main(argv: list[str] | None = None) -> int:
                 out, args.dst, index_col=cfg.index_by
             )
         else:
+            rec_chunk = None
+            if args.chunksize:
+                rec_chunk = int(args.chunksize.rsplit(":", 1)[-1])
             write_nc_aggregate(
                 out,
                 args.dst,
                 index_col=cfg.index_by,
                 fmt=fmt,
+                record_chunksize=rec_chunk,
                 compression=args.complevel,
             )
     n = spark.read.parquet(parquet_dst).count()

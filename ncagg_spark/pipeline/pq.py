@@ -284,6 +284,10 @@ def pq_topk_relational(
         .collect()
     )
     books = [[float(x) for x in r[1]] for r in anchors]
+    if len(books) < n_codes:
+        raise ValueError(
+            f"corpus has {len(books)} rows < n_codes={n_codes}"
+        )
 
     def sqdist_const(col_sql: str, values: list[float]) -> str:
         return (

@@ -156,6 +156,11 @@ def mix_corpora(
             sources[name], frac, key_col=key_col, salt=f"{salt}:{name}"
         )
         parts.append(part.withColumn(source_col, F.lit(name)))
+    if not parts:
+        raise ValueError(
+            "no mixable source: every source with positive proportion "
+            "is empty"
+        )
     out = parts[0]
     for part in parts[1:]:
         out = out.unionByName(part)

@@ -311,6 +311,7 @@ def write_hdf5(
     attributes: dict | None = None,
     var_attributes: dict[str, dict] | None = None,
     chunksizes: dict[str, tuple[int, ...]] | None = None,
+    record_chunksize: int | None = None,
     compression: int | None = None,
     shuffle: bool = True,
 ) -> bytes:
@@ -321,7 +322,9 @@ def write_hdf5(
     name -> (dim_names, array). ``chunksizes[name]`` sets a variable's
     chunk shape (the reference honors template chunksizes,
     ncagg/aggregator.py:362-417); unset record variables default to
-    records-per-chunk min(nrecs, 4096) x full inner dims. ``compression``
+    records-per-chunk min(nrecs, 4096) x full inner dims, or
+    ``record_chunksize`` records per chunk when given (the reference's
+    CLI ``-c udim:chunksize``, ncagg/cli.py:167-171). ``compression``
     is a zlib level (the reference uses 7) applied to chunked variables
     with a byte-shuffle filter.
     """
@@ -411,8 +414,9 @@ def write_hdf5(
             a = np.asarray(arr)
             chunk = None
             if unlimited:
+                first = record_chunksize or min(max(size, 1), 4096)
                 chunk = chunksizes.get(dname) or (
-                    (min(max(size, 1), 4096),) + a.shape[1:]
+                    (max(first, 1),) + a.shape[1:]
                 )
             name_attr = _attr_message("NAME", *_encode_attr_value(dname))
             extra = [(0x0C, cls_attr), (0x0C, name_attr), (0x0C, dimid_attr)]
@@ -467,6 +471,8 @@ def write_hdf5(
         chunk = chunksizes.get(name)
         if chunk is None and (unlimited or compression is not None):
             first = min(max(shape[0], 1), 4096) if shape else 1
+            if unlimited and record_chunksize:
+                first = max(record_chunksize, 1)
             chunk = (first,) + shape[1:]
         extra: list[tuple[int, bytes]] = []
         if vdims:

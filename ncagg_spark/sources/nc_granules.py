@@ -401,6 +401,7 @@ def write_nc_aggregate(
     record_dim: str | None = None,
     fmt: str = "classic",
     chunksizes: dict[str, tuple[int, ...]] | None = None,
+    record_chunksize: int | None = None,
     compression: int | None = None,
 ) -> None:
     """Write an aggregate DataFrame as ONE NetCDF file — the
@@ -496,6 +497,7 @@ def write_nc_aggregate(
             attributes=attributes,
             var_attributes=var_attributes,
             chunksizes=chunksizes,
+            record_chunksize=record_chunksize,
             compression=compression,
         )
         return

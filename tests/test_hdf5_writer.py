@@ -253,3 +253,41 @@ def test_cli_nc4_output(spark, tmp_path):
     t = h5.read("time")
     assert len(t) == n
     assert np.all(np.diff(t) > 0)
+
+
+def test_cli_chunksize_flag(spark, tmp_path):
+    """The reference's `-c udim:chunksize` on this CLI: netCDF-4 output
+    chunks the record dimension by N records."""
+    from pyspark.sql import functions as F
+
+    from ncagg_spark.cli import main as cli_main
+    from ncagg_spark.sources.hdf5 import read_hdf5
+
+    t0 = 1_704_153_600_000_000
+    rows = [(t0 + i * 1_000_000, float(i)) for i in range(300)]
+    src = str(tmp_path / "g0.parquet")
+    spark.createDataFrame(rows, "us long, value double").select(
+        F.timestamp_micros(F.col("us")).alias("ts"), "value"
+    ).coalesce(1).write.parquet(src)
+
+    dst = str(tmp_path / "agg.nc4")
+    rc = cli_main(
+        [
+            dst,
+            src,
+            "-i", "ts",
+            "-z", "1.0",
+            "-b", "20240102",
+            "-c", "ts_rec:64",
+            "--complevel", "5",
+        ]
+    )
+    assert rc == 0
+    h5 = read_hdf5(dst)
+    val_vars = [
+        n for n, d in h5.datasets.items()
+        if d.layout.get("class") == "chunked" and n != "ts"
+    ]
+    assert val_vars
+    for n in val_vars:
+        assert h5.datasets[n].layout["chunk"][0] == 64
