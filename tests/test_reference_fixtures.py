@@ -1093,3 +1093,83 @@ def test_xrsf_flsum_export_roundtrip(spark, tmp_path):
     fc = joined("flare_class")
     assert "nan" not in fc
     assert "" in fc and "B1.0" in fc
+
+
+def test_generic_multi_unlim_dims_parity(spark, tmp_path):
+    """The reference's generic two-unlimited-dims scenario (reference:
+    test/generic/test_multi_unlim_dims.py), reconstructed through THIS
+    engine's own writer: three granules where variable c(a, b) has 1, 2,
+    3 b-columns labeled from ["a","b","c"]. The reference's expected
+    outputs: the default aggregation is BLOCK-DIAGONAL (9x6, sum 90, 36
+    masked); flatten-by-index collapses b to the 3 labels (9x3, sum 90,
+    9 masked, labels in order). Here the granules are real .nc4 files
+    written by sources/hdf5_writer.py (string coordinate variable
+    included), read back through the Spark source, and the two layouts
+    are derived relationally."""
+    from ncagg_spark.sources.hdf5 import read_hdf5
+    from ncagg_spark.sources.hdf5_writer import write_hdf5
+    from ncagg_spark.sources.nc_granules import read_nc_granules
+
+    labels = ["a", "b", "c"]
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"g{i}.nc4")
+        width = i + 1
+        c = np.tile(
+            (np.arange(3, dtype="int32") + 3 * i)[:, None], (1, width)
+        )
+        write_hdf5(
+            p,
+            dims=[("a", 0), ("b", width)],
+            variables={
+                "a": (["a"], np.arange(3, dtype="int32") + 3 * i),
+                "b": (["b"], np.array(labels[:width], dtype="S1")),
+                "c": (["a", "b"], c),
+            },
+        )
+        paths.append(p)
+
+    df = read_nc_granules(spark, paths, decoder="auto", columns=["a", "c"])
+    # per-granule b labels (fixed-dim coordinate var): tiny driver map,
+    # like the reference's flatten index lookup
+    lab_rows = []
+    for p in paths:
+        bs = read_hdf5(p).read("b")
+        for j, b in enumerate(bs):
+            lab_rows.append((f"file:{p}", j, b.decode()))
+    labmap = spark.createDataFrame(
+        lab_rows, "granule string, j int, label string"
+    )
+
+    tall = df.select(
+        "granule", "a", F.posexplode("c").alias("j", "value")
+    ).join(F.broadcast(labmap), on=["granule", "j"])
+
+    rows = tall.collect()
+    assert len(rows) == 18  # 1*3 + 2*3 + 3*3 non-null cells
+    assert sum(r["value"] for r in rows) == 90  # reference: np.sum == 90
+
+    # default layout: one output column per (granule, j) -> 9x6 grid
+    n_cols_default = tall.select("granule", "j").distinct().count()
+    assert n_cols_default == 6
+    assert 9 * 6 - len(rows) == 36  # reference: 36 masked cells
+
+    # flatten-by-index on the b LABEL -> 9x3 grid, 9 masked
+    n_cols_flat = tall.select("label").distinct().count()
+    assert n_cols_flat == 3
+    assert 9 * 3 - len(rows) == 9  # reference: 9 masked cells
+    assert sorted(
+        r["label"] for r in tall.select("label").distinct().collect()
+    ) == labels
+    # each a-row carries its value in every label column present
+    # (rename the group key — pivot columns are also named a/b/c)
+    piv = (
+        tall.withColumnRenamed("a", "row_a")
+        .groupBy("row_a")
+        .pivot("label", labels)
+        .sum("value")
+        .collect()
+    )
+    for r in piv:
+        present = [v for v in (r["a"], r["b"], r["c"]) if v is not None]
+        assert present and all(v == r["row_a"] for v in present)
