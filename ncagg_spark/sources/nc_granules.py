@@ -246,8 +246,10 @@ def _record_var_fields(
         if grain_dim is not None and (not v.dims or v.dims[0] != grain_dim):
             continue
         arr = nc.data[name]
+        if arr.dtype.kind == "O" and arr.ndim > 1:
+            continue  # multidim vlen-string vars: explicit skip (rare)
         if arr.dtype.kind in ("S", "O"):
-            # char matrices AND vlen strings surface as StringType
+            # char matrices AND 1-D vlen strings surface as StringType
             fields.append((name, T.StringType(), False))
             continue
         base = _NP_TO_SPARK[str(arr.dtype.newbyteorder("="))]
@@ -342,8 +344,10 @@ def _granule_frame(
             cols[f.name] = [None] * n  # P4: missing/off-grain -> nulls
             continue
         arr = nc.data[f.name]
-        if arr.dtype.kind == "O":  # vlen strings: already Python str
-            cols[f.name] = list(arr.reshape(-1)[:n])
+        if arr.dtype.kind == "O":  # 1-D vlen strings: already Python str
+            cols[f.name] = (
+                list(arr[:n]) if arr.ndim == 1 else [None] * n
+            )
         elif arr.dtype.kind == "S":
             flat = arr.reshape(n, -1)
             cols[f.name] = [
