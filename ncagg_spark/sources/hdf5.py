@@ -8,9 +8,11 @@ the subset the netCDF-4 classic model writes:
   * object headers v1 and v2 ('OHDR'), with continuation blocks;
   * group storage: compact (Link messages), dense (fractal heap +
     v2 B-tree name index), and old-style (v1 B-tree + SNOD + local heap);
-  * dataspace (simple), datatype (fixed/float/string/vlen/reference),
+  * dataspace (simple), datatype (fixed/float/string/vlen/reference,
+    enum as its integer base + name map, compound as numpy structured
+    dtypes, fixed-size array members),
     data layout v3 (compact/contiguous/chunked + v1 chunk B-tree),
-    filter pipeline (deflate, shuffle; fletcher32 checksum stripped);
+    filter pipeline (deflate, shuffle, fletcher32 with checksum verify);
   * attributes: compact messages and dense (attribute-info) storage;
   * the netCDF-4 dimension model: DIMENSION_LIST vlen-of-object-
     reference attributes resolved to dimension-scale dataset names.
@@ -38,6 +40,38 @@ def _u(buf, off, n):
     return int.from_bytes(buf[off : off + n], "little")
 
 
+def fletcher32(data: bytes) -> int:
+    """HDF5's Fletcher-32 checksum (filter id 3).
+
+    Matches the algorithm the format spec's checksum filter uses: the
+    byte stream is folded into big-endian 16-bit words (a trailing odd
+    byte is promoted to ``byte << 8``), accumulated into two mod-65535
+    sums. Vectorized with numpy block partial sums: for a block of words
+    w_0..w_{k-1} starting after ``n`` prior words with running (s1, s2),
+    s2 gains k*s1 + sum((k-i)*w_i) and s1 gains sum(w_i).
+    """
+    buf = np.frombuffer(data[: len(data) // 2 * 2], dtype=">u2").astype(
+        np.uint64
+    )
+    if len(data) % 2:
+        buf = np.concatenate([buf, np.array([data[-1] << 8], np.uint64)])
+    s1 = np.uint64(0)
+    s2 = np.uint64(0)
+    MOD = np.uint64(0xFFFF)
+    # block size keeps the weighted sum far below 2**64: 65535^2 * 2^20
+    for i in range(0, len(buf), 1 << 20):
+        blk = buf[i : i + (1 << 20)]
+        k = np.uint64(len(blk))
+        s2 = (s2 + k * s1 + np.sum(np.cumsum(blk))) % MOD
+        s1 = (s1 + np.sum(blk)) % MOD
+    # HDF5's fold-twice reduction represents a nonzero sum that is a
+    # multiple of 0xFFFF as 0xFFFF, not 0
+    if bool(buf.any()):
+        s1 = s1 or MOD
+        s2 = s2 or MOD
+    return int((int(s2) << 16) | int(s1))
+
+
 @dataclass
 class Dataspace:
     shape: tuple
@@ -52,6 +86,8 @@ class Datatype:
     is_vlen_str: bool = False
     vlen_base: "Datatype | None" = None
     str_pad: int = 0
+    enum_dict: "dict[str, int] | None" = None  # class 8: name -> value
+    members: "list[tuple[str, int, Datatype]] | None" = None  # class 6
 
 
 @dataclass
@@ -538,11 +574,115 @@ class Hdf5File:
             base = self._parse_datatype(data[8:])
             dt.vlen_base = base
             dt.is_vlen_str = bool((bits0 & 0x0F) == 1)
-        elif cls == 6:  # compound — unsupported for data, tolerate decl
-            dt.np_dtype = np.dtype(f"V{size}")
+        elif cls == 8:  # enum: base type + named integer values
+            ver = cls_ver >> 4
+            nmembers = bits0 | (bits8 << 8)
+            base = self._parse_datatype(data[8:])
+            off = 8 + self._datatype_len(data[8:])
+            names = []
+            for _ in range(nmembers):
+                end = data.index(b"\x00", off)
+                names.append(data[off:end].decode())
+                # v1/v2 name fields occupy a multiple of 8 bytes; v3 packs
+                nlen = end + 1 - off
+                off += (nlen + 7) // 8 * 8 if ver < 3 else nlen
+            vals = np.frombuffer(
+                data, dtype=base.np_dtype, count=nmembers, offset=off
+            )
+            dt.vlen_base = base
+            dt.np_dtype = base.np_dtype
+            dt.enum_dict = {
+                nm: int(v) for nm, v in zip(names, vals.tolist())
+            }
+        elif cls == 6:  # compound: members -> numpy structured dtype
+            nmembers = bits0 | (bits8 << 8)
+            try:
+                dt.members = self._parse_compound_members(
+                    data, cls_ver >> 4, nmembers, size
+                )
+                dt.np_dtype = np.dtype(
+                    {
+                        "names": [m[0] for m in dt.members],
+                        "formats": [m[2].np_dtype for m in dt.members],
+                        "offsets": [m[1] for m in dt.members],
+                        "itemsize": size,
+                    }
+                )
+            except (Hdf5Error, ValueError, TypeError):
+                dt.members = None
+                dt.np_dtype = None  # unsupported member type: explicit raise
+        elif cls == 10:  # array: fixed dims over a base type
+            ver = cls_ver >> 4
+            ndims = data[8]
+            off = 12 if ver >= 3 else 12  # v2: 1B ndims + 3 reserved
+            adims = tuple(_u(data, off + 4 * i, 4) for i in range(ndims))
+            off += 4 * ndims
+            if ver == 2:  # v2 carries a permutation index per dim
+                off += 4 * ndims
+            base = self._parse_datatype(data[off:])
+            dt.vlen_base = base
+            if base.np_dtype is not None:
+                dt.np_dtype = np.dtype((base.np_dtype, adims))
         else:
             dt.np_dtype = np.dtype(f"V{size}")
         return dt
+
+    def _datatype_len(self, data) -> int:
+        """Encoded byte length of a datatype message (header + properties).
+
+        Needed to step past nested datatypes (enum base, compound/array
+        members). Covers the atomic classes those nest in practice.
+        """
+        cls = data[0] & 0x0F
+        if cls == 0:  # fixed point: bit offset(2) + precision(2)
+            return 12
+        if cls == 1:  # float: offsets/sizes(7) + pad(1) + bias(4)
+            return 20
+        if cls in (3, 7):  # string / reference: no properties
+            return 8
+        if cls == 2:  # time: bit precision(2)
+            return 10
+        raise Hdf5Error(f"nested datatype class {cls} length unknown")
+
+    def _parse_compound_members(self, data, ver, nmembers, total_size):
+        """Compound member list -> [(name, byte_offset, Datatype)]."""
+        members = []
+        off = 8
+        for _ in range(nmembers):
+            end = data.index(b"\x00", off)
+            name = data[off:end].decode()
+            nlen = end + 1 - off
+            off += (nlen + 7) // 8 * 8 if ver < 3 else nlen
+            if ver == 3:
+                # byte offset in the minimum bytes needed for total_size
+                nbytes = max(1, (total_size.bit_length() + 7) // 8)
+                moff = _u(data, off, nbytes)
+                off += nbytes
+            else:
+                moff = _u(data, off, 4)
+                off += 4
+            adims: tuple = ()
+            if ver == 1:
+                ndims = data[off]
+                raw_dims = tuple(
+                    _u(data, off + 12 + 4 * i, 4) for i in range(4)
+                )
+                adims = raw_dims[:ndims]
+                off += 28  # ndims(1)+res(3)+perm(4)+res(4)+dims(16)
+            mdt = self._parse_datatype(data[off:])
+            off += self._datatype_len(data[off:])
+            if mdt.np_dtype is None:
+                raise Hdf5Error(
+                    f"compound member {name}: unsupported class {mdt.cls}"
+                )
+            if adims:
+                mdt = Datatype(
+                    cls=mdt.cls,
+                    size=mdt.size,
+                    np_dtype=np.dtype((mdt.np_dtype, adims)),
+                )
+            members.append((name, moff, mdt))
+        return members
 
     def _parse_attribute(self, data):
         ver = data[0]
@@ -651,6 +791,8 @@ class Hdf5File:
                 attr_info = data
         if attr_info is not None:
             ds.attributes.update(self._dense_attributes(attr_info))
+        if ds.datatype is not None and ds.datatype.enum_dict:
+            ds.attributes.setdefault("_enum_dict", ds.datatype.enum_dict)
         self.datasets[path] = ds
 
     def _parse_layout(self, data):
@@ -751,16 +893,18 @@ class Hdf5File:
         netCDF-4 `string` variables, e.g. the reference's xrsf-l2-flsum
         flare_class) decode through the global heap into an object array
         of Python str; never-written elements surface as "" (the netCDF
-        string fill). Non-string vlen and compound data stay explicit
-        raises (the declared unsupported-feature contract)."""
+        string fill). Enums (class 8) decode as their integer base type
+        (the name->value map is on ``datatype.enum_dict`` and surfaced as
+        the ``_enum_dict`` attribute); compounds (class 6) decode as
+        numpy structured arrays. Non-string vlen and compounds with
+        unsupported member types stay explicit raises (the declared
+        unsupported-feature contract)."""
         ds = self.datasets[name]
         shape = ds.dataspace.shape
         dtype = ds.datatype
         vlen_str = dtype.cls == 9 and dtype.is_vlen_str
         dt = ds.datatype.np_dtype
-        if dtype.cls == 6 or (dtype.cls == 9 and not vlen_str) or (
-            dt is None and not vlen_str
-        ):
+        if (dtype.cls == 9 and not vlen_str) or (dt is None and not vlen_str):
             raise Hdf5Error(f"dataset {name}: unsupported datatype class")
         n = 1
         for d in shape:
@@ -795,6 +939,8 @@ class Hdf5File:
             if lay["addr"] == UNDEF:  # never written: fill
                 if vlen_str:
                     return np.full(shape, str_fill, dtype=object)
+                if dt.names:  # structured: member-wise zero fill
+                    return np.zeros(shape, dtype=dt)
                 fill = ds.attributes.get("_FillValue", 0)
                 return np.full(shape, fill, dtype=dt)
             raw = self.buf[lay["addr"] : lay["addr"] + lay["size"]]
@@ -807,7 +953,7 @@ class Hdf5File:
         else:
             out = np.zeros(shape, dtype=dt)
         if lay["btree"] == UNDEF:
-            if vlen_str:
+            if vlen_str or dt.names:
                 return out
             fill = ds.attributes.get("_FillValue", 0)
             out[...] = fill
@@ -830,8 +976,14 @@ class Hdf5File:
                         arr.reshape(esz, len(arr) // esz).T.reshape(-1)
                     )
                     raw = arr.tobytes()
-                elif fid == 3:  # fletcher32: strip trailing checksum
+                elif fid == 3:  # fletcher32: verify + strip checksum
+                    stored = _u(raw, len(raw) - 4, 4)
                     raw = raw[:-4]
+                    if fletcher32(raw) != stored:
+                        raise Hdf5Error(
+                            f"dataset {name}: fletcher32 checksum "
+                            f"mismatch in chunk at {offs}"
+                        )
                 else:
                     raise Hdf5Error(f"filter {fid} unsupported")
             carr = from_raw(raw, int(np.prod(chunk))).reshape(chunk)

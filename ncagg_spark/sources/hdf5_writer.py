@@ -32,6 +32,8 @@ import zlib
 
 import numpy as np
 
+from .hdf5 import fletcher32 as _fletcher32
+
 UNDEF = 0xFFFFFFFFFFFFFFFF
 
 # v1 B-tree fan-out: the superblock v0 carries no indexed-storage K, so
@@ -90,6 +92,8 @@ def _dt_vlen_ref() -> bytes:
 
 def _np_datatype(dt: np.dtype) -> bytes:
     dt = np.dtype(dt)
+    if dt.names:
+        return _dt_compound(dt)
     if dt.kind in ("i", "u"):
         return _dt_fixed(dt.itemsize, dt.kind == "i")
     if dt.kind == "f":
@@ -97,6 +101,40 @@ def _np_datatype(dt: np.dtype) -> bytes:
     if dt.kind == "S":
         return _dt_string(dt.itemsize)
     raise ValueError(f"unsupported dtype {dt} for HDF5 export")
+
+
+def _dt_enum(base: np.dtype, mapping: dict[str, int]) -> bytes:
+    """Class 8 (enum) v1: base datatype + 8-padded names + values."""
+    base = np.dtype(base)
+    n = len(mapping)
+    head = struct.pack("<BBBBI", 0x18, n & 0xFF, n >> 8, 0, base.itemsize)
+    body = _np_datatype(base)
+    for nm in mapping:
+        body += _pad8(nm.encode("utf-8") + b"\x00")
+    body += np.array(list(mapping.values()), dtype=base.newbyteorder("<")).tobytes()
+    return head + body
+
+
+def _dt_compound(dt: np.dtype) -> bytes:
+    """Class 6 (compound) v1 from a numpy structured dtype.
+
+    Member subarrays use the v1 per-member dimensionality fields.
+    """
+    n = len(dt.names)
+    head = struct.pack("<BBBBI", 0x16, n & 0xFF, n >> 8, 0, dt.itemsize)
+    body = b""
+    for nm in dt.names:
+        fdt, off = dt.fields[nm][:2]
+        if fdt.subdtype is not None:
+            base, adims = fdt.subdtype
+        else:
+            base, adims = fdt, ()
+        body += _pad8(nm.encode("utf-8") + b"\x00")
+        body += struct.pack("<I", off)
+        dims4 = tuple(adims) + (0,) * (4 - len(adims))
+        body += struct.pack("<B3xI4x4I", len(adims), 0, *dims4)
+        body += _np_datatype(base)
+    return head + body
 
 
 def _dataspace(shape: tuple, maxshape: tuple | None = None) -> bytes:
@@ -194,6 +232,7 @@ def _write_chunked(
     *,
     compression: int | None,
     shuffle: bool,
+    fletcher32: bool = False,
 ) -> tuple[int, list[tuple[int, bytes]]]:
     """Write chunk data + v1 type-1 B-tree; return (btree addr, filters).
 
@@ -207,6 +246,9 @@ def _write_chunked(
         if shuffle:
             filters.append((2, struct.pack("<I", esz)))
         filters.append((1, struct.pack("<I", int(compression))))
+    if fletcher32:
+        # last in the pipeline: checksums the stored (post-filter) bytes
+        filters.append((3, b""))
 
     grids = [range(0, max(s, 1), c) for s, c in zip(arr.shape, chunk)]
     entries = []  # (offsets, addr, stored_size)
@@ -228,6 +270,8 @@ def _write_chunked(
                     .tobytes()
                 )
             raw = zlib.compress(raw, int(compression))
+        if fletcher32:
+            raw += struct.pack("<I", _fletcher32(raw))
         addr = fb.alloc(raw)
         entries.append((offs, addr, len(raw)))
 
@@ -314,6 +358,8 @@ def write_hdf5(
     record_chunksize: int | None = None,
     compression: int | None = None,
     shuffle: bool = True,
+    fletcher32: bool = False,
+    enums: dict[str, dict[str, int]] | None = None,
 ) -> bytes:
     """Write a NetCDF-4 (HDF5 container) file.
 
@@ -326,11 +372,16 @@ def write_hdf5(
     ``record_chunksize`` records per chunk when given (the reference's
     CLI ``-c udim:chunksize``, ncagg/cli.py:167-171). ``compression``
     is a zlib level (the reference uses 7) applied to chunked variables
-    with a byte-shuffle filter.
+    with a byte-shuffle filter. ``fletcher32`` appends the checksum
+    filter (verified on re-read by the sibling reader). ``enums`` maps a
+    variable name to a name->value dict, writing that variable as an
+    HDF5 enum over its integer dtype; structured-dtype arrays write as
+    compound datatypes (member subarrays via v1 dimensionality fields).
     """
     attributes = attributes or {}
     var_attributes = var_attributes or {}
     chunksizes = chunksizes or {}
+    enums = enums or {}
     dim_sizes = dict(dims)
     rec_dim = next((n for n, s in dims if s == 0), None)
     numrecs = 0
@@ -352,15 +403,17 @@ def write_hdf5(
         np_dt: np.dtype,
         extra_attrs: list[tuple[int, bytes]],
         chunk: tuple[int, ...] | None,
+        dt_msg: bytes | None = None,
     ) -> int:
         msgs: list[tuple[int, bytes]] = []
         msgs.append((0x01, _dataspace(shape, maxshape)))
-        msgs.append((0x03, _np_datatype(np_dt)))
+        msgs.append((0x03, dt_msg if dt_msg is not None else _np_datatype(np_dt)))
         if chunk is not None:
             if arr is not None and arr.size:
                 btree, filters = _write_chunked(
                     fb, arr, chunk,
                     compression=compression, shuffle=shuffle,
+                    fletcher32=fletcher32,
                 )
             else:
                 btree, filters = UNDEF, (
@@ -372,7 +425,7 @@ def write_hdf5(
                         else []
                     )
                     + [(1, struct.pack("<I", int(compression)))]
-                )
+                ) + ([(3, b"")] if fletcher32 else [])
             if filters:
                 msgs.append((0x0B, _filter_pipeline_msg(filters)))
             lay = struct.pack("<BBBQ", 3, 2, len(chunk) + 1, btree)
@@ -493,7 +546,8 @@ def write_hdf5(
         for k, v in (var_attributes.get(name) or {}).items():
             extra.append((0x0C, _attr_message(k, *_encode_attr_value(v))))
         header_addr[name] = _dataset_header(
-            name, a, a.shape, maxshape, a.dtype, extra, chunk
+            name, a, a.shape, maxshape, a.dtype, extra, chunk,
+            dt_msg=_dt_enum(a.dtype, enums[name]) if name in enums else None,
         )
 
     # -- root group: local heap + SNOD + v1 B-tree ----------------------
