@@ -50,6 +50,13 @@ from ncagg_spark.pipeline.similarity import (
     kmeans_centroids,
     srp_lsh_topk,
 )
+from ncagg_spark.pipeline.chunking import chunk_documents, sql_chunk_starts
+from ncagg_spark.pipeline.pii import (
+    pii_counts,
+    redact_pii,
+    sql_pii_counts,
+    sql_redact_pii,
+)
 from ncagg_spark.pipeline.text import (
     LANG_PRECEDENCE,
     STOPWORDS,
@@ -939,6 +946,52 @@ def q_doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: per-pattern match counts + fingerprint of the redacted
+    text. The synthetic corpus carries no PII, so each document is
+    augmented with deterministic doc_id-derived PII (email, phone, IP,
+    card, SSN) — identically in the oracle — making every pattern's
+    match/replace path load-bearing. Expression-only
+    (regexp_replace/regexp_extract_all): one codegen'd scan at 100 TB.
+    """
+    d = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 (303) 555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit(" ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 card 4111 1111 1111 1111 ssn 123-45-6789."),
+    )
+    counts = pii_counts(aug)
+    red = redact_pii(aug)
+    return d.select(
+        "doc_id",
+        *[
+            counts[k].cast("long").alias(f"n_{k}")
+            for k in ("email", "ip", "ssn", "cc", "phone")
+        ],
+        F.length(red).cast("long").alias("redacted_len"),
+        F.md5(red).alias("redacted_fp"),
+    )
+
+
+def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (size=40 tokens, overlap=10): the
+    RAG/pretraining corpus-prep split. Per-row explode — no shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    ch = chunk_documents(d, size=40, overlap=10)
+    return ch.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.col("chunk_tokens").cast("long").alias("chunk_tokens"),
+        "chunk_text",
+    )
+
+
 def q_doc_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash (winnowing-style) fingerprint: min hash over 8-token
     shingle windows."""
@@ -1199,18 +1252,19 @@ def queries() -> dict[str, _T]:
         "rel_q5_nation_volume": q_rel_q5_nation_volume,
         "rel_window_topk": q_rel_window_topk,
         "rel_rollup": q_rel_rollup,
-        "rel_grouping_sets": q_rel_grouping_sets,
         "rel_anti_join": q_rel_anti_join,
         "rel_intersect_except": q_rel_intersect_except,
         "rel_exists_subquery": q_rel_exists_subquery,
-        "rel_scalar_subquery": q_rel_scalar_subquery,
         # Retired from the 50-query window in round 5, making room for
         # agg_nc_ingest / stream_day_merge / agg_dedup_phase /
-        # emb_pq_topk. Every capability keeps a green twin:
+        # emb_pq_topk / doc_pii_redact / doc_chunk. Every capability
+        # keeps a green twin:
         #   rel_moving_avg + rel_window_agg -> rel_window_topk (frames),
         #   rel_semi_join -> rel_exists_subquery (LeftSemi plan),
         #   rel_union_distinct -> rel_intersect_except (set ops),
-        #   rel_distinct_count -> doc_top_ngrams (distinct aggregation).
+        #   rel_distinct_count -> doc_top_ngrams (distinct aggregation),
+        #   rel_grouping_sets -> rel_rollup (GROUPING SETS plan node),
+        #   rel_scalar_subquery -> rel_exists_subquery (subquery rewrite).
         # The query fns + oracles remain below and stay pytest-runnable.
         # -- documents (LLM-pipeline text ops) --
         "doc_exact_dedup": q_doc_exact_dedup,
@@ -1229,6 +1283,8 @@ def queries() -> dict[str, _T]:
         # doc_text_stats; still pytest-covered) in favor of the
         # end-to-end near-dedup deliverable
         "doc_near_dedup": q_doc_near_dedup,
+        "doc_pii_redact": q_doc_pii_redact,
+        "doc_chunk": q_doc_chunk,
         # -- embeddings (similarity) --
         "emb_near_dup": q_emb_near_dup,
         "emb_brute_topk": q_emb_brute_topk,
@@ -1748,6 +1804,45 @@ def oracle_sql() -> dict[str, str]:
                                   THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
             FROM t
         ) WHERE quality >= 0.75
+    """
+
+    _AUG = (
+        "text || ' Contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com or +1 (303) 555-01'"
+        " || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')"
+        " || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.7 card 4111 1111 1111 1111 ssn 123-45-6789.'"
+    )
+    _PII_N = sql_pii_counts("aug")
+    sqls["doc_pii_redact"] = f"""
+        WITH a AS (SELECT doc_id, {_AUG} AS aug FROM documents)
+        SELECT doc_id,
+               {_PII_N['email']} AS n_email,
+               {_PII_N['ip']} AS n_ip,
+               {_PII_N['ssn']} AS n_ssn,
+               {_PII_N['cc']} AS n_cc,
+               {_PII_N['phone']} AS n_phone,
+               length({sql_redact_pii('aug')}) AS redacted_len,
+               md5({sql_redact_pii('aug')}) AS redacted_fp
+        FROM a
+    """
+
+    sqls["doc_chunk"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+        s AS (
+            SELECT doc_id, toks,
+                   unnest({sql_chunk_starts('len(toks)', 40, 10)}) AS chunk_start
+            FROM t
+        )
+        SELECT doc_id,
+               chunk_start // 30 AS chunk_idx,
+               chunk_start,
+               coalesce(len(list_slice(toks, chunk_start + 1, chunk_start + 40)),
+                        0) AS chunk_tokens,
+               coalesce(array_to_string(
+                        list_slice(toks, chunk_start + 1, chunk_start + 40), ' '),
+                        '') AS chunk_text
+        FROM s
     """
 
     sqls["doc_lang_id"] = f"""
