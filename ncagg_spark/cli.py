@@ -51,8 +51,15 @@ def _source_kinds(src: list[str]) -> set[str]:
         matches = _glob.glob(s) if any(c in s for c in "*?[") else [s]
         for m in matches or [s]:
             if os.path.isdir(m):
+                # a directory can hold both kinds — report each so the
+                # mixed-source error fires instead of feeding parquet
+                # bytes to the .nc decoder
                 has_nc = bool(_glob.glob(os.path.join(m, "*.nc")))
-                kinds.add("nc" if has_nc else "parquet")
+                has_pq = bool(_glob.glob(os.path.join(m, "*.parquet")))
+                if has_nc:
+                    kinds.add("nc")
+                if has_pq or not has_nc:
+                    kinds.add("parquet")
             else:
                 kinds.add("nc" if m.endswith(".nc") else "parquet")
     return kinds
@@ -226,6 +233,20 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         extra_kwargs["record_dim"] = args.record_dim
     nc_dst = args.dst.endswith(".nc") or args.dst.endswith(".nc4")
+    fmt = args.nc_format or (
+        "netcdf4" if args.dst.endswith(".nc4") else "classic"
+    )
+    if (args.complevel is not None or args.chunksize) and not (
+        nc_dst and fmt == "netcdf4"
+    ):
+        # classic/parquet output has no compression or chunking knobs —
+        # silently dropping the flags writes the wrong container
+        print(
+            "error: --complevel/-c require netCDF-4 output "
+            "(use --nc-format netcdf4 or a DST ending in .nc4)",
+            file=sys.stderr,
+        )
+        return 2
     parquet_dst = (
         args.dst.rsplit(".", 1)[0] + "_parquet" if nc_dst else args.dst
     )
@@ -249,9 +270,6 @@ def main(argv: list[str] | None = None) -> int:
             write_nc_aggregate_streamed,
         )
 
-        fmt = args.nc_format or (
-            "netcdf4" if args.dst.endswith(".nc4") else "classic"
-        )
         if fmt == "classic":
             # bounded-memory path: same bytes, driver holds one block
             write_nc_aggregate_streamed(

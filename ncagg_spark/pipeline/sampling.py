@@ -143,6 +143,16 @@ def mix_corpora(
         raise ValueError("proportions must sum to > 0")
     props = {k: v / total_p for k, v in proportions.items()}
     counts = {k: df.count() for k, df in sources.items()}
+    empty = sorted(
+        k for k, p in props.items() if p > 0 and counts[k] == 0
+    )
+    if empty:
+        # one empty positive-proportion source drives feasible_total to
+        # 0 and would silently yield an empty mix — fail loudly instead
+        raise ValueError(
+            f"source(s) {empty} have positive proportion but zero rows; "
+            "drop them from proportions or supply data"
+        )
     feasible_total = min(
         counts[k] / p for k, p in props.items() if p > 0
     )

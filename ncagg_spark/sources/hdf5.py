@@ -614,7 +614,8 @@ class Hdf5File:
         elif cls == 10:  # array: fixed dims over a base type
             ver = cls_ver >> 4
             ndims = data[8]
-            off = 12 if ver >= 3 else 12  # v2: 1B ndims + 3 reserved
+            # v2: ndims(1) + 3 reserved; v3 drops the reserved bytes
+            off = 9 if ver >= 3 else 12
             adims = tuple(_u(data, off + 4 * i, 4) for i in range(ndims))
             off += 4 * ndims
             if ver == 2:  # v2 carries a permutation index per dim

@@ -522,11 +522,15 @@ def write_hdf5(
         unlimited = bool(vdims) and dim_sizes[vdims[0]] == 0
         maxshape = ((UNDEF,) + shape[1:]) if unlimited else None
         chunk = chunksizes.get(name)
-        if chunk is None and (unlimited or compression is not None):
-            first = min(max(shape[0], 1), 4096) if shape else 1
+        if chunk is None and shape and (unlimited or compression is not None):
+            first = min(max(shape[0], 1), 4096)
             if unlimited and record_chunksize:
                 first = max(record_chunksize, 1)
             chunk = (first,) + shape[1:]
+        if not shape:
+            # HDF5 requires chunked datasets to have rank >= 1: scalar
+            # variables always store contiguous (uncompressed)
+            chunk = None
         extra: list[tuple[int, bytes]] = []
         if vdims:
             # DIMENSION_LIST: vlen(object ref) array, one per dim

@@ -474,8 +474,12 @@ def write_nc_aggregate(
             )
             variables[name] = ([record_dim, dim_name], mat)
         elif col.dtype == object and isinstance(first, str):
-            # fixed-width char matrix (the classic-format string idiom)
-            width = max((len(s) for s in col if s is not None), default=1)
+            # fixed-width char matrix (the classic-format string idiom);
+            # width in UTF-8 BYTES so multi-byte chars never truncate
+            width = max(
+                (len(s.encode("utf-8")) for s in col if s is not None),
+                default=1,
+            )
             dim_name = f"{name}_str_len"
             dims.append((dim_name, max(width, 1)))
             mat = np.zeros((len(col), max(width, 1)), dtype="S1")
@@ -540,7 +544,10 @@ def _streamed_col_specs(df: DataFrame):
             aggs.append(F.max(F.size(c)).alias(f"xw__{c}"))
             aggs.append(F.min(F.size(c)).alias(f"nw__{c}"))
         elif isinstance(f.dataType, T.StringType):
-            aggs.append(F.max(F.length(c)).alias(f"xw__{c}"))
+            # UTF-8 byte width (octet_length), matching the pandas
+            # paths' s.encode('utf-8') sizing — a char-count width
+            # would truncate multi-byte chars mid-codepoint
+            aggs.append(F.max(F.octet_length(c)).alias(f"xw__{c}"))
     row = df.agg(*aggs).collect()[0].asDict()
     numrecs = int(row["__n"])
 
@@ -805,7 +812,8 @@ def write_nc_granules(
                 variables[name] = ([rec, f"{name}_dim1"], mat)
             elif col.dtype == object and isinstance(first, str):
                 width = max(
-                    (len(s) for s in col if s is not None), default=1
+                    (len(s.encode("utf-8")) for s in col if s is not None),
+                    default=1,
                 )
                 dims.append((f"{name}_str_len", max(width, 1)))
                 mat = np.zeros((len(col), max(width, 1)), dtype="S1")
