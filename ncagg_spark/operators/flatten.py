@@ -44,13 +44,22 @@ def block_diagonal_union(dfs: Sequence[DataFrame]) -> DataFrame:
 
 
 def global_position(
-    df: DataFrame, order_by: str, *, position_col: str = "pos"
+    df: DataFrame,
+    order_by: str,
+    *,
+    position_col: str = "pos",
+    tiebreak: Sequence[str] = (),
 ) -> DataFrame:
     """Dense 0-based global position by ``order_by`` WITHOUT a
     single-task sort: range-repartition on the key, rank within each
     partition, then add the partition's cumulative offset (collected as
     one tiny count-per-partition job). The standard distributed global
     index — every stage is partition-parallel.
+
+    Rows tied on ``order_by`` get arbitrary relative positions unless
+    ``tiebreak`` columns are given (same contract as dedup_cadence /
+    asof_join: determinism under shuffle requires an explicit total
+    order).
 
     The eager localCheckpoint pins the repartitioned input in executor
     storage (needed so the count job and the returned plan see the SAME
@@ -59,7 +68,10 @@ def global_position(
     collection or reuse the returned DataFrame rather than re-calling.
     """
     n = max(df.sparkSession.sparkContext.defaultParallelism, 1)
-    part = df.repartitionByRange(n, F.col(order_by).asc()).withColumn(
+    order_cols = [F.col(order_by).asc()] + [
+        F.col(c).asc() for c in tiebreak
+    ]
+    part = df.repartitionByRange(n, *order_cols).withColumn(
         "__pid", F.spark_partition_id()
     )
     part = part.localCheckpoint(eager=True)  # pin partitioning for both uses
@@ -77,7 +89,7 @@ def global_position(
         ),
         F.col("__pid"),
     )
-    w = Window.partitionBy("__pid").orderBy(F.col(order_by).asc())
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
     return part.withColumn(
         position_col, F.row_number().over(w) - 1 + off
     ).drop("__pid")
@@ -88,6 +100,7 @@ def flatten_overlay(
     order_by: str,
     *,
     position_col: str = "pos",
+    tiebreak: Sequence[str] = (),
 ) -> DataFrame:
     """Overlay inputs along a per-input 0-based position index: output row
     p carries, for every column, the first non-null value among inputs at
@@ -101,8 +114,9 @@ def flatten_overlay(
     tagged = []
     for i, df in enumerate(dfs):
         tagged.append(
-            global_position(df, order_by, position_col=position_col)
-            .withColumn("__src", F.lit(i))
+            global_position(
+                df, order_by, position_col=position_col, tiebreak=tiebreak
+            ).withColumn("__src", F.lit(i))
         )
     u = block_diagonal_union(tagged)
     value_cols = [c for c in u.columns if c not in (position_col, "__src")]

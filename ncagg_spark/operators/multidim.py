@@ -70,6 +70,11 @@ def regularize_multidim(
     timestamp. Real rows keep their original arrays.
     """
     ix = cfg.index_by
+    if cfg.cadence_hz is None:
+        # regularize without a cadence never produces the fill-flag
+        # column referenced below — fail with the real requirement
+        # instead of an unresolved-column error deep in Catalyst
+        raise ValueError("regularize_multidim requires cfg.cadence_hz")
     work = df.withColumn(ix, representative_index(array_index_col, element))
     out = regularize(spark, work, cfg, anchor=anchor)
     synth = synth_index_array(F.col(ix), inner_size, inner_hz)

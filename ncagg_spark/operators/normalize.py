@@ -59,6 +59,13 @@ def drop_invalid_index(
     cond = c.isNotNull()
     if isinstance(dtype, (T.FloatType, T.DoubleType)):
         cond = cond & ~F.isnan(c) & (c > F.lit(min_valid_epoch))
-    elif isinstance(dtype, T.TimestampType):
+    elif isinstance(
+        dtype, (T.TimestampType, T.TimestampNTZType)
+    ):
         cond = cond & (c.cast("double") > F.lit(min_valid_epoch))
+    elif isinstance(
+        dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        # integer epoch index: value 0 is the same junk epoch floor
+        cond = cond & (c > F.lit(int(min_valid_epoch)))
     return df.filter(cond)

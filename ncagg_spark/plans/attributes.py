@@ -53,10 +53,14 @@ def _last(col: str, ctx: dict) -> Column:
 def _unique_list(col: str, ctx: dict) -> Column:
     # split on ", ", order-preserving unique, rejoin (attributes.py:113-129).
     # sort_array over (file_order, value) keeps arrival order before dedup.
+    # Files missing the attribute are skipped (the reference's None-skip
+    # finalize) — without the filter, flatten() null-propagates one
+    # null inner array over the WHOLE merged list.
     pairs = F.array_sort(
         F.collect_list(F.struct(F.col(FILE_ORDER_COL).alias("o"), F.col(col).alias("v")))
     )
-    values = F.flatten(F.transform(pairs, lambda p: F.split(p["v"], ", ")))
+    present = F.filter(pairs, lambda p: p["v"].isNotNull())
+    values = F.flatten(F.transform(present, lambda p: F.split(p["v"], ", ")))
     return F.array_join(F.array_distinct(values), ", ")
 
 

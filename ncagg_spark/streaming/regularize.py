@@ -39,7 +39,48 @@ from ncagg_spark.config import AggregationConfig
 from ncagg_spark.functions.time import epoch_us
 from ncagg_spark.operators.dedup import BUCKET_COL, cadence_bucket
 from ncagg_spark.operators.gapfill import FILL_FLAG_COL
+from ncagg_spark.operators.normalize import normalize_fills
+from ncagg_spark.operators.projection import (
+    coalesce_alternates,
+    rename_columns,
+    take_dim_indices,
+)
 from ncagg_spark.operators.regularize import regularize
+
+
+def _project_new_rows(
+    batch: DataFrame, cfg: AggregationConfig
+) -> tuple[DataFrame, AggregationConfig]:
+    """Apply the record-level projections to a NEW granule batch so its
+    schema matches the accumulated output.
+
+    The accumulated output was already projected by regularize
+    (coalesce_alternates drops the alternate columns, take_dim_indices
+    replaces arrays with scalars, rename changes names) — unioning a RAW
+    batch against it would fail or re-project prev rows. Returns the
+    projected batch plus a merge cfg with those steps cleared so the
+    union passes through regularize untouched by them.
+    """
+    if cfg.rename and cfg.index_by in cfg.rename:
+        raise ValueError(
+            "incremental merge cannot rename the index column "
+            f"({cfg.index_by!r}): the merge reads it back by name"
+        )
+    if cfg.copy_from_alt:
+        batch = coalesce_alternates(batch, cfg.copy_from_alt)
+    batch = normalize_fills(batch, cfg.fill_values)
+    if cfg.take_dim_indices:
+        batch = take_dim_indices(batch, cfg.take_dim_indices)
+    if cfg.rename:
+        batch = rename_columns(batch, cfg.rename)
+    merge_cfg = replace(
+        cfg,
+        copy_from_alt={},
+        fill_values={},
+        take_dim_indices={},
+        rename={},
+    )
+    return batch, merge_cfg
 
 
 def _is_path_not_found(e: AnalysisException) -> bool:
@@ -82,25 +123,48 @@ def stream_dedup_cadence(
 ) -> DataFrame:
     """Watermarked earliest-record-per-cadence-slot (streaming dedup).
 
-    Emits one finalized row per slot once the watermark passes the slot's
-    end — the streaming analogue of batch dedup_cadence. Late records
-    beyond the watermark are dropped, mirroring the reference's
-    timing_certainty tolerance. State: one open slot per key — bounded.
+    The cadence slot is expressed as a TUMBLING WINDOW over the
+    watermarked event-time column (duration = step, aligned to the
+    bucket origin via startTime) — the form Spark's state manager
+    recognizes, so append mode works, a slot's state is dropped once the
+    watermark passes its end (bounded state), and late records beyond
+    the watermark are dropped. Grouping by a *derived* integer bucket
+    would silently disable all three. Bounds are applied like the batch
+    pipeline's apply_bounds: records outside [min, max) never open a
+    slot. Output carries the same integer BUCKET_COL as batch
+    dedup_cadence (derived from the window start).
     """
     ix = cfg.index_by
     if cfg.min_us is None:
         raise ValueError("streaming dedup requires min_bound (bucket origin)")
+    if getattr(cfg, "bucket_phase", 0.0):
+        raise ValueError(
+            "streaming dedup supports floor slots only (bucket_phase=0): "
+            "nearest-slot rounding is not a tumbling window"
+        )
     delay = watermark_delay or f"{max(1, int(round(2 * cfg.dt_max)))} seconds"
     df = df.withWatermark(ix, delay)
-    df = cadence_bucket(df, ix, origin_us=cfg.min_us, step_us=cfg.step_us)
+    df = df.filter(F.col(ix) >= F.timestamp_micros(F.lit(cfg.min_us)))
+    if cfg.max_us is not None:
+        df = df.filter(F.col(ix) < F.timestamp_micros(F.lit(cfg.max_us)))
+    win = F.window(
+        F.col(ix),
+        f"{cfg.step_us} microseconds",
+        f"{cfg.step_us} microseconds",
+        f"{cfg.min_us % cfg.step_us} microseconds",
+    )
     # earliest record per slot, deterministic tiebreak on the full struct
     ordered = F.struct(
         F.col(ix).alias("__ts"),
         *[F.col(c).alias(c) for c in cfg.tiebreak],
-        F.struct(*[F.col(c) for c in df.columns if c != BUCKET_COL]).alias("row"),
+        F.struct(*[F.col(c) for c in df.columns]).alias("row"),
     )
-    out = df.groupBy(BUCKET_COL).agg(F.min(ordered).alias("__best"))
-    return out.select(F.col(BUCKET_COL), F.col("__best.row.*"))
+    out = df.groupBy(win.alias("__win")).agg(F.min(ordered).alias("__best"))
+    bucket = F.floor(
+        (epoch_us(F.col("__win.start")) - F.lit(cfg.min_us))
+        / F.lit(cfg.step_us)
+    ).cast("long")
+    return out.select(bucket.alias(BUCKET_COL), F.col("__best.row.*"))
 
 
 def incremental_aggregate(
@@ -249,10 +313,11 @@ def _run_incremental(
             if not _is_path_not_found(e):
                 raise
             prev = None
-        data = batch if prev is None else prev.unionByName(
-            batch.select(*prev.columns)
+        batch_p, merge_cfg = _project_new_rows(batch, cfg)
+        data = batch_p if prev is None else prev.unionByName(
+            batch_p.select(*prev.columns)
         )
-        out = regularize(spark, data, cfg, anchor=anchor)
+        out = regularize(spark, data, merge_cfg, anchor=anchor)
         out.repartitionByRange(
             max(spark.sparkContext.defaultParallelism // 4, 1), cfg.index_by
         ).sortWithinPartitions(cfg.index_by).write.mode("overwrite").parquet(
@@ -304,10 +369,18 @@ def incremental_aggregate_partitioned(
         )
     if cfg.min_us % day_us != 0:
         raise ValueError("min_bound must align to a UTC day boundary")
+    if getattr(cfg, "bucket_phase", 0.0):
+        # nearest-slot rounding can carry a record across the day
+        # boundary (t near midnight rounds into the NEXT day's slot 0);
+        # day-local regularization would clamp it into the wrong slot
+        raise ValueError(
+            "day-local rewrite requires bucket_phase=0 (floor slots)"
+        )
 
     stream = stream_granules(spark, input_path, schema)
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        batch, merge_cfg = _project_new_rows(batch, cfg)
         # derive touched days from raw epoch micros, NOT to_date (which
         # applies the session timezone and would mis-bucket records near
         # midnight on non-UTC sessions while bounds below are UTC)
@@ -348,6 +421,11 @@ def incremental_aggregate_partitioned(
         data = batch if prev is None else prev.unionByName(
             batch.select(*prev.columns)
         )
+        if len(days) > 1:
+            # the per-day loop filters `data` once per touched day —
+            # materialize it once instead of re-evaluating the
+            # union + batch source D times
+            data = data.localCheckpoint(eager=True)
         for day in sorted(days):
             lo = int(
                 datetime.strptime(day, "%Y-%m-%d")
@@ -356,7 +434,7 @@ def incremental_aggregate_partitioned(
                 * 1_000_000
             )
             day_cfg = replace(
-                cfg,
+                merge_cfg,
                 min_bound=max(lo, cfg.min_us) / 1e6,
                 max_bound=min(lo + day_us, cfg.max_us) / 1e6,
             )
