@@ -107,26 +107,33 @@ def aggregate_nc(
 
     if isinstance(files, str):
         files = [files]
-    df = read_nc_granules(
-        spark, files, decoder=decoder, grain_of=config.index_by,
-        record_dim=record_dim,
-    )
     index_sources = [
         config.index_by,
         *config.copy_from_alt.get(config.index_by, []),
     ]
     # the driver-side header probe needs ONE real file — the source list
-    # may lead with a glob or directory (binaryFile accepts those)
+    # may lead with a glob or directory (binaryFile accepts those).
+    # Its units become CANONICAL: granules declaring a different CF
+    # epoch/unit are re-expressed worker-side into these
+    # (sources/nc_granules._reexpress_cf_units — the reference decodes
+    # per file, ncagg/aggregator.py num2date), so one shared
+    # cf_to_timestamp below is correct for every granule.
     var_attrs = nc_attributes(
         _first_nc_file(files[0]), decoder=decoder
     )["variables"]
-    for ix in index_sources:
-        units = (var_attrs.get(ix) or {}).get("units")
+    canon_units = {
+        ix: (var_attrs.get(ix) or {}).get("units")
+        for ix in index_sources
+        if isinstance((var_attrs.get(ix) or {}).get("units"), str)
+        and " since " in (var_attrs.get(ix) or {}).get("units")
+    }
+    df = read_nc_granules(
+        spark, files, decoder=decoder, grain_of=config.index_by,
+        record_dim=record_dim, canon_units=canon_units or None,
+    )
+    for ix, units in canon_units.items():
         if (
             ix in df.columns
-            and units
-            and isinstance(units, str)
-            and " since " in units
             and df.schema[ix].dataType.typeName() in
             ("double", "float", "int", "bigint", "smallint", "tinyint")
         ):

@@ -45,7 +45,19 @@ _UNIT_SECONDS = {
 }
 
 
+_TZ_SUFFIX_RE = re.compile(
+    r"\s*(?:Z|UTC|GMT|(?P<sign>[+-])(?P<oh>\d{1,2})(?::?(?P<om>\d{2}))?)\s*$",
+    re.IGNORECASE,
+)
+
+
 def _parse_units(units: str) -> tuple[float, datetime]:
+    """Parse a CF/udunits time-units string to (seconds-per-unit, epoch).
+
+    Tolerates the common epoch spellings real products use: ISO 'T'
+    separator, trailing 'Z'/'UTC'/'GMT' or a numeric offset (applied),
+    and non-zero-padded fields like '0:0:0.0' (udunits' own examples).
+    """
     m = _UNITS_RE.match(units)
     if not m:
         raise ValueError(f"unparseable CF units: {units!r}")
@@ -53,6 +65,18 @@ def _parse_units(units: str) -> tuple[float, datetime]:
     if unit not in _UNIT_SECONDS:
         raise ValueError(f"unsupported CF unit: {unit!r}")
     epoch_s = m.group("epoch")
+    offset_s = 0.0
+    tz = _TZ_SUFFIX_RE.search(epoch_s)
+    # a numeric offset is only an offset after a time-of-day — for a
+    # date-only epoch like '1970-01-01' the trailing '-01' is the day
+    if tz and (not tz.group("sign") or ":" in epoch_s[: tz.start()]):
+        if tz.group("sign"):
+            sgn = 1.0 if tz.group("sign") == "+" else -1.0
+            offset_s = sgn * (
+                int(tz.group("oh")) * 3600 + int(tz.group("om") or 0) * 60
+            )
+        epoch_s = epoch_s[: tz.start()]
+    epoch_s = epoch_s.strip().replace("T", " ").replace("t", " ")
     for fmt in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
         try:
             epoch = datetime.strptime(epoch_s, fmt).replace(tzinfo=timezone.utc)
@@ -61,7 +85,7 @@ def _parse_units(units: str) -> tuple[float, datetime]:
             continue
     else:
         raise ValueError(f"unparseable CF epoch: {epoch_s!r}")
-    return _UNIT_SECONDS[unit], epoch
+    return _UNIT_SECONDS[unit], epoch - timedelta(seconds=offset_s)
 
 
 def cf_to_timestamp(col: Column | str, units: str) -> Column:

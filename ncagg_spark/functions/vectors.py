@@ -39,8 +39,18 @@ def l2_norm(a: Column | str) -> Column:
     )
 
 
+def norm_guard(c: Column) -> Column:
+    """Clamp an L2 norm away from zero: a zero/padding vector then scores
+    cosine 0.0 instead of killing the whole job with DIVIDE_BY_ZERO
+    under Spark's default ANSI mode. Matches the matmul path's
+    np.maximum(norm, 1e-300); values for any nonzero vector are
+    unchanged (double norms are far above 1e-300).
+    """
+    return F.greatest(c, F.lit(1e-300))
+
+
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    return dot(a, b) / (norm_guard(l2_norm(a)) * norm_guard(l2_norm(b)))
 
 
 def lit_double_array(values) -> Column:

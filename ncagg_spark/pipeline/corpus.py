@@ -50,6 +50,8 @@ def clean_corpus(
     jaccard_threshold: float = 0.8,
     shingle_n: int = 3,
     num_perm: int = 16,
+    num_bands: int = 4,
+    rows_per_band: int = 4,
     benchmark: DataFrame | None = None,
     bench_id_col: str = "bench_id",
     max_bench_frac: float = 0.5,
@@ -77,12 +79,21 @@ def clean_corpus(
             <= F.lit(max_dup_5gram_frac)
         )
     kept = exact_dedup(kept, text_col=text_col, id_col=id_col)
+    # the near-dedup stage consumes `kept` several times (signatures,
+    # both sides of the Jaccard verify, the survivor anti-join) —
+    # materialize the quality-gate + exact-dedup subtree once instead of
+    # recomputing its scan and shuffle per consumer
+    kept = kept.persist()
 
     sigs = minhash_signatures(
         kept, text_col=text_col, id_col=id_col,
         shingle_n=shingle_n, num_perm=num_perm,
     )
-    cands = minhash_lsh_candidates(sigs, id_col=id_col)
+    cands = minhash_lsh_candidates(
+        sigs, id_col=id_col,
+        num_bands=num_bands, rows_per_band=rows_per_band,
+        num_perm=num_perm,
+    )
     verified = ngram_jaccard(
         kept, cands, text_col=text_col, id_col=id_col, shingle_n=shingle_n
     ).filter(F.col("jaccard") >= F.lit(jaccard_threshold)).select(

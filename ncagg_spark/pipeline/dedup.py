@@ -145,12 +145,22 @@ def minhash_lsh_candidates(
     rows_per_band: int = 4,
     max_bucket_size: int = 1000,
     n_salts: int = 16,
+    num_perm: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing >=1 LSH band bucket.
 
     Exploded band table is hash-partitioned by (band, hash); buckets larger
     than ``max_bucket_size`` are dropped (pathological boilerplate guard).
+    Pass ``num_perm`` (the signature length) to validate the banding up
+    front: bands x rows > num_perm would index past the signature
+    (runtime INVALID_ARRAY_INDEX under ANSI), fewer would silently
+    ignore part of it (recall loss).
     """
+    if num_perm is not None and num_bands * rows_per_band != num_perm:
+        raise ValueError(
+            f"banding {num_bands}x{rows_per_band} does not cover the "
+            f"{num_perm}-permutation signature exactly"
+        )
     bands = sigs.select(
         F.col(id_col),
         F.posexplode(

@@ -179,14 +179,20 @@ def frame_sample_plan(
     """Video frame-sampling *plan*: explode each video into (media_id,
     frame_ts_ms) rows at a fixed stride using the duration metadata — the
     distributed fan-out is real; the per-frame decode is the stubbed step.
+
+    A frame is planned at every t = k*every_ms with t < duration (the
+    final partial interval is sampled too); zero/negative/null duration
+    yields no frames for that row.
     """
-    n = (F.col(f"{meta_col}.duration_ms") / every_ms).cast("long")
+    n = F.ceil(
+        F.col(f"{meta_col}.duration_ms") / F.lit(float(every_ms))
+    ).cast("long")
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0).cast("long"), n - 1)
+    ).otherwise(F.array().cast("array<long>"))
     return df.select(
         F.col(id_col),
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0))),
-                lambda i: i * every_ms,
-            )
+            F.transform(starts, lambda i: i * every_ms)
         ).alias("frame_ts_ms"),
     )

@@ -23,9 +23,11 @@ PII_PATTERNS: tuple[tuple[str, str], ...] = (
     ("IP", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
     ("SSN", r"\b\d{3}-\d{2}-\d{4}\b"),
     ("CC", r"\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b|\b\d{16}\b"),
+    # the area code anchors with \b (or an explicit paren) so the tail
+    # of a longer digit run ("order #99123 456-7890") is not mangled
     (
         "PHONE",
-        r"(?:\+\d{1,2}[ .-])?\(?\d{3}\)?[ .-]\d{3}[ .-]\d{4}\b",
+        r"(?:\+\d{1,2}[ .-])?(?:\(\d{3}\)|\b\d{3})[ .-]\d{3}[ .-]\d{4}\b",
     ),
 )
 

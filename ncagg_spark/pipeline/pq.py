@@ -62,7 +62,12 @@ def pq_train(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
-    key = (F.col(id_col) * F.lit(2654435761)) % F.lit(4294967296)
+    if corpus.schema[id_col].dataType.typeName() in (
+        "byte", "short", "integer", "long",
+    ):
+        key = (F.col(id_col) * F.lit(2654435761)) % F.lit(4294967296)
+    else:  # non-numeric ids: hash to a deterministic sample key
+        key = F.crc32(F.col(id_col).cast("string"))
     rows = (
         corpus.select(F.col(id_col), F.col(vec_col))
         .orderBy(key.asc(), F.col(id_col).asc())
@@ -105,11 +110,15 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Encode each vector as m codes (argmin L2 per subspace, on the
-    unit-normalized vector). One Arrow batch, m small matmuls."""
+    unit-normalized vector). One Arrow batch, m small matmuls. The id
+    column keeps its name and type (string doc ids work)."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
     C = [np.asarray(b, dtype="float64") for b in codebooks]
     Cn = [np.sum(c * c, axis=1) for c in C]
+    id_type = {
+        f.name: f.dataType.simpleString() for f in corpus.schema.fields
+    }[id_col]
 
     def encode(batches):
         for pdf in batches:
@@ -128,14 +137,14 @@ def pq_encode(
                 codes[:, s] = scores.argmax(axis=1)
             yield pd.DataFrame(
                 {
-                    "vec_id": pdf["__id"],
+                    id_col: pdf["__id"],
                     "codes": [row.tolist() for row in codes],
                 }
             )
 
     return corpus.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
-    ).mapInPandas(encode, schema="vec_id long, codes array<int>")
+    ).mapInPandas(encode, schema=f"`{id_col}` {id_type}, codes array<int>")
 
 
 def pq_topk(
@@ -158,14 +167,22 @@ def pq_topk(
     import builtins
 
     query_id_col = query_id_col or id_col
+    n_type = {
+        f.name: f.dataType.simpleString() for f in codes_df.schema.fields
+    }[id_col]
+    q_type = {
+        f.name: f.dataType.simpleString() for f in queries.schema.fields
+    }[query_id_col]
+    out_schema = (
+        f"query_id {q_type}, neighbor_id {n_type}, approx_cosine double"
+    )
     q_rows = queries.select(query_id_col, vec_col).collect()
     if not q_rows:
         return codes_df.sparkSession.createDataFrame(
-            [],
-            "query_id long, neighbor_id long, rank int, "
-            "approx_cosine double",
-        )
-    qids = np.array([int(r[0]) for r in q_rows], dtype="int64")
+            [], out_schema + ", rank int"
+        ).select("query_id", "neighbor_id", "rank", "approx_cosine")
+    # ids keep their native type (string doc ids supported)
+    qids = np.asarray([r[0] for r in q_rows])
     Q = _unit_rows(np.array([list(r[1]) for r in q_rows], dtype="float64"))
     m = len(codebooks)
     sub = len(codebooks[0][0])
@@ -186,7 +203,7 @@ def pq_topk(
         for pdf in batches:
             if not len(pdf):
                 continue
-            nids = pdf["vec_id"].to_numpy()
+            nids = pdf[id_col].to_numpy()
             codes = np.asarray(
                 [np.asarray(c, dtype="int64") for c in pdf["codes"]]
             )
@@ -212,10 +229,7 @@ def pq_topk(
             )
             yield out[np.isfinite(out["approx_cosine"])]
 
-    partial = codes_df.mapInPandas(
-        score,
-        schema="query_id long, neighbor_id long, approx_cosine double",
-    )
+    partial = codes_df.mapInPandas(score, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -269,7 +283,12 @@ def pq_topk_relational(
     vectors are touched in the rerank. Production throughput path =
     pq_train/pq_encode/pq_topk (Arrow matmul, SCALE.md ANN section).
     """
-    from ncagg_spark.functions.vectors import _array_sql, dot, l2_norm
+    from ncagg_spark.functions.vectors import (
+        _array_sql,
+        dot,
+        l2_norm,
+        norm_guard,
+    )
 
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
@@ -361,7 +380,7 @@ def pq_topk_relational(
         "cosine",
         F.round(
             dot("__qvec", "__nvec")
-            / (l2_norm("__qvec") * l2_norm("__nvec")),
+            / (norm_guard(l2_norm("__qvec")) * norm_guard(l2_norm("__nvec"))),
             6,
         ),
     )
@@ -397,7 +416,7 @@ def pq_topk_rerank(
     not the corpus. This is the standard recall-recovery design: ADC
     decides *where* to look, exact math decides the final order.
     """
-    from ncagg_spark.functions.vectors import dot, l2_norm
+    from ncagg_spark.functions.vectors import dot, l2_norm, norm_guard
 
     query_id_col = query_id_col or id_col
     cands = pq_topk(
@@ -412,12 +431,12 @@ def pq_topk_rerank(
     cand_vecs = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        l2_norm(vec_col).alias("c_norm"),
+        norm_guard(l2_norm(vec_col)).alias("c_norm"),
     ).join(F.broadcast(cands), on="neighbor_id")
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        l2_norm(vec_col).alias("q_norm"),
+        norm_guard(l2_norm(vec_col)).alias("q_norm"),
     )
     scored = cand_vecs.join(F.broadcast(q), on="query_id").withColumn(
         "cosine",

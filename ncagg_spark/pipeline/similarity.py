@@ -27,7 +27,7 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ncagg_spark.functions.vectors import dot, dot_const_sql, l2_norm
+from ncagg_spark.functions.vectors import dot, dot_const_sql, l2_norm, norm_guard
 
 
 def brute_force_topk(
@@ -51,12 +51,12 @@ def brute_force_topk(
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        l2_norm(vec_col).alias("q_norm"),
+        norm_guard(l2_norm(vec_col)).alias("q_norm"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        l2_norm(vec_col).alias("c_norm"),
+        norm_guard(l2_norm(vec_col)).alias("c_norm"),
     )
     scored = (
         F.broadcast(q)
@@ -101,7 +101,17 @@ def srp_bucket(vec_col: str, planes: list[list[float]]) -> Column:
         f" THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
         for i, plane in enumerate(planes)
     ]
-    return F.expr("CAST(0 AS BIGINT) + " + " + ".join(terms))
+    dim = len(planes[0]) if planes else 0
+    # fail fast on a dim mismatch: zip_with would null-pad the dots and
+    # silently send EVERY vector to bucket 0 (the bucket-local join
+    # degrades to a full cross product with no error)
+    return F.expr(
+        f"CASE WHEN {vec_col} IS NULL THEN CAST(NULL AS BIGINT) "
+        f"WHEN size({vec_col}) = {dim} THEN "
+        "(CAST(0 AS BIGINT) + " + " + ".join(terms) + ") "
+        f"ELSE CAST(raise_error('srp_bucket: embedding length <> "
+        f"{dim}') AS BIGINT) END"
+    )
 
 
 def srp_lsh_topk(
@@ -124,13 +134,13 @@ def srp_lsh_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        l2_norm(vec_col).alias("c_norm"),
+        norm_guard(l2_norm(vec_col)).alias("c_norm"),
         srp_bucket(vec_col, planes).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        l2_norm(vec_col).alias("q_norm"),
+        norm_guard(l2_norm(vec_col)).alias("q_norm"),
         srp_bucket(vec_col, planes).alias("bucket"),
     )
     scored = (
@@ -208,15 +218,25 @@ def brute_force_topk_matmul(
     import pandas as pd
 
     query_id_col = query_id_col or id_col
+    n_type = {
+        f.name: f.dataType.simpleString() for f in corpus.schema.fields
+    }[id_col]
+    q_type = {
+        f.name: f.dataType.simpleString() for f in queries.schema.fields
+    }[query_id_col]
+    out_schema = f"query_id {q_type}, neighbor_id {n_type}, cosine double"
     q_rows = queries.select(query_id_col, vec_col).collect()
     if not q_rows:
         spark = corpus.sparkSession
         return spark.createDataFrame(
-            [], "query_id long, neighbor_id long, rank int, cosine double"
-        )
-    qids = np.array([int(r[0]) for r in q_rows], dtype="int64")
+            [], out_schema + ", rank int"
+        ).select("query_id", "neighbor_id", "rank", "cosine")
+    # ids keep their native type (string doc ids supported)
+    qids = np.asarray([r[0] for r in q_rows])
     Q = np.array([list(r[1]) for r in q_rows], dtype="float64")
-    Qt = (Q / np.linalg.norm(Q, axis=1, keepdims=True)).T  # dim x nq
+    Qt = (
+        Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    ).T  # dim x nq
     kk = int(k)
 
     def score(batches):
@@ -248,9 +268,7 @@ def brute_force_topk_matmul(
 
     partial = corpus.select(
         F.col(id_col).alias("__nid"), F.col(vec_col).alias("__vec")
-    ).mapInPandas(
-        score, schema="query_id long, neighbor_id long, cosine double"
-    )
+    ).mapInPandas(score, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -471,7 +489,7 @@ def ivf_topk(
         c = corpus_cells.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("c_vec"),
-            l2_norm(vec_col).alias("c_norm"),
+            norm_guard(l2_norm(vec_col)).alias("c_norm"),
             "cell",
         )
     else:
@@ -479,7 +497,7 @@ def ivf_topk(
             corpus.select(
                 F.col(id_col).alias("neighbor_id"),
                 F.col(vec_col).alias("c_vec"),
-                l2_norm(vec_col).alias("c_norm"),
+                norm_guard(l2_norm(vec_col)).alias("c_norm"),
             ),
             cents,
             vec_col="c_vec",
@@ -503,7 +521,7 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        l2_norm(vec_col).alias("q_norm"),
+        norm_guard(l2_norm(vec_col)).alias("q_norm"),
         F.explode(F.expr(f"transform({probe_cells}, p -> p.c)")).alias("cell"),
     )
     scored = (

@@ -860,6 +860,7 @@ def read_nc_granules(
     schema_sample: str | None = None,
     grain_of: str | None = None,
     record_dim: str | None = None,
+    canon_units: dict[str, str] | None = None,
 ) -> DataFrame:
     """Read `.nc` granules into a tall DataFrame (one row per record).
 
@@ -888,18 +889,63 @@ def read_nc_granules(
 
     files = spark.read.format("binaryFile").load(list(paths))
     return files.select("path", "content").mapInPandas(
-        granule_parse_fn(schema, decoder, record_dim=record_dim),
+        granule_parse_fn(
+            schema, decoder, record_dim=record_dim,
+            canon_units=canon_units,
+        ),
         schema=schema,
     )
+
+
+def _reexpress_cf_units(
+    frame: pd.DataFrame,
+    nc,
+    canon_units: dict[str, str],
+    schema: T.StructType,
+) -> pd.DataFrame:
+    """Re-express CF time columns into the canonical (sample file's)
+    units when a granule declares a DIFFERENT epoch/unit.
+
+    Per-granule epochs are common in CF data and the reference decodes
+    per file (ncagg/aggregator.py, num2date per granule); decoding the
+    whole union with one file's units would silently shift every other
+    file's timestamps. Runs worker-side per granule — no extra driver
+    traffic. Columns whose units string equals the canonical one are
+    left bit-untouched.
+    """
+    from ncagg_spark.functions.time import _parse_units
+
+    for col, canon in canon_units.items():
+        var = nc.variables.get(col)
+        if var is None or col not in frame.columns:
+            continue
+        gu = (var.attributes or {}).get("units")
+        if not isinstance(gu, str) or gu == canon or " since " not in gu:
+            continue
+        scale_g, epoch_g = _parse_units(gu)  # raises on junk: explicit
+        scale_c, epoch_c = _parse_units(canon)
+        ratio = scale_g / scale_c
+        off = (epoch_g.timestamp() - epoch_c.timestamp()) / scale_c
+        vals = frame[col].astype("float64") * ratio + off
+        target = schema[col].dataType.typeName() if col in schema.names else "double"
+        if target in ("long", "integer", "short", "byte", "bigint", "int"):
+            vals = vals.round()
+        frame[col] = vals
+    return frame
 
 
 def granule_parse_fn(
     schema: T.StructType, decoder: str = "auto",
     record_dim: str | None = None,
+    canon_units: dict[str, str] | None = None,
 ):
     """The (path, content) -> rows decode closure — shared by the batch
     reader above and the streaming source
-    (streaming/regularize.py:incremental_aggregate_nc)."""
+    (streaming/regularize.py:incremental_aggregate_nc).
+
+    ``canon_units`` maps CF time columns to the canonical units string
+    the caller will decode with; granules declaring different units are
+    re-expressed into it (see _reexpress_cf_units)."""
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -907,6 +953,11 @@ def granule_parse_fn(
                 nc = _decode(bytes(blob), decoder)
                 if record_dim:
                     _promote_record_dim(nc, record_dim)
-                yield _granule_frame(nc, path, schema)
+                frame = _granule_frame(nc, path, schema)
+                if canon_units:
+                    frame = _reexpress_cf_units(
+                        frame, nc, canon_units, schema
+                    )
+                yield frame
 
     return parse

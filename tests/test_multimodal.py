@@ -64,8 +64,11 @@ def test_real_resizer_raises(media):
 
 def test_frame_sample_plan_fanout(spark):
     rows = [
-        (1, ("video", "mp4", 1920, 1080, 3500)),  # 3 frames at 1000ms
+        # every t = k*1000 < 3500, incl. the final partial interval
+        (1, ("video", "mp4", 1920, 1080, 3500)),
         (2, ("video", "mp4", 640, 480, 500)),     # short clip: 1 frame
+        (3, ("video", "mp4", 640, 480, 0)),       # empty media: no frames
+        (4, ("video", "mp4", 640, 480, None)),    # no duration: no frames
     ]
     schema = T.StructType(
         [
@@ -89,8 +92,9 @@ def test_frame_sample_plan_fanout(spark):
     by_id = {}
     for r in got:
         by_id.setdefault(r["media_id"], []).append(r["frame_ts_ms"])
-    assert sorted(by_id[1]) == [0, 1000, 2000]
+    assert sorted(by_id[1]) == [0, 1000, 2000, 3000]
     assert by_id[2] == [0]
+    assert 3 not in by_id and 4 not in by_id
 
 
 def test_balance_by_content_spreads_blobs(media):

@@ -31,6 +31,7 @@ SAMPLES = [
     "card 4111 1111 1111 1111 or 4111-1111-1111-1111 or 4111111111111111",
     "call +1 (303) 555-0142 or 303-555-0142 or 303.555.0142",
     "no pii here, just v1.2.3 and build 20240115 and 1234567",
+    "order #99123 456-7890 is not a phone",
     "mixed: a@b.io at 8.8.8.8 phone 212 555 0199 ssn 987-65-4321",
     "",
 ]
@@ -49,8 +50,10 @@ def test_redact_each_kind(spark):
     assert out[4] == "call <PHONE> or <PHONE> or <PHONE>"
     # version strings, date-like and short digit runs survive
     assert out[5] == "no pii here, just v1.2.3 and build 20240115 and 1234567"
-    assert out[6] == "mixed: <EMAIL> at <IP> phone <PHONE> ssn <SSN>"
-    assert out[7] == ""
+    # the tail of a longer digit run is NOT a phone (no leading \b match)
+    assert out[6] == "order #99123 456-7890 is not a phone"
+    assert out[7] == "mixed: <EMAIL> at <IP> phone <PHONE> ssn <SSN>"
+    assert out[8] == ""
 
 
 def test_counts_match_redaction_kinds(spark):
