@@ -54,14 +54,19 @@ def _source_kinds(src: list[str]) -> set[str]:
                 # a directory can hold both kinds — report each so the
                 # mixed-source error fires instead of feeding parquet
                 # bytes to the .nc decoder
-                has_nc = bool(_glob.glob(os.path.join(m, "*.nc")))
+                has_nc = bool(
+                    _glob.glob(os.path.join(m, "*.nc"))
+                    or _glob.glob(os.path.join(m, "*.nc4"))
+                )
                 has_pq = bool(_glob.glob(os.path.join(m, "*.parquet")))
                 if has_nc:
                     kinds.add("nc")
                 if has_pq or not has_nc:
                     kinds.add("parquet")
             else:
-                kinds.add("nc" if m.endswith(".nc") else "parquet")
+                kinds.add(
+                    "nc" if m.endswith((".nc", ".nc4")) else "parquet"
+                )
     return kinds
 
 
@@ -160,6 +165,31 @@ def main(argv: list[str] | None = None) -> int:
             print("error: no sources on stdin", file=sys.stderr)
             return 2
 
+    # output-format flags validate up front so EVERY route (including
+    # the multi-grain early return) rejects silently-dropped flags
+    nc_dst = args.dst.endswith(".nc") or args.dst.endswith(".nc4")
+    fmt = args.nc_format or (
+        "netcdf4" if args.dst.endswith(".nc4") else "classic"
+    )
+    if (args.complevel is not None or args.chunksize) and not (
+        nc_dst and fmt == "netcdf4"
+    ):
+        # classic/parquet output has no compression or chunking knobs —
+        # silently dropping the flags writes the wrong container
+        print(
+            "error: --complevel/-c require netCDF-4 output "
+            "(use --nc-format netcdf4 or a DST ending in .nc4)",
+            file=sys.stderr,
+        )
+        return 2
+    if args.grain and nc_dst:
+        print(
+            "error: multi-grain (-u) writes one parquet dataset per "
+            "grain; single-file .nc output is not supported with -u",
+            file=sys.stderr,
+        )
+        return 2
+
     if args.grain:
         import os
 
@@ -232,21 +262,6 @@ def main(argv: list[str] | None = None) -> int:
             )
             return 2
         extra_kwargs["record_dim"] = args.record_dim
-    nc_dst = args.dst.endswith(".nc") or args.dst.endswith(".nc4")
-    fmt = args.nc_format or (
-        "netcdf4" if args.dst.endswith(".nc4") else "classic"
-    )
-    if (args.complevel is not None or args.chunksize) and not (
-        nc_dst and fmt == "netcdf4"
-    ):
-        # classic/parquet output has no compression or chunking knobs —
-        # silently dropping the flags writes the wrong container
-        print(
-            "error: --complevel/-c require netCDF-4 output "
-            "(use --nc-format netcdf4 or a DST ending in .nc4)",
-            file=sys.stderr,
-        )
-        return 2
     parquet_dst = (
         args.dst.rsplit(".", 1)[0] + "_parquet" if nc_dst else args.dst
     )

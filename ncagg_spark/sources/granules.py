@@ -20,6 +20,8 @@ FS layer, which handles that.
 
 from __future__ import annotations
 
+import glob
+
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -54,11 +56,22 @@ def read_granules(
     nanos: set[str] = set()
     u64: set[str] = set()
     for p in paths:
-        try:
-            nanos.update(_timestamp_layout(p)[0])
-            u64.update(_uint64_cols(p))
-        except (OSError, ValueError):
-            pass
+        # pyarrow does not expand globs (Spark does) — resolving here
+        # keeps the probe effective for 'dir/*.parquet' sources instead
+        # of silently skipping the nanos/uint64 normalization. Up to 8
+        # evenly-spaced members probed per source spec (footers cached).
+        if any(ch in p for ch in "*?["):
+            matches = sorted(glob.glob(p))
+            step = max(1, len(matches) // 8)
+            members = matches[::step] or [p]
+        else:
+            members = [p]
+        for m in members:
+            try:
+                nanos.update(_timestamp_layout(m)[0])
+                u64.update(_uint64_cols(m))
+            except (OSError, ValueError):
+                pass
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.option("mergeSchema", str(merge_schema).lower()).parquet(

@@ -113,6 +113,7 @@ class Hdf5File:
         if self.buf[:8] != b"\x89HDF\r\n\x1a\n":
             raise Hdf5Error("not an HDF5 file")
         self.datasets: dict[str, Dataset] = {}
+        self.named_types: dict[str, Datatype] = {}  # committed datatypes
         self.root_attributes: dict = {}
         self._addr_names: dict[int, str] = {}
         self._parse_superblock()
@@ -249,8 +250,16 @@ class Hdf5File:
 
     def _visit(self, header_addr, path):
         kinds = {m for m, _ in self._messages(header_addr)}
-        if 0x08 in kinds or 0x03 in kinds:  # layout/datatype => dataset
+        if 0x01 in kinds and 0x03 in kinds:  # dataspace+datatype => dataset
             self._read_dataset_meta(header_addr, path)
+        elif 0x03 in kinds:
+            # committed (named) datatype — netCDF-C commits user-defined
+            # enum/compound types to the group; record it, it is NOT a
+            # dataset (no dataspace/layout: reading it would crash)
+            for mtype, data in self._messages(header_addr):
+                if mtype == 0x03:
+                    self.named_types[path] = self._parse_datatype(data)
+                    break
         else:
             self._walk_group(header_addr, path + "/")
 
@@ -838,12 +847,17 @@ class Hdf5File:
         for _ in range(n):
             fid = _u(data, off, 2)
             if ver == 1 or fid >= 256:
+                # v1 always has a Name Length field; v2 only for
+                # non-predefined ids (>= 256) — a 6-byte header
+                # otherwise, so reading 8 would desync flags/ncv
                 name_len = _u(data, off + 2, 2)
+                flags = _u(data, off + 4, 2)
+                ncv = _u(data, off + 6, 2)
+                off += 8 + name_len
             else:
-                name_len = 0
-            flags = _u(data, off + 4, 2)
-            ncv = _u(data, off + 6, 2)
-            off += 8 + name_len
+                flags = _u(data, off + 2, 2)
+                ncv = _u(data, off + 4, 2)
+                off += 6
             cvals = [_u(data, off + 4 * i, 4) for i in range(ncv)]
             off += 4 * ncv
             if ver == 1 and ncv % 2 == 1:

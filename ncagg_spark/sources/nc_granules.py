@@ -248,6 +248,11 @@ def _record_var_fields(
         arr = nc.data[name]
         if arr.dtype.kind == "O" and arr.ndim > 1:
             continue  # multidim vlen-string vars: explicit skip (rare)
+        if arr.dtype.kind == "S" and arr.ndim > 2:
+            # (record, k, strlen) char cube: k strings per record — a
+            # single flattened string would run the k values together
+            fields.append((name, T.ArrayType(T.StringType()), True))
+            continue
         if arr.dtype.kind in ("S", "O"):
             # char matrices AND 1-D vlen strings surface as StringType
             fields.append((name, T.StringType(), False))
@@ -348,6 +353,17 @@ def _granule_frame(
             cols[f.name] = (
                 list(arr[:n]) if arr.ndim == 1 else [None] * n
             )
+        elif arr.dtype.kind == "S" and arr.ndim > 2:
+            # (record, k, strlen): one decoded string per k-slot
+            cols[f.name] = [
+                [
+                    b"".join(srow)
+                    .decode("utf-8", "replace")
+                    .rstrip("\x00")
+                    for srow in rec.reshape(rec.shape[0], -1)
+                ]
+                for rec in arr[:n]
+            ]
         elif arr.dtype.kind == "S":
             flat = arr.reshape(n, -1)
             cols[f.name] = [
@@ -540,6 +556,7 @@ def _streamed_col_specs(df: DataFrame):
         aggs.append(
             F.max(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nl__{c}")
         )
+        aggs.append(F.count(F.col(c)).alias(f"nn__{c}"))
         if isinstance(f.dataType, T.ArrayType):
             aggs.append(F.max(F.size(c)).alias(f"xw__{c}"))
             aggs.append(F.min(F.size(c)).alias(f"nw__{c}"))
@@ -559,8 +576,16 @@ def _streamed_col_specs(df: DataFrame):
     for f in df.schema.fields:
         c = f.name
         has_null = bool(row.get(f"nl__{c}") or 0)
+        all_null = int(row.get(f"nn__{c}") or 0) == 0
+        if all_null and isinstance(
+            f.dataType, (T.ArrayType, T.StringType)
+        ):
+            # mirror the pandas path: an all-null object column decodes
+            # to a float64 NaN scalar variable (byte-identical contract)
+            specs.append((c, "scalar", "float64", 0))
+            continue
         if isinstance(f.dataType, T.ArrayType):
-            inner = int(row.get(f"xw__{c}") or 0)
+            inner = max(int(row.get(f"xw__{c}") or 0), 0)
             if inner == 0:
                 raise ValueError(
                     f"array column {c!r} has no non-empty rows — "
@@ -802,11 +827,21 @@ def write_nc_granules(
             col = pdf[name]
             first = next((v for v in col if v is not None), None)
             if isinstance(first, (list, np.ndarray)):
-                inner = len(first)
+                # width = MAX row length (not the first row's): short
+                # rows pad with NaN, so ragged inputs cannot crash the
+                # export task with an inhomogeneous-shape error
+                inner = max(
+                    (len(v) for v in col if v is not None), default=1
+                )
                 dims.append((f"{name}_dim1", inner))
                 fill = [np.nan] * inner
                 mat = np.array(
-                    [list(v) if v is not None else fill for v in col],
+                    [
+                        list(v) + [np.nan] * (inner - len(v))
+                        if v is not None
+                        else fill
+                        for v in col
+                    ],
                     dtype="float64",
                 )
                 variables[name] = ([rec, f"{name}_dim1"], mat)

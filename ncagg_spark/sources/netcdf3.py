@@ -175,7 +175,9 @@ def read_netcdf3(source) -> NcFile:
     r = _Reader(buf)
     r.take(4)
     numrecs = r.i64() if version == 5 else r.u32()
-    streaming = numrecs == _STREAMING
+    # CDF-5 reads numrecs signed, so the 64-bit all-ones STREAMING
+    # sentinel arrives as -1 — missing it would silently decode 0 records
+    streaming = numrecs == _STREAMING or numrecs < 0
 
     # dimensions
     tag = r.u32()
