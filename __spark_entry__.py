@@ -29,12 +29,15 @@ from ncagg_spark.functions.hashing import (
 )
 from ncagg_spark.functions.time import cf_to_timestamp, epoch_us, timestamp_to_cf
 from ncagg_spark.operators.dedup import cadence_bucket, dedup_cadence
-from ncagg_spark.operators.flatten import flatten_by_index
+from ncagg_spark.operators.flatten import (
+    block_diagonal_union,
+    flatten_by_index,
+    flatten_overlay,
+)
 from ncagg_spark.operators.gapfill import gap_fill
 from ncagg_spark.operators.multidim import regularize_multidim
 from ncagg_spark.operators.normalize import drop_invalid_index
 from ncagg_spark.operators.projection import coalesce_alternates
-from ncagg_spark.operators.flatten import block_diagonal_union, flatten_overlay
 from ncagg_spark.pipeline.dedup import (
     exact_dedup,
     exact_duplicates,
@@ -59,7 +62,6 @@ from ncagg_spark.pipeline.pii import (
 )
 from ncagg_spark.pipeline.text import (
     LANG_PRECEDENCE,
-    STOPWORDS,
     bpeish_token_count,
     detect_language,
     fingerprint,
@@ -92,6 +94,25 @@ MD_INNER = 4  # multidim: inner samples per report
 MD_INNER_STEP_US = 100_000  # 10 Hz inner cadence
 
 _T = Callable[[SparkSession, str], DataFrame]
+
+
+def _work_dir(prefix: str, sf_dir: str) -> str:
+    """Fixed per-(prefix, sf) scratch dir, wiped on reuse.
+
+    mkdtemp here would leak a fresh tree of granules/checkpoints into
+    /tmp on EVERY gate run; a deterministic name bounds the footprint to
+    one tree per (query, sf) and the wipe gives streaming a fresh
+    checkpoint each run."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -204,8 +225,6 @@ def q_agg_nc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     CF double round-trip (us -> us/1e6 -> floor(sec*1e6)) in identical
     IEEE arithmetic, so values — including the decoded timestamps — are
     hash-checked, not just counted."""
-    import tempfile
-
     from ncagg_spark.sources.nc_granules import (
         read_nc_granules,
         write_nc_granules,
@@ -217,7 +236,7 @@ def q_agg_nc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         time_bounds=("ts", DAY_LO_US, DAY_HI_US),
     )
     ev = drop_invalid_index(ev, "ts").select("ts", "event_id", "value")
-    out_dir = tempfile.mkdtemp(prefix="ncagg_ingest_")
+    out_dir = _work_dir("ncagg_ingest", sf_dir)
     write_nc_granules(
         ev,
         out_dir,
@@ -262,11 +281,10 @@ def q_stream_day_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental == batch."""
     import glob as _glob
     import os
-    import tempfile
 
     from ncagg_spark.streaming.regularize import incremental_aggregate
 
-    base = tempfile.mkdtemp(prefix="ncagg_stream_")
+    base = _work_dir("ncagg_stream", sf_dir)
     in_dir = os.path.join(base, "in")
     os.makedirs(in_dir)
 
@@ -1365,8 +1383,17 @@ _SQL_BANDS = f"""
 """
 
 _SQL_LSH_PAIRS = f"""
+    WITH bands AS ({_SQL_BANDS}),
+    sized AS (
+        SELECT *, count(*) OVER (PARTITION BY band, bh) AS n_occ
+        FROM bands
+    ),
+    -- mirror minhash_lsh_candidates' bucket guard: a band bucket with
+    -- more than max_bucket_size (default 1000) members is dropped
+    -- ENTIRELY on the Spark side, so the oracle must drop it too
+    capped AS (SELECT * FROM sized WHERE n_occ <= 1000)
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM ({_SQL_BANDS}) a JOIN ({_SQL_BANDS}) b
+    FROM capped a JOIN capped b
       ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
 """
 

@@ -25,8 +25,8 @@ from ncagg_spark.session import get_spark
 
 # Representative, scale-sensitive subset of queries(): the reference's
 # core regularization path, the relational star-schema set, the dedup /
-# similarity / text pipeline ops. Small constant-size outputs are
-# collect()ed; large ones counted.
+# similarity / text pipeline ops. Every query is evaluated through the
+# noop sink (full output materialization, no driver-side rows).
 BENCH_QUERIES = [
     "agg_regularize_day",
     "agg_regularize_anchored",
@@ -59,7 +59,10 @@ def main() -> None:
 
     # Warm up the JVM / parquet footer caches so the first measured query
     # isn't charged for session spin-up (steady-state numbers).
-    for t in ("events", "lineitem", "orders", "customer", "documents", "embeddings"):
+    for t in (
+        "events", "lineitem", "orders", "customer", "supplier",
+        "nation", "region", "part", "documents", "embeddings",
+    ):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").write.format("noop").mode(
             "overwrite"
         ).save()

@@ -1,6 +1,7 @@
 """Profile minhash LSH candidate-pair variants at sf0.1.
 
-Usage: python tools/profile_lsh.py {current|postagg|sigscache} [sf_dir]
+Usage: python tools/profile_lsh.py
+       {current|postagg|sigscache|windowguard} [sf_dir]
 
 Run each variant in its OWN process (persist/cache poisons repeat runs in
 one session — see bench notes). Times signature+pairs end-to-end through
@@ -19,6 +20,9 @@ from pyspark.sql import functions as F
 
 
 def main() -> None:
+    variants = ("current", "postagg", "sigscache", "windowguard")
+    if len(sys.argv) < 2 or sys.argv[1] not in variants:
+        sys.exit(f"usage: profile_lsh.py {{{'|'.join(variants)}}} [sf_dir]")
     variant = sys.argv[1]
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
 

@@ -73,11 +73,15 @@ def main():
     spark = get_spark(app_name="scale-ann")
     spark.sparkContext.setLogLevel("ERROR")
 
+    if n_q > n:
+        sys.exit(f"n_q ({n_q}) cannot exceed n ({n})")
     corpus = synth_corpus(spark, n)
     corpus = corpus.repartition(32, "vec_id").persist()
     corpus.write.format("noop").mode("overwrite").save()
-    queries = corpus.filter(F.col("vec_id") % (n // n_q) == 0).persist()
-    print(f"corpus={corpus.count()} queries={queries.count()} dim={DIM}")
+    stride = max(n // n_q, 1)
+    queries = corpus.filter(F.col("vec_id") % stride == 0).persist()
+    n_q = queries.count()  # actual count (stride rounding)
+    print(f"corpus={corpus.count()} queries={n_q} dim={DIM}")
 
     t0 = time.time()
     exact = brute_force_topk(corpus, queries, k=K).persist()

@@ -34,9 +34,14 @@ def build_events(spark):
         .withColumn("h", F.abs(F.xxhash64("id")))
     )
     kept = base.filter((F.col("h") % 100) >= 3)  # 3% gap slots
-    dups = base.filter((F.col("h") % 100) < 2).withColumn(
+    # duplicate bursts must target slots whose ORIGINAL record is kept,
+    # otherwise the shifted copy is the slot's only record and the
+    # dedup branch never fires (h%100 in [0,2) was disjoint from kept)
+    dups = base.filter(
+        ((F.col("h") % 100) >= 3) & ((F.col("h") % 100) < 5)
+    ).withColumn(
         "us", F.col("us") + 1_000
-    )  # 2% near-dup bursts inside dt_min
+    )  # 2% near-dup bursts inside dt_min, alongside their originals
     junk = base.filter((F.col("h") % 1000) == 7).withColumn(
         "us", F.lit(0)
     )  # epoch junk -> dropped by invalid-index removal
