@@ -167,12 +167,15 @@ class Hdf5File:
             while off + 8 <= end and seen < nmsg:
                 mtype = _u(b, off, 2)
                 msize = _u(b, off + 2, 2)
+                mflags = b[off + 4]
                 data = b[off + 8 : off + 8 + msize]
                 seen += 1
                 off += 8 + msize
                 if mtype == 0x10:  # continuation
                     blocks.append((_u(data, 0, 8), _u(data, 8, 8)))
                 else:
+                    if mflags & 0x02:  # shared: body is a reference
+                        data = self._resolve_shared(mtype, data)
                     yield mtype, data
 
     def _messages_v2(self, addr):
@@ -204,13 +207,42 @@ class Hdf5File:
             while off + hdr <= end:
                 mtype = b[off]
                 msize = _u(b, off + 1, 2)
+                mflags = b[off + 3]
                 off += hdr
                 data = b[off : off + msize]
                 off += msize
                 if mtype == 0x10:
                     blocks.append((_u(data, 0, 8), _u(data, 8, 8), True))
                 elif mtype != 0:
+                    if mflags & 0x02:  # shared: body is a reference
+                        data = self._resolve_shared(mtype, data)
                     yield mtype, data
+
+    def _resolve_shared(self, mtype, data):
+        """Resolve a shared-message reference to the actual message body.
+
+        netCDF-C stores a variable's datatype as a shared message when
+        the type is committed (every enum/compound file) — treating the
+        reference bytes as an inline body would silently misparse the
+        datatype.
+        """
+        ver = data[0]
+        if ver == 1:
+            addr = _u(data, 8, 8)  # version, type, 6 reserved, address
+        elif ver == 2:
+            addr = _u(data, 2, 8)  # version, type, address
+        elif ver == 3:
+            if data[1] == 1:
+                raise Hdf5Error("shared message stored in SOHM heap")
+            addr = _u(data, 2, 8)
+        else:
+            raise Hdf5Error(f"shared message v{ver}")
+        for mt, md in self._messages(addr):
+            if mt == mtype:
+                return md
+        raise Hdf5Error(
+            f"shared message target {addr:#x} lacks type {mtype:#x}"
+        )
 
     # -- groups -------------------------------------------------------------
 
@@ -785,11 +817,16 @@ class Hdf5File:
     def _read_dataset_meta(self, header_addr, path):
         ds = Dataset(name=path, header_addr=header_addr)
         attr_info = None
+        fill_msg = None
         for mtype, data in self._messages(header_addr):
             if mtype == 0x01:
                 ds.dataspace = self._parse_dataspace(data)
             elif mtype == 0x03:
                 ds.datatype = self._parse_datatype(data)
+            elif mtype == 0x04:  # old-style fill value
+                fill_msg = ("old", data)
+            elif mtype == 0x05:  # fill value
+                fill_msg = ("new", data)
             elif mtype == 0x08:
                 ds.layout = self._parse_layout(data)
             elif mtype == 0x0B:
@@ -803,7 +840,47 @@ class Hdf5File:
             ds.attributes.update(self._dense_attributes(attr_info))
         if ds.datatype is not None and ds.datatype.enum_dict:
             ds.attributes.setdefault("_enum_dict", ds.datatype.enum_dict)
+        if fill_msg is not None:
+            fv = self._decode_fill(fill_msg, ds.datatype)
+            if fv is not None:
+                # the file's declared fill for unwritten regions; an
+                # explicit _FillValue attribute (netCDF) wins if present
+                ds.attributes.setdefault("_FillValue", fv)
         self.datasets[path] = ds
+
+    def _decode_fill(self, tagged, dtype: "Datatype | None"):
+        """Fill-value message (0x04/0x05) -> python/numpy scalar, or
+        None when undefined/unsupported. Without this, unwritten data in
+        netCDF-C files decodes as 0 instead of the declared fill (e.g.
+        NC_FILL_FLOAT), which is indistinguishable from valid data."""
+        kind, data = tagged
+        if (
+            dtype is None
+            or dtype.np_dtype is None
+            or dtype.cls == 9
+        ):
+            return None
+        if kind == "old":
+            size = _u(data, 0, 4)
+            raw = data[4 : 4 + size]
+        else:
+            ver = data[0]
+            if ver in (1, 2):
+                if ver == 2 and not data[3]:  # defined flag
+                    return None
+                size = _u(data, 4, 4)
+                raw = data[8 : 8 + size]
+            elif ver == 3:
+                if not data[1] & 0x20:  # fill value defined bit
+                    return None
+                size = _u(data, 2, 4)
+                raw = data[6 : 6 + size]
+            else:
+                return None
+        if size == 0 or len(raw) < dtype.np_dtype.itemsize:
+            return None
+        v = np.frombuffer(raw, dtype=dtype.np_dtype, count=1)[0]
+        return v if dtype.np_dtype.names else v.item()
 
     def _parse_layout(self, data):
         ver = data[0]

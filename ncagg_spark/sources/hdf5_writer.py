@@ -48,6 +48,23 @@ def _pad8(b: bytes) -> bytes:
     return b + b"\x00" * ((8 - len(b) % 8) % 8)
 
 
+def _cap_chunk(
+    chunk: tuple[int, ...], itemsize: int, cap_bytes: int = 1 << 24
+) -> tuple[int, ...]:
+    """Cap a DEFAULT chunk's record count so the chunk stays <= 16 MiB.
+
+    Unbounded default chunks (min(nrecs, 4096) records x full inner
+    dims) can exceed HDF5's 4 GiB chunk limit for wide variables — and
+    the v1 B-tree key stores the stored-chunk size in 4 bytes, so an
+    oversized chunk corrupts the index. Caller-specified chunksizes are
+    not capped (validated at write instead)."""
+    inner = 1
+    for c in chunk[1:]:
+        inner *= c
+    max_first = max(1, cap_bytes // max(inner * itemsize, 1))
+    return (min(chunk[0], max_first),) + tuple(chunk[1:])
+
+
 # ---------------------------------------------------------------------------
 # datatype / dataspace / attribute message encoding
 # ---------------------------------------------------------------------------
@@ -200,7 +217,7 @@ class _FileBuilder:
         self.out += data
         return addr
 
-    def finish(self, root_header_addr: int) -> bytes:
+    def finish(self, root_header_addr: int, *, leaf_k: int = 4) -> bytes:
         eof = len(self.out)
         sb = struct.pack(
             "<8sBBBBBBBxHHI",
@@ -212,7 +229,7 @@ class _FileBuilder:
             0,  # shared header v0
             8,  # offset size
             8,  # length size
-            4,  # group leaf node K
+            leaf_k,  # group leaf node K (2K symbols max per SNOD)
             16,  # group internal node K
             0,  # file consistency flags
         )
@@ -241,6 +258,15 @@ def _write_chunked(
     default indexed-storage K stays honored at any chunk count.
     """
     esz = arr.dtype.itemsize
+    chunk_bytes = esz
+    for c in chunk:
+        chunk_bytes *= c
+    if chunk_bytes >= 1 << 32:
+        raise ValueError(
+            f"chunk shape {chunk} = {chunk_bytes} bytes exceeds the "
+            "4 GiB HDF5 chunk limit (the B-tree key size field is 4 "
+            "bytes) — specify a smaller chunksize"
+        )
     filters: list[tuple[int, bytes]] = []
     if compression is not None:
         if shuffle:
@@ -389,6 +415,21 @@ def write_hdf5(
         if vdims and vdims[0] == rec_dim:
             numrecs = max(numrecs, np.asarray(arr).shape[0])
 
+    collide = [
+        n for n in variables
+        if n in dim_sizes
+        and not (variables[n][0] and variables[n][0][0] == n)
+    ]
+    if collide:
+        # pass 1 would write the dim's placeholder scale under this
+        # name and pass 2 would overwrite it, orphaning the scale —
+        # netCDF-C renames such datasets to _nc4_non_coord_*; here the
+        # collision is an explicit error
+        raise ValueError(
+            f"variable(s) {collide} share a dimension's name but are "
+            "not its coordinate variable (first dim must be itself)"
+        )
+
     fb = _FileBuilder()
     header_addr: dict[str, int] = {}  # object name -> header addr
 
@@ -465,11 +506,18 @@ def write_hdf5(
         if dname in coord_vars:
             vdims, arr = variables[dname]
             a = np.asarray(arr)
-            chunk = None
-            if unlimited:
+            chunk = chunksizes.get(dname)
+            if chunk is None and unlimited:
                 first = record_chunksize or min(max(size, 1), 4096)
-                chunk = chunksizes.get(dname) or (
-                    (max(first, 1),) + a.shape[1:]
+                chunk = _cap_chunk(
+                    (max(first, 1),) + a.shape[1:], a.dtype.itemsize
+                )
+            if chunk is None and compression is not None and a.size:
+                # fixed coordinate vars compress too (template
+                # chunksizes/zlib apply to every variable)
+                chunk = _cap_chunk(
+                    (min(max(a.shape[0], 1), 4096),) + a.shape[1:],
+                    a.dtype.itemsize,
                 )
             name_attr = _attr_message("NAME", *_encode_attr_value(dname))
             extra = [(0x0C, cls_attr), (0x0C, name_attr), (0x0C, dimid_attr)]
@@ -508,7 +556,16 @@ def write_hdf5(
         for i, obj in enumerate(gcol_objects, start=1):
             body += struct.pack("<HH4xQ", i, 1, len(obj)) + _pad8(obj)
         total = max(4096, 16 + len(body))
+        free = total - (16 + len(body))
+        if 0 < free < 16:  # free-space object needs its 16-byte header
+            total += 16
+            free += 16
         gcol = struct.pack("<4sB3xQ", b"GCOL", 1, total) + body
+        if free:
+            # spec-required free-space object: index 0, size = remaining
+            # bytes INCLUDING this header (bare zero padding makes real
+            # HDF5 readers reject the collection walk)
+            gcol += struct.pack("<HH4xQ", 0, 0, free)
         gcol += b"\x00" * (total - len(gcol))
         gcol_addr = fb.alloc(gcol)
 
@@ -526,7 +583,7 @@ def write_hdf5(
             first = min(max(shape[0], 1), 4096)
             if unlimited and record_chunksize:
                 first = max(record_chunksize, 1)
-            chunk = (first,) + shape[1:]
+            chunk = _cap_chunk((first,) + shape[1:], a.dtype.itemsize)
         if not shape:
             # HDF5 requires chunked datasets to have rank >= 1: scalar
             # variables always store contiguous (uncompressed)
@@ -588,7 +645,9 @@ def write_hdf5(
         root_msgs.append((0x0C, _attr_message(k, *_encode_attr_value(v))))
     root_addr = fb.alloc(_object_header_v1(root_msgs))
 
-    blob = fb.finish(root_addr)
+    # the single SNOD holds every name, so the superblock's group-leaf K
+    # must satisfy nsyms <= 2K or libhdf5 rejects the node
+    blob = fb.finish(root_addr, leaf_k=max(4, (len(names) + 1) // 2))
     if isinstance(path_or_buf, str):
         with open(path_or_buf, "wb") as f:
             f.write(blob)

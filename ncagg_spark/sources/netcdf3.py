@@ -137,6 +137,8 @@ class _Reader:
         if nc_type == NC_CHAR:
             return raw.decode("utf-8", errors="replace")
         arr = np.frombuffer(raw, dtype=dt)
+        if nelems == 0:
+            return []  # zero-length numeric attribute: legal classic
         return arr.tolist() if nelems > 1 else arr[0].item()
 
     def att_list(self, version: int) -> dict:
@@ -252,12 +254,28 @@ def read_netcdf3(source) -> NcFile:
                 stride = per
             else:
                 stride = sum(rv._vsize for rv in rec_vars)
-            out = np.empty((numrecs, n_inner), dtype=dt)
-            for rec in range(numrecs):
-                off = v._begin + rec * stride
-                out[rec] = np.frombuffer(
-                    buf[off : off + per], dtype=dt, count=n_inner
+            # one vectorized gather over the interleaved record stream
+            # (a per-record frombuffer loop is O(numrecs) interpreter
+            # overhead — minutes at 1M records)
+            if numrecs > 0:
+                span = np.frombuffer(
+                    buf,
+                    dtype="u1",
+                    count=(numrecs - 1) * stride + per,
+                    offset=v._begin,
                 )
+                idx = (
+                    np.arange(numrecs, dtype=np.int64)[:, None] * stride
+                    + np.arange(per, dtype=np.int64)[None, :]
+                )
+                out = (
+                    np.ascontiguousarray(span[idx])
+                    .reshape(-1)
+                    .view(dt)
+                    .reshape(numrecs, n_inner)
+                )
+            else:
+                out = np.empty((0, n_inner), dtype=dt)
             arr = out.reshape((numrecs, *inner))
         data[v.name] = arr
     return NcFile(
@@ -514,6 +532,19 @@ def write_netcdf3(
         body.write(_pad4(arrs[n].tobytes()))
     if record:
         recsize = sum(vsizes[n] for n in record)
+        if numrecs_given is None:
+            # unequal record counts would shift every later value in the
+            # interleaved stream — fail loudly instead of corrupting
+            short = {
+                n: arrs[n].shape[0]
+                for n in record
+                if arrs[n].shape[0] != numrecs
+            }
+            if short:
+                raise ValueError(
+                    f"record variables disagree on record count "
+                    f"(expected {numrecs}): {short}"
+                )
         # numrecs override (streamed export): arrays hold fewer records
         # than the header claims — emit only the records actually present
         data_recs = (
