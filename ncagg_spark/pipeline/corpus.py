@@ -58,6 +58,8 @@ def clean_corpus(
     bench_ngram_n: int = 8,
     max_dup_line_frac: float | None = None,
     max_dup_5gram_frac: float | None = None,
+    max_shared_span: int | None = None,
+    span_k: int = 8,
 ) -> DataFrame:
     """Run the full cleaning chain; returns surviving rows of ``docs``
     (original columns plus ``n_members``, the near-dup cluster size each
@@ -100,6 +102,22 @@ def clean_corpus(
         "id_a", "id_b"
     )
     kept = near_dedup(kept, verified, id_col=id_col)
+
+    if max_shared_span is not None:
+        # span-level (substring) gate: document-level dedup keeps docs
+        # that are globally distinct but share a long verbatim passage
+        # (boilerplate, quoted articles); drop the HIGHER id of any pair
+        # sharing a span of >= max_shared_span tokens — same keep-min-id
+        # convention as near_dedup
+        from ncagg_spark.pipeline.spans import duplicate_spans
+
+        long_pairs = duplicate_spans(
+            kept, k=span_k, id_col=id_col, text_col=text_col
+        ).filter(F.col("length") >= F.lit(max_shared_span))
+        drop = long_pairs.select(
+            F.col("id_b").alias(id_col)
+        ).distinct()
+        kept = kept.join(drop, on=id_col, how="left_anti")
 
     if benchmark is not None:
         contaminated = (

@@ -77,3 +77,27 @@ def test_clean_corpus_repetition_gate(spark):
     )
     kept = clean_corpus(docs, max_dup_line_frac=0.3)
     assert [r["doc_id"] for r in kept.collect()] == [1]
+
+
+def test_clean_corpus_span_gate(spark):
+    shared = (
+        "this exact licensing paragraph appears verbatim in both "
+        "documents word for word without any change at all"
+    )
+    distinct = (
+        "harbor engineers completed the quarterly inspection of the "
+        "breakwater foundations and filed separate findings about "
+        "sediment drift patterns near the northern channel markers"
+    )
+    rows = [
+        (1, GOOD + " " + shared),
+        (2, GOOD2 + " " + shared + " plus unique trailing content"),
+        (3, distinct),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # without the gate all three survive (distinct docs overall)
+    assert clean_corpus(docs).count() == 3
+    # with it, the higher id of the span-sharing pair is dropped
+    kept = clean_corpus(docs, max_shared_span=12)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert ids == {1, 3}
