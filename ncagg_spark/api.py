@@ -43,6 +43,9 @@ def aggregate(
     num_files: int | None = None,
     partition_by_date: bool = False,
     columns: list[str] | None = None,
+    inner_hz: float | None = None,
+    inner_size: int | None = None,
+    multidim_element: int = 0,
 ) -> DataFrame:
     """Aggregate granule parquet files into one bounded, regularized,
     time-sorted parquet dataset with reduced global attributes.
@@ -51,6 +54,11 @@ def aggregate(
     (P1: template-minus-variable = drop). Columns the template declares
     but no granule carries come out as nulls (P4) — matching the
     reference's missing-variable fill semantics.
+
+    ``inner_hz`` selects the multidim (2-D index) path: ``config.
+    index_by`` names an array time column, ordering runs on its
+    representative element, and fills carry synthesized inner-cadence
+    arrays (the reference's ``-u udim:ivar:hz:hz``).
 
     Returns the result DataFrame (already written to ``output``).
     """
@@ -64,6 +72,9 @@ def aggregate(
         num_files=num_files,
         partition_by_date=partition_by_date,
         columns=columns,
+        inner_hz=inner_hz,
+        inner_size=inner_size,
+        multidim_element=multidim_element,
     )
 
 
@@ -80,6 +91,9 @@ def aggregate_nc(
     num_files: int | None = None,
     partition_by_date: bool = False,
     columns: list[str] | None = None,
+    inner_hz: float | None = None,
+    inner_size: int | None = None,
+    multidim_element: int = 0,
 ) -> DataFrame:
     """``aggregate`` over native `.nc` granules — the reference's actual
     input format (it opens granules with netCDF4, ncagg/aggrelist.py:
@@ -131,13 +145,26 @@ def aggregate_nc(
         spark, files, decoder=decoder, grain_of=config.index_by,
         record_dim=record_dim, canon_units=canon_units or None,
     )
+    _cf_numeric = ("double", "float", "int", "bigint", "smallint", "tinyint")
     for ix, units in canon_units.items():
-        if (
-            ix in df.columns
-            and df.schema[ix].dataType.typeName() in
-            ("double", "float", "int", "bigint", "smallint", "tinyint")
-        ):
+        if ix not in df.columns:
+            continue
+        dt = df.schema[ix].dataType
+        if dt.typeName() in _cf_numeric:
             df = df.withColumn(ix, cf_to_timestamp(ix, units))
+        elif (
+            dt.typeName() == "array"
+            and dt.elementType.typeName() in _cf_numeric
+        ):
+            # multidim (2-D) CF time: decode every inner element
+            from pyspark.sql import functions as F
+
+            df = df.withColumn(
+                ix,
+                F.transform(
+                    F.col(ix), lambda v: cf_to_timestamp(v, units)
+                ),
+            )
     return _aggregate_df(
         spark,
         df,
@@ -148,6 +175,9 @@ def aggregate_nc(
         num_files=num_files,
         partition_by_date=partition_by_date,
         columns=columns,
+        inner_hz=inner_hz,
+        inner_size=inner_size,
+        multidim_element=multidim_element,
     )
 
 
@@ -162,23 +192,53 @@ def _aggregate_df(
     num_files: int | None = None,
     partition_by_date: bool = False,
     columns: list[str] | None = None,
+    inner_hz: float | None = None,
+    inner_size: int | None = None,
+    multidim_element: int = 0,
 ) -> DataFrame:
     """`aggregate` core over an already-read granule DataFrame (must
     still carry GRANULE_COL) — shared with aggregate_multi's per-grain
-    loop so all grains reuse one source relation."""
+    loop so all grains reuse one source relation.
+
+    ``inner_hz`` enables the MULTIDIM (G8) index path — the reference's
+    ``-u udim:ivar:hz:hz`` form where ``config.index_by`` names a 2-D
+    (array) time variable: ordering/dedup/gap-fill run on the
+    representative element (``<ivar>_rep``, kept in the output) and
+    fill rows get synthesized inner-cadence arrays. ``inner_size``
+    defaults to the widest observed array."""
     # validate BEFORE any projection adds declared-but-absent columns as
     # nulls (P4): a typo'd index_by must raise here, not silently drop
     # every row downstream
     config.validate_columns([c for c in df.columns if c != GRANULE_COL])
+
+    array_index_col = None
+    if inner_hz is not None:
+        from dataclasses import replace as _replace
+
+        from pyspark.sql import functions as F
+
+        from ncagg_spark.operators.multidim import representative_index
+
+        array_index_col = config.index_by
+        rep_col = f"{array_index_col}_rep"
+        df = df.withColumn(
+            rep_col,
+            representative_index(array_index_col, multidim_element),
+        )
+        config = _replace(config, index_by=rep_col)
 
     if columns:
         from pyspark.sql import functions as F
 
         existing = set(df.columns)
         cols = list(columns)
-        for needed in (config.index_by, *config.copy_from_alt.get(
-            config.index_by, []
-        )):
+        needed_cols = [
+            config.index_by,
+            *config.copy_from_alt.get(config.index_by, []),
+        ]
+        if array_index_col is not None:
+            needed_cols.append(array_index_col)
+        for needed in needed_cols:
             if needed not in cols and needed in existing:
                 cols.insert(0, needed)
         df = df.select(
@@ -216,7 +276,29 @@ def _aggregate_df(
             },
         )
 
-    out = regularize(spark, df.drop(GRANULE_COL), config, anchor=anchor)
+    if inner_hz is not None:
+        from pyspark.sql import functions as F
+
+        from ncagg_spark.operators.multidim import regularize_multidim
+
+        if inner_size is None:
+            inner_size = int(
+                df.select(
+                    F.max(F.size(array_index_col)).alias("w")
+                ).first()["w"]
+            )
+        out = regularize_multidim(
+            spark,
+            df.drop(GRANULE_COL),
+            config,
+            array_index_col=array_index_col,
+            inner_size=inner_size,
+            inner_hz=inner_hz,
+            element=multidim_element,
+            anchor=anchor,
+        )
+    else:
+        out = regularize(spark, df.drop(GRANULE_COL), config, anchor=anchor)
     write_aggregate(
         out,
         output,

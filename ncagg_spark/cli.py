@@ -92,6 +92,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-i", "--index", help="index (event-time) column")
     p.add_argument("-z", "--cadence-hz", type=float, help="expected cadence (Hz)")
     p.add_argument(
+        "--inner-hz", type=float, default=None,
+        help="multidim index: -i names a 2-D (array) time variable; "
+        "this is the inner-dimension cadence (the reference's "
+        "-u udim:ivar:hz:hz second cadence). Ordering runs on the "
+        "representative element; fills get synthesized arrays",
+    )
+    p.add_argument(
+        "--inner-size", type=int, default=None,
+        help="multidim index: inner array width (default: widest "
+        "observed)",
+    )
+    p.add_argument(
         "-u", "--grain", action="append", metavar="INDEX[:HZ]",
         help="aggregate along this grain (repeatable; the reference's "
         "-u udim:ivar[:hz]). With N grains, one run writes "
@@ -265,6 +277,10 @@ def main(argv: list[str] | None = None) -> int:
     parquet_dst = (
         args.dst.rsplit(".", 1)[0] + "_parquet" if nc_dst else args.dst
     )
+    if args.inner_hz is not None:
+        extra_kwargs["inner_hz"] = args.inner_hz
+        if args.inner_size is not None:
+            extra_kwargs["inner_size"] = args.inner_size
     out = agg_fn(
         spark,
         src,
@@ -285,10 +301,17 @@ def main(argv: list[str] | None = None) -> int:
             write_nc_aggregate_streamed,
         )
 
+        # multidim runs order by the representative scalar, not the
+        # array index column itself
+        export_ix = (
+            f"{cfg.index_by}_rep"
+            if args.inner_hz is not None
+            else cfg.index_by
+        )
         if fmt == "classic":
             # bounded-memory path: same bytes, driver holds one block
             write_nc_aggregate_streamed(
-                out, args.dst, index_col=cfg.index_by
+                out, args.dst, index_col=export_ix
             )
         else:
             rec_chunk = None
@@ -297,7 +320,7 @@ def main(argv: list[str] | None = None) -> int:
             write_nc_aggregate(
                 out,
                 args.dst,
-                index_col=cfg.index_by,
+                index_col=export_ix,
                 fmt=fmt,
                 record_chunksize=rec_chunk,
                 compression=args.complevel,

@@ -1,0 +1,161 @@
+"""Multidim (2-D index) aggregation through the PUBLIC api/CLI — the
+reference's ``-u udim:ivar:hz:hz`` form (MAG OB_time etc.), previously
+reachable only via the operator. Covers parquet granules (api.aggregate
++ CLI --inner-hz) and native .nc granules with 2-D CF time
+(api.aggregate_nc array decode).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ncagg_spark.api import aggregate, aggregate_nc
+from ncagg_spark.cli import main as cli_main
+from ncagg_spark.config import AggregationConfig
+
+T0_US = 1_704_153_600_000_000
+INNER = 4
+INNER_HZ = 8.0  # inner step 125 ms
+WINDOW_S = 20
+
+
+def _cfg():
+    return AggregationConfig(
+        index_by="ob_time",
+        cadence_hz=1.0,
+        min_bound=T0_US / 1e6,
+        max_bound=(T0_US + WINDOW_S * 1_000_000) / 1e6,
+    )
+
+
+def _write_granules(spark, d, seconds):
+    """One granule per contiguous run; ob_time = INNER samples from the
+    whole second at INNER_HZ."""
+    for gi, secs in enumerate(seconds):
+        rows = [(T0_US + s * 1_000_000, float(s)) for s in secs]
+        df = spark.createDataFrame(rows, "us long, value double").select(
+            F.expr(
+                f"transform(sequence(0, {INNER - 1}), "
+                f"j -> timestamp_micros(us + j * {int(1e6 / INNER_HZ)}))"
+            ).alias("ob_time"),
+            "value",
+        )
+        df.coalesce(1).write.parquet(str(d / f"g{gi}.parquet"))
+
+
+def _check_output(out):
+    rows = sorted(out.collect(), key=lambda r: r["ob_time_rep"])
+    assert len(rows) == WINDOW_S  # one row per 1 Hz slot
+    for i, r in enumerate(rows):
+        rep = r["ob_time_rep"]
+        assert int(rep.timestamp() * 1e6) - T0_US == i * 1_000_000
+        arr = r["ob_time"]
+        assert len(arr) == INNER
+        # inner cadence holds on BOTH real and fill rows
+        for j, t in enumerate(arr):
+            assert int(t.timestamp() * 1e6) == int(
+                rep.timestamp() * 1e6
+            ) + j * int(1e6 / INNER_HZ)
+    fills = [r for r in rows if r["is_fill"]]
+    assert len(fills) == WINDOW_S - 12  # 12 real seconds below
+    return rows
+
+
+@pytest.fixture()
+def granule_dir(spark, tmp_path):
+    d = tmp_path / "gr"
+    d.mkdir()
+    _write_granules(
+        spark, d, [range(0, 5), range(7, 12), [15, 18]]
+    )
+    return d
+
+
+def test_aggregate_multidim_api(spark, granule_dir, tmp_path):
+    out = aggregate(
+        spark,
+        str(granule_dir / "g*.parquet"),
+        str(tmp_path / "out"),
+        _cfg(),
+        inner_hz=INNER_HZ,
+    )
+    rows = _check_output(out)
+    # real rows keep their ORIGINAL arrays (same construction here)
+    real = [r for r in rows if not r["is_fill"]]
+    assert {r["value"] for r in real} == {
+        float(s) for s in [*range(0, 5), *range(7, 12), 15, 18]
+    }
+
+
+def test_aggregate_multidim_infers_inner_size(spark, granule_dir, tmp_path):
+    out = aggregate(
+        spark,
+        str(granule_dir / "g*.parquet"),
+        str(tmp_path / "out2"),
+        _cfg(),
+        inner_hz=INNER_HZ,
+        inner_size=None,  # inferred = widest observed = INNER
+    )
+    assert all(len(r["ob_time"]) == INNER for r in out.collect())
+
+
+def test_cli_inner_hz(spark, granule_dir, tmp_path, capsys):
+    rc = cli_main(
+        [
+            str(tmp_path / "cliout"),
+            str(granule_dir / "g*.parquet"),
+            "-i", "ob_time",
+            "-z", "1.0",
+            "-b", "2024010200:2024010200",
+            "--inner-hz", str(INNER_HZ),
+        ]
+    )
+    assert rc == 0
+    got = spark.read.parquet(str(tmp_path / "cliout"))
+    assert "ob_time_rep" in got.columns
+    assert got.filter(F.size("ob_time") == INNER).count() == got.count()
+
+
+def test_aggregate_nc_multidim_cf_decode(spark, tmp_path):
+    """Native .nc granules with a 2-D CF-double time variable: the array
+    decode path + multidim pipeline end-to-end."""
+    from ncagg_spark.sources.netcdf3 import write_netcdf3
+
+    d = tmp_path / "nc"
+    d.mkdir()
+    units = "seconds since 2024-01-02 00:00:00"
+    for gi, secs in enumerate([range(0, 4), range(6, 9)]):
+        n = len(secs)
+        ob = np.array(
+            [
+                [s + j / INNER_HZ for j in range(INNER)]
+                for s in secs
+            ]
+        )
+        write_netcdf3(
+            str(d / f"g{gi}.nc"),
+            dims=[("report", 0), ("samples", INNER)],
+            variables={
+                "ob_time": (["report", "samples"], ob),
+                "value": (["report"], np.array([float(s) for s in secs])),
+            },
+            var_attributes={"ob_time": {"units": units}},
+        )
+    out = aggregate_nc(
+        spark,
+        [str(d / "g0.nc"), str(d / "g1.nc")],
+        str(tmp_path / "ncout"),
+        _cfg(),
+        inner_hz=INNER_HZ,
+    )
+    rows = sorted(out.collect(), key=lambda r: r["ob_time_rep"])
+    assert len(rows) == WINDOW_S
+    real = [r for r in rows if not r["is_fill"]]
+    assert len(real) == 7
+    # decoded inner elements hit the exact microsecond grid
+    r0 = real[0]
+    assert [int(t.timestamp() * 1e6) - T0_US for t in r0["ob_time"]] == [
+        j * int(1e6 / INNER_HZ) for j in range(INNER)
+    ]
