@@ -101,15 +101,18 @@ def _work_dir(prefix: str, sf_dir: str) -> str:
 
     mkdtemp here would leak a fresh tree of granules/checkpoints into
     /tmp on EVERY gate run; a deterministic name bounds the footprint to
-    one tree per (query, sf) and the wipe gives streaming a fresh
-    checkpoint each run."""
+    one tree per (query, sf, process) and the wipe gives streaming a
+    fresh checkpoint each run. The PID component keeps concurrent driver
+    processes from wiping each other's in-flight granules."""
     import hashlib
     import os
     import shutil
     import tempfile
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    d = os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}")
+    d = os.path.join(
+        tempfile.gettempdir(), f"{prefix}_{tag}_{os.getpid()}"
+    )
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d, exist_ok=True)
     return d

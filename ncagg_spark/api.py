@@ -218,14 +218,29 @@ def _aggregate_df(
         from pyspark.sql import functions as F
 
         from ncagg_spark.operators.multidim import representative_index
+        from ncagg_spark.operators.projection import coalesce_alternates
 
         array_index_col = config.index_by
+        # the index's alternates must coalesce BEFORE the representative
+        # is extracted — otherwise granules carrying the index under an
+        # alternate name would yield rep=null and be silently dropped
+        arr_alts = config.copy_from_alt.get(array_index_col, [])
+        if arr_alts:
+            df = coalesce_alternates(df, {array_index_col: arr_alts})
         rep_col = f"{array_index_col}_rep"
         df = df.withColumn(
             rep_col,
             representative_index(array_index_col, multidim_element),
         )
-        config = _replace(config, index_by=rep_col)
+        config = _replace(
+            config,
+            index_by=rep_col,
+            copy_from_alt={
+                k: v
+                for k, v in config.copy_from_alt.items()
+                if k != array_index_col
+            },
+        )
 
     if columns:
         from pyspark.sql import functions as F
@@ -282,11 +297,16 @@ def _aggregate_df(
         from ncagg_spark.operators.multidim import regularize_multidim
 
         if inner_size is None:
-            inner_size = int(
-                df.select(
-                    F.max(F.size(array_index_col)).alias("w")
-                ).first()["w"]
-            )
+            widest = df.select(
+                F.max(F.size(array_index_col)).alias("w")
+            ).first()["w"]
+            if widest is None or widest <= 0:
+                raise ValueError(
+                    f"cannot infer inner_size for {array_index_col!r}: "
+                    "no non-empty index arrays in the input — pass "
+                    "inner_size explicitly"
+                )
+            inner_size = int(widest)
         out = regularize_multidim(
             spark,
             df.drop(GRANULE_COL),

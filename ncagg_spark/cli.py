@@ -201,6 +201,13 @@ def main(argv: list[str] | None = None) -> int:
             file=sys.stderr,
         )
         return 2
+    if args.grain and (args.inner_hz is not None or args.inner_size):
+        print(
+            "error: --inner-hz/--inner-size apply to the single-grain "
+            "path (-i); the multi-grain -u path is scalar-index only",
+            file=sys.stderr,
+        )
+        return 2
 
     if args.grain:
         import os

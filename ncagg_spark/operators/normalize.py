@@ -62,7 +62,11 @@ def drop_invalid_index(
     elif isinstance(
         dtype, (T.TimestampType, T.TimestampNTZType)
     ):
-        cond = cond & (c.cast("double") > F.lit(min_valid_epoch))
+        # NTZ cannot cast straight to double; via timestamp it is a
+        # no-op for TimestampType and value-exact under the UTC session
+        cond = cond & (
+            c.cast("timestamp").cast("double") > F.lit(min_valid_epoch)
+        )
     elif isinstance(
         dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
     ):

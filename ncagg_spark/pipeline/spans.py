@@ -63,15 +63,28 @@ def duplicate_span_pairs(
     squared, mirroring the LSH bucket guard.
     """
     occ = span_hashes(docs, k=k, id_col=id_col, text_col=text_col)
-    w = Window.partitionBy("h").orderBy("id", "pos")
+    # SALTED truncation, same scheme as minhash_lsh_candidates: rank
+    # within (h, salt) and truncate at cap+1 per salt — an unsalted
+    # window over h would make a corpus-wide boilerplate hash one
+    # unsplittable task. Pigeonhole keeps drop semantics exact: total
+    # count > cap  <=>  surviving count > cap (either some salt group
+    # truncated at cap+1, or none did and surviving == total), so the
+    # n_occ filter on the bounded remnant keeps exactly the hashes a
+    # full count would keep, untruncated.
+    n_salts = 16
+    salt = F.pmod(F.xxhash64("id", "pos"), F.lit(n_salts))
+    ws = Window.partitionBy("h", "__salt").orderBy("id", "pos")
+    ranked = (
+        occ.withColumn("__salt", salt)
+        .withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= max_occurrences_per_hash + 1)
+    )
     capped = (
-        occ.withColumn("rn", F.row_number().over(w))
-        .withColumn("n_occ", F.count(F.lit(1)).over(Window.partitionBy("h")))
-        .filter(
-            (F.col("n_occ") <= max_occurrences_per_hash)
-            & (F.col("rn") <= max_occurrences_per_hash)
+        ranked.withColumn(
+            "n_occ", F.count(F.lit(1)).over(Window.partitionBy("h"))
         )
-        .drop("rn", "n_occ")
+        .filter(F.col("n_occ") <= max_occurrences_per_hash)
+        .drop("rn", "n_occ", "__salt")
     )
     a = capped.select(
         F.col("h"), F.col("id").alias("id_a"), F.col("pos").alias("pos_a")
@@ -146,13 +159,14 @@ def sql_duplicate_spans(k: int, max_occurrences_per_hash: int = 64) -> str:
         ),
         occ AS (SELECT id, pos, {h} AS h FROM g),
         capped AS (
-            SELECT * FROM (
+            -- same keep set as the salted Spark guard: a hash survives
+            -- iff its TOTAL occurrence count is within the cap, and
+            -- surviving hashes keep every occurrence
+            SELECT id, pos, h FROM (
                 SELECT id, pos, h,
-                       row_number() OVER (PARTITION BY h ORDER BY id, pos) AS rn,
                        count(*) OVER (PARTITION BY h) AS n_occ
                 FROM occ
             ) WHERE n_occ <= {max_occurrences_per_hash}
-              AND rn <= {max_occurrences_per_hash}
         ),
         pairs AS (
             SELECT DISTINCT a.id AS id_a, b.id AS id_b,

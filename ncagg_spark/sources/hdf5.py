@@ -857,6 +857,7 @@ class Hdf5File:
         if (
             dtype is None
             or dtype.np_dtype is None
+            or dtype.np_dtype.subdtype is not None  # array datatype
             or dtype.cls == 9
         ):
             return None

@@ -508,10 +508,13 @@ def write_hdf5(
             a = np.asarray(arr)
             chunk = chunksizes.get(dname)
             if chunk is None and unlimited:
-                first = record_chunksize or min(max(size, 1), 4096)
-                chunk = _cap_chunk(
-                    (max(first, 1),) + a.shape[1:], a.dtype.itemsize
-                )
+                if record_chunksize:
+                    chunk = (max(record_chunksize, 1),) + a.shape[1:]
+                else:
+                    chunk = _cap_chunk(
+                        (min(max(size, 1), 4096),) + a.shape[1:],
+                        a.dtype.itemsize,
+                    )
             if chunk is None and compression is not None and a.size:
                 # fixed coordinate vars compress too (template
                 # chunksizes/zlib apply to every variable)
@@ -580,10 +583,15 @@ def write_hdf5(
         maxshape = ((UNDEF,) + shape[1:]) if unlimited else None
         chunk = chunksizes.get(name)
         if chunk is None and shape and (unlimited or compression is not None):
-            first = min(max(shape[0], 1), 4096)
             if unlimited and record_chunksize:
-                first = max(record_chunksize, 1)
-            chunk = _cap_chunk((first,) + shape[1:], a.dtype.itemsize)
+                # explicit -c record chunking is honored uncapped like
+                # chunksizes= (the 4 GiB guard still validates at write)
+                chunk = (max(record_chunksize, 1),) + shape[1:]
+            else:
+                first = min(max(shape[0], 1), 4096)
+                chunk = _cap_chunk(
+                    (first,) + shape[1:], a.dtype.itemsize
+                )
         if not shape:
             # HDF5 requires chunked datasets to have rank >= 1: scalar
             # variables always store contiguous (uncompressed)

@@ -391,22 +391,35 @@ def _cf_encode_timestamps(
     from ncagg_spark.functions.time import _parse_units, epoch_us
 
     var_attributes = dict(var_attributes)
+    scale, epoch = _parse_units(cf_units)
+    epoch_us_off = int(round(epoch.timestamp() * 1_000_000))
+
+    def enc(c):
+        return (epoch_us(c) - F.lit(epoch_us_off)) / F.lit(scale * 1e6)
+
     out_cols = []
     for f in df.schema.fields:
-        if isinstance(f.dataType, T.TimestampType):
-            scale, epoch = _parse_units(cf_units)
-            epoch_us_off = int(round(epoch.timestamp() * 1_000_000))
+        ts_like = isinstance(
+            f.dataType, (T.TimestampType, T.TimestampNTZType)
+        )
+        arr_ts = isinstance(f.dataType, T.ArrayType) and isinstance(
+            f.dataType.elementType,
+            (T.TimestampType, T.TimestampNTZType),
+        )
+        if ts_like:
+            out_cols.append(enc(F.col(f.name)).alias(f.name))
+        elif arr_ts:
+            # 2-D (multidim) time: encode every inner element — the nc
+            # writers take float matrices, not timestamp arrays
             out_cols.append(
-                (
-                    (epoch_us(f.name) - F.lit(epoch_us_off))
-                    / F.lit(scale * 1e6)
-                ).alias(f.name)
+                F.transform(F.col(f.name), enc).alias(f.name)
             )
-            va = dict(var_attributes.get(f.name, {}))
-            va.setdefault("units", cf_units)
-            var_attributes[f.name] = va
         else:
             out_cols.append(F.col(f.name))
+            continue
+        va = dict(var_attributes.get(f.name, {}))
+        va.setdefault("units", cf_units)
+        var_attributes[f.name] = va
     return df.select(*out_cols), var_attributes
 
 
@@ -793,15 +806,26 @@ def write_nc_granules(
     epoch_off_us = int(round(epoch.timestamp() * 1_000_000))
 
     work = df
-    ts_cols = [
-        f.name
-        for f in df.schema.fields
-        if isinstance(f.dataType, T.TimestampType)
-    ]
-    for c in ts_cols:
-        work = work.withColumn(
-            c, (epoch_us(c) - F.lit(epoch_off_us)) / F.lit(scale * 1e6)
-        )
+    for f in df.schema.fields:
+        c = f.name
+        if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
+            work = work.withColumn(
+                c,
+                (epoch_us(c) - F.lit(epoch_off_us)) / F.lit(scale * 1e6),
+            )
+        elif isinstance(f.dataType, T.ArrayType) and isinstance(
+            f.dataType.elementType, (T.TimestampType, T.TimestampNTZType)
+        ):
+            work = work.withColumn(
+                c,
+                F.transform(
+                    F.col(c),
+                    lambda v: (epoch_us(v) - F.lit(epoch_off_us))
+                    / F.lit(scale * 1e6),
+                ),
+            )
+        else:
+            continue
         va = dict(var_attributes.get(c, {}))
         va.setdefault("units", cf_units)
         var_attributes[c] = va

@@ -254,9 +254,11 @@ def read_netcdf3(source) -> NcFile:
                 stride = per
             else:
                 stride = sum(rv._vsize for rv in rec_vars)
-            # one vectorized gather over the interleaved record stream
+            # one vectorized read over the interleaved record stream
             # (a per-record frombuffer loop is O(numrecs) interpreter
-            # overhead — minutes at 1M records)
+            # overhead — minutes at 1M records). Contiguous when stride
+            # == per (single record var); otherwise a zero-copy strided
+            # view + ONE data-sized copy — no index matrix, no 8x blow-up
             if numrecs > 0:
                 span = np.frombuffer(
                     buf,
@@ -264,13 +266,14 @@ def read_netcdf3(source) -> NcFile:
                     count=(numrecs - 1) * stride + per,
                     offset=v._begin,
                 )
-                idx = (
-                    np.arange(numrecs, dtype=np.int64)[:, None] * stride
-                    + np.arange(per, dtype=np.int64)[None, :]
-                )
+                if stride == per:
+                    raw = span
+                else:
+                    raw = np.lib.stride_tricks.as_strided(
+                        span, shape=(numrecs, per), strides=(stride, 1)
+                    ).reshape(-1)  # forces the copy into contiguity
                 out = (
-                    np.ascontiguousarray(span[idx])
-                    .reshape(-1)
+                    np.ascontiguousarray(raw)
                     .view(dt)
                     .reshape(numrecs, n_inner)
                 )

@@ -159,3 +159,79 @@ def test_aggregate_nc_multidim_cf_decode(spark, tmp_path):
     assert [int(t.timestamp() * 1e6) - T0_US for t in r0["ob_time"]] == [
         j * int(1e6 / INNER_HZ) for j in range(INNER)
     ]
+
+
+def test_multidim_index_from_alternate_name(spark, tmp_path):
+    """Granules carrying the 2-D index under an alternate name must
+    coalesce BEFORE the representative is extracted."""
+    d = tmp_path / "alt"
+    d.mkdir()
+    rows = [(T0_US + s * 1_000_000, float(s)) for s in range(3)]
+    spark.createDataFrame(rows, "us long, value double").select(
+        F.expr(
+            f"transform(sequence(0, {INNER - 1}), "
+            f"j -> timestamp_micros(us + j * {int(1e6 / INNER_HZ)}))"
+        ).alias("ob_time_v1"),  # ONLY the alternate name exists
+        "value",
+    ).coalesce(1).write.parquet(str(d / "g0.parquet"))
+    cfg = _cfg()
+    cfg.copy_from_alt = {"ob_time": ["ob_time_v1"]}
+    out = aggregate(
+        spark,
+        str(d / "g0.parquet"),
+        str(tmp_path / "altout"),
+        cfg,
+        inner_hz=INNER_HZ,
+    )
+    real = out.filter(~F.col("is_fill")).collect()
+    assert len(real) == 3  # previously: rep=null -> all rows dropped
+
+
+def test_multidim_nc_export_roundtrip(spark, granule_dir, tmp_path):
+    """array<timestamp> index columns CF-encode to (record, inner)
+    float matrices in the .nc export instead of crashing."""
+    from ncagg_spark.sources.netcdf3 import read_netcdf3
+    from ncagg_spark.sources.nc_granules import write_nc_aggregate
+
+    out = aggregate(
+        spark,
+        str(granule_dir / "g*.parquet"),
+        str(tmp_path / "mdout"),
+        _cfg(),
+        inner_hz=INNER_HZ,
+    )
+    path = str(tmp_path / "md.nc")
+    write_nc_aggregate(out, path, index_col="ob_time_rep")
+    nc = read_netcdf3(open(path, "rb").read())
+    mat = nc.data["ob_time"]
+    assert mat.shape == (WINDOW_S, INNER)
+    # CF seconds since epoch; inner cadence preserved in the encoding
+    assert mat[0][1] - mat[0][0] == pytest.approx(1.0 / INNER_HZ)
+    assert nc.variables["ob_time"].attributes["units"].startswith(
+        "seconds since"
+    )
+
+
+def test_cli_inner_hz_rejected_with_multigrain(tmp_path, capsys):
+    rc = cli_main(
+        [str(tmp_path / "o"), "x.parquet", "-u", "ts:1",
+         "--inner-hz", "10"]
+    )
+    assert rc == 2
+    assert "single-grain" in capsys.readouterr().err
+
+
+def test_empty_input_inner_size_inference_raises(spark, tmp_path):
+    d = tmp_path / "empty"
+    d.mkdir()
+    spark.createDataFrame(
+        [], "ob_time array<timestamp>, value double"
+    ).write.parquet(str(d / "g0.parquet"))
+    with pytest.raises(ValueError, match="inner_size"):
+        aggregate(
+            spark,
+            str(d / "g0.parquet"),
+            str(tmp_path / "eout"),
+            _cfg(),
+            inner_hz=INNER_HZ,
+        )

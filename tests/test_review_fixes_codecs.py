@@ -188,3 +188,32 @@ def test_netcdf3_vectorized_record_read_matches():
     nc = read_netcdf3(blob)
     np.testing.assert_array_equal(nc.data["a"], a)
     np.testing.assert_array_equal(nc.data["b"], b)
+
+
+def test_record_chunksize_honored_uncapped():
+    # explicit -c chunking must not be silently shrunk by the 16 MiB
+    # default cap (the reference honors -c exactly)
+    blob = write_hdf5(
+        None,
+        dims=[("time", 0), ("w", 1 << 16)],
+        variables={
+            "time": (["time"], np.arange(8, dtype="float64")),
+            "v": (["time", "w"], np.zeros((8, 1 << 16), dtype="float64")),
+        },
+        record_chunksize=64,  # 64 * 65536 * 8 = 32 MiB > the 16 MiB cap
+    )
+    h5 = read_hdf5(blob)
+    assert h5.datasets["v"].layout["chunk"] == (64, 1 << 16)
+
+
+def test_decode_fill_array_datatype_returns_none():
+    f = Hdf5File.__new__(Hdf5File)
+    base = f._parse_datatype(_dt_i32_msg())
+    from ncagg_spark.sources.hdf5 import Datatype
+
+    arr_dt = Datatype(
+        cls=10, size=12, np_dtype=np.dtype(("<i4", (3,)))
+    )
+    msg = struct.pack("<BB", 3, 0x20) + struct.pack("<I", 12) + b"\x00" * 12
+    assert f._decode_fill(("new", msg), arr_dt) is None
+    assert f._decode_fill(("new", msg), base) is not None

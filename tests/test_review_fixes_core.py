@@ -193,3 +193,15 @@ def test_regularize_multidim_requires_cadence(spark):
             spark, df, cfg, array_index_col="arr",
             inner_size=2, inner_hz=2.0,
         )
+
+
+def test_drop_invalid_index_raw_ntz(spark):
+    """A TIMESTAMP_NTZ index column the loader never touched must
+    filter, not throw (NTZ cannot cast straight to double)."""
+    df = spark.createDataFrame(
+        [(0,), (T0_US,)], "us long"
+    ).select(
+        F.timestamp_micros("us").cast("timestamp_ntz").alias("ts")
+    )
+    got = drop_invalid_index(df, "ts").collect()
+    assert len(got) == 1
