@@ -315,23 +315,20 @@ def main(argv: list[str] | None = None) -> int:
             if args.inner_hz is not None
             else cfg.index_by
         )
-        if fmt == "classic":
-            # bounded-memory path: same bytes, driver holds one block
-            write_nc_aggregate_streamed(
-                out, args.dst, index_col=export_ix
-            )
-        else:
-            rec_chunk = None
-            if args.chunksize:
-                rec_chunk = int(args.chunksize.rsplit(":", 1)[-1])
-            write_nc_aggregate(
-                out,
-                args.dst,
-                index_col=export_ix,
-                fmt=fmt,
-                record_chunksize=rec_chunk,
-                compression=args.complevel,
-            )
+        # bounded-memory streamed export for BOTH formats: classic is
+        # byte-identical to the in-memory path, netCDF-4 value-equal
+        # (chunks land first, metadata after — invisible to readers)
+        rec_chunk = None
+        if args.chunksize:
+            rec_chunk = int(args.chunksize.rsplit(":", 1)[-1])
+        write_nc_aggregate_streamed(
+            out,
+            args.dst,
+            index_col=export_ix,
+            fmt=fmt,
+            record_chunksize=rec_chunk,
+            compression=args.complevel,
+        )
     n = spark.read.parquet(parquet_dst).count()
     print(f"wrote {n} records to {args.dst}", file=sys.stderr)
     return 0

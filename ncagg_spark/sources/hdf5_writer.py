@@ -206,6 +206,30 @@ def _object_header_v1(messages: list[tuple[int, bytes]]) -> bytes:
     )
 
 
+class ChunkedData:
+    """A variable whose chunk data was ALREADY written into the builder
+    (the streamed export path): write_hdf5 builds only the metadata
+    (B-tree, headers) around the recorded (offsets, addr, size) entries.
+    """
+
+    def __init__(
+        self,
+        shape: tuple[int, ...],
+        dtype,
+        chunk: tuple[int, ...],
+        entries: list[tuple[tuple[int, ...], int, int]],
+        filters: list[tuple[int, bytes]],
+    ):
+        self.shape = tuple(shape)
+        self.dtype = np.dtype(dtype)
+        self.chunk = tuple(chunk)
+        self.entries = sorted(entries)
+        self.filters = filters
+        self.size = 1
+        for s in self.shape:
+            self.size *= s
+
+
 class _FileBuilder:
     def __init__(self):
         self.out = bytearray(b"\x00" * 96)  # superblock v0 reserved
@@ -218,28 +242,61 @@ class _FileBuilder:
         return addr
 
     def finish(self, root_header_addr: int, *, leaf_k: int = 4) -> bytes:
-        eof = len(self.out)
-        sb = struct.pack(
-            "<8sBBBBBBBxHHI",
-            b"\x89HDF\r\n\x1a\n",
-            0,  # superblock v0
-            0,  # free space v0
-            0,  # root group symbol table v0
-            0,  # reserved
-            0,  # shared header v0
-            8,  # offset size
-            8,  # length size
-            leaf_k,  # group leaf node K (2K symbols max per SNOD)
-            16,  # group internal node K
-            0,  # file consistency flags
-        )
-        sb += struct.pack("<QQQQ", 0, UNDEF, eof, UNDEF)
-        # root group symbol table entry: link name offset, header addr,
-        # cache type 0
-        sb += struct.pack("<QQI4x16x", 0, root_header_addr, 0)
-        assert len(sb) <= 96
+        sb = _superblock(len(self.out), root_header_addr, leaf_k)
         self.out[: len(sb)] = sb
         return bytes(self.out)
+
+
+def _superblock(eof: int, root_header_addr: int, leaf_k: int) -> bytes:
+    sb = struct.pack(
+        "<8sBBBBBBBxHHI",
+        b"\x89HDF\r\n\x1a\n",
+        0,  # superblock v0
+        0,  # free space v0
+        0,  # root group symbol table v0
+        0,  # reserved
+        0,  # shared header v0
+        8,  # offset size
+        8,  # length size
+        leaf_k,  # group leaf node K (2K symbols max per SNOD)
+        16,  # group internal node K
+        0,  # file consistency flags
+    )
+    sb += struct.pack("<QQQQ", 0, UNDEF, eof, UNDEF)
+    # root group symbol table entry: link name offset, header addr,
+    # cache type 0
+    sb += struct.pack("<QQI4x16x", 0, root_header_addr, 0)
+    assert len(sb) <= 96
+    return sb
+
+
+class _FileBuilderDisk:
+    """File-backed builder for the STREAMED export: chunk payloads
+    append straight to disk (driver memory = one payload), metadata
+    appends after them, and finish() patches the reserved superblock.
+    Same alloc/finish contract as _FileBuilder."""
+
+    def __init__(self, f):
+        self.f = f
+        self.f.write(b"\x00" * 96)
+        self.pos = 96
+
+    def alloc(self, data: bytes, align: int = 8) -> int:
+        pad = (align - self.pos % align) % align
+        if pad:
+            self.f.write(b"\x00" * pad)
+            self.pos += pad
+        addr = self.pos
+        self.f.write(data)
+        self.pos += len(data)
+        return addr
+
+    def finish(self, root_header_addr: int, *, leaf_k: int = 4) -> None:
+        sb = _superblock(self.pos, root_header_addr, leaf_k)
+        self.f.flush()
+        self.f.seek(0)
+        self.f.write(sb)
+        self.f.flush()
 
 
 def _write_chunked(
@@ -258,23 +315,11 @@ def _write_chunked(
     default indexed-storage K stays honored at any chunk count.
     """
     esz = arr.dtype.itemsize
-    chunk_bytes = esz
-    for c in chunk:
-        chunk_bytes *= c
-    if chunk_bytes >= 1 << 32:
-        raise ValueError(
-            f"chunk shape {chunk} = {chunk_bytes} bytes exceeds the "
-            "4 GiB HDF5 chunk limit (the B-tree key size field is 4 "
-            "bytes) — specify a smaller chunksize"
-        )
-    filters: list[tuple[int, bytes]] = []
-    if compression is not None:
-        if shuffle:
-            filters.append((2, struct.pack("<I", esz)))
-        filters.append((1, struct.pack("<I", int(compression))))
-    if fletcher32:
-        # last in the pipeline: checksums the stored (post-filter) bytes
-        filters.append((3, b""))
+    filters = _chunk_filters(
+        esz, compression=compression, shuffle=shuffle,
+        fletcher32=fletcher32,
+    )
+    _validate_chunk_bytes(chunk, esz)
 
     grids = [range(0, max(s, 1), c) for s, c in zip(arr.shape, chunk)]
     entries = []  # (offsets, addr, stored_size)
@@ -286,18 +331,12 @@ def _write_chunked(
         )
         block = np.zeros(chunk, dtype=arr.dtype)
         block[tuple(slice(0, s.stop - s.start) for s in sl)] = arr[sl]
-        raw = block.astype(arr.dtype.newbyteorder("<")).tobytes()
-        if compression is not None:
-            if shuffle:
-                raw = (
-                    np.frombuffer(raw, dtype="u1")
-                    .reshape(len(raw) // esz, esz)
-                    .T.reshape(-1)
-                    .tobytes()
-                )
-            raw = zlib.compress(raw, int(compression))
-        if fletcher32:
-            raw += struct.pack("<I", _fletcher32(raw))
+        raw = _encode_chunk_bytes(
+            block.astype(arr.dtype.newbyteorder("<")).tobytes(),
+            esz,
+            compression=compression, shuffle=shuffle,
+            fletcher32=fletcher32,
+        )
         addr = fb.alloc(raw)
         entries.append((offs, addr, len(raw)))
 
@@ -309,6 +348,73 @@ def _write_chunked(
             _grid_walk(dim + 1, prefix + (o,))
 
     _grid_walk(0, ())
+    root = _build_chunk_btree(fb, entries, arr.shape, chunk)
+    return root, filters
+
+
+def _chunk_filters(
+    esz: int,
+    *,
+    compression: int | None,
+    shuffle: bool,
+    fletcher32: bool,
+) -> list[tuple[int, bytes]]:
+    filters: list[tuple[int, bytes]] = []
+    if compression is not None:
+        if shuffle:
+            filters.append((2, struct.pack("<I", esz)))
+        filters.append((1, struct.pack("<I", int(compression))))
+    if fletcher32:
+        # last in the pipeline: checksums the stored (post-filter) bytes
+        filters.append((3, b""))
+    return filters
+
+
+def _validate_chunk_bytes(chunk: tuple[int, ...], esz: int) -> None:
+    chunk_bytes = esz
+    for c in chunk:
+        chunk_bytes *= c
+    if chunk_bytes >= 1 << 32:
+        raise ValueError(
+            f"chunk shape {chunk} = {chunk_bytes} bytes exceeds the "
+            "4 GiB HDF5 chunk limit (the B-tree key size field is 4 "
+            "bytes) — specify a smaller chunksize"
+        )
+
+
+def _encode_chunk_bytes(
+    raw: bytes,
+    esz: int,
+    *,
+    compression: int | None,
+    shuffle: bool,
+    fletcher32: bool,
+) -> bytes:
+    """Apply the write-side filter pipeline to one chunk's raw bytes."""
+    if compression is not None:
+        if shuffle:
+            raw = (
+                np.frombuffer(raw, dtype="u1")
+                .reshape(len(raw) // esz, esz)
+                .T.reshape(-1)
+                .tobytes()
+            )
+        raw = zlib.compress(raw, int(compression))
+    if fletcher32:
+        raw += struct.pack("<I", _fletcher32(raw))
+    return raw
+
+
+def _build_chunk_btree(
+    fb,
+    entries: list[tuple[tuple[int, ...], int, int]],
+    shape: tuple[int, ...],
+    chunk: tuple[int, ...],
+) -> int:
+    """v1 type-1 chunk B-tree over already-written chunks.
+
+    ``entries``: (chunk_offsets, addr, stored_size), MUST be sorted by
+    offsets. Splits into levels of <=64 entries (honors K=32)."""
 
     def _key(offs: tuple[int, ...], size: int, mask: int = 0) -> bytes:
         return struct.pack("<II", size, mask) + b"".join(
@@ -317,7 +423,7 @@ def _write_chunked(
 
     # past-the-end key: first chunk offset beyond the data in every dim
     end_offs = tuple(
-        ((s + c - 1) // c) * c for s, c in zip(arr.shape, chunk)
+        ((s + c - 1) // c) * c for s, c in zip(shape, chunk)
     )
 
     def _build_level(
@@ -356,8 +462,7 @@ def _write_chunked(
             body += _key(offs, size) + struct.pack("<Q", addr)
         body += _key(*(nxt[0], nxt[2])) if nxt else _key(end_offs, 0)
         leaves.append((_key(grp[0][0], grp[0][2]), fb.alloc(body)))
-    root = _build_level(leaves, 1) if len(leaves) > 1 else leaves[0][1]
-    return root, filters
+    return _build_level(leaves, 1) if len(leaves) > 1 else leaves[0][1]
 
 
 def _filter_pipeline_msg(filters: list[tuple[int, bytes]]) -> bytes:
@@ -386,6 +491,7 @@ def write_hdf5(
     shuffle: bool = True,
     fletcher32: bool = False,
     enums: dict[str, dict[str, int]] | None = None,
+    _builder=None,
 ) -> bytes:
     """Write a NetCDF-4 (HDF5 container) file.
 
@@ -413,7 +519,12 @@ def write_hdf5(
     numrecs = 0
     for name, (vdims, arr) in variables.items():
         if vdims and vdims[0] == rec_dim:
-            numrecs = max(numrecs, np.asarray(arr).shape[0])
+            shape0 = (
+                arr.shape[0]
+                if isinstance(arr, ChunkedData)
+                else np.asarray(arr).shape[0]
+            )
+            numrecs = max(numrecs, shape0)
 
     collide = [
         n for n in variables
@@ -430,7 +541,7 @@ def write_hdf5(
             "not its coordinate variable (first dim must be itself)"
         )
 
-    fb = _FileBuilder()
+    fb = _builder if _builder is not None else _FileBuilder()
     header_addr: dict[str, int] = {}  # object name -> header addr
 
     def real_size(d: str) -> int:
@@ -449,6 +560,21 @@ def write_hdf5(
         msgs: list[tuple[int, bytes]] = []
         msgs.append((0x01, _dataspace(shape, maxshape)))
         msgs.append((0x03, dt_msg if dt_msg is not None else _np_datatype(np_dt)))
+        if isinstance(arr, ChunkedData):
+            # streamed path: chunks already on disk — metadata only
+            btree = (
+                _build_chunk_btree(fb, arr.entries, arr.shape, arr.chunk)
+                if arr.entries
+                else UNDEF
+            )
+            if arr.filters:
+                msgs.append((0x0B, _filter_pipeline_msg(arr.filters)))
+            lay = struct.pack("<BBBQ", 3, 2, len(arr.chunk) + 1, btree)
+            lay += b"".join(struct.pack("<I", c) for c in arr.chunk)
+            lay += struct.pack("<I", np_dt.itemsize)
+            msgs.append((0x08, lay))
+            msgs.extend(extra_attrs)
+            return fb.alloc(_object_header_v1(msgs))
         if chunk is not None:
             if arr is not None and arr.size:
                 btree, filters = _write_chunked(
@@ -505,7 +631,7 @@ def write_hdf5(
         )
         if dname in coord_vars:
             vdims, arr = variables[dname]
-            a = np.asarray(arr)
+            a = arr if isinstance(arr, ChunkedData) else np.asarray(arr)
             chunk = chunksizes.get(dname)
             if chunk is None and unlimited:
                 if record_chunksize:
@@ -575,8 +701,8 @@ def write_hdf5(
     # -- pass 2: data variables -----------------------------------------
     for name in data_vars:
         vdims, arr = variables[name]
-        a = np.asarray(arr)
-        if a.dtype.kind == "b":
+        a = arr if isinstance(arr, ChunkedData) else np.asarray(arr)
+        if not isinstance(a, ChunkedData) and a.dtype.kind == "b":
             a = a.astype("int8")
         shape = tuple(real_size(d) for d in vdims) if vdims else a.shape
         unlimited = bool(vdims) and dim_sizes[vdims[0]] == 0
@@ -656,6 +782,8 @@ def write_hdf5(
     # the single SNOD holds every name, so the superblock's group-leaf K
     # must satisfy nsyms <= 2K or libhdf5 rejects the node
     blob = fb.finish(root_addr, leaf_k=max(4, (len(names) + 1) // 2))
+    if blob is None:  # disk builder: already on disk
+        return None
     if isinstance(path_or_buf, str):
         with open(path_or_buf, "wb") as f:
             f.write(blob)

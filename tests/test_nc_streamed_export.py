@@ -15,6 +15,7 @@ import textwrap
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from ncagg_spark.sources.nc_granules import (
     write_nc_aggregate,
@@ -159,3 +160,124 @@ def test_streamed_export_10m_rows_capped_driver(tmp_path):
     size = os.path.getsize(out)
     # 8 (time) + 8 (v1) + 24 (obs) = 40 B/record + header
     assert size > 10_000_000 * 40
+
+
+def test_streamed_nc4_value_equal(spark, tmp_path):
+    """fmt="netcdf4": the streamed HDF5 export is value-equal to the
+    in-memory writer (layout differs only in allocation order)."""
+    from ncagg_spark.sources.hdf5 import read_hdf5
+
+    df = _mixed_df(spark)
+    kw = dict(
+        index_col="ts",
+        attributes={"title": "x", "count": 5},
+        var_attributes={"val": {"units": "W"}},
+    )
+    write_nc_aggregate(
+        df, str(tmp_path / "m.nc4"), fmt="netcdf4", compression=5, **kw
+    )
+    write_nc_aggregate_streamed(
+        df, str(tmp_path / "s.nc4"), fmt="netcdf4", compression=5, **kw
+    )
+    a = read_hdf5(str(tmp_path / "m.nc4"))
+    b = read_hdf5(str(tmp_path / "s.nc4"))
+    assert sorted(a.datasets) == sorted(b.datasets)
+    assert a.root_attributes == b.root_attributes
+    for name in a.datasets:
+        va, vb = a.read(name), b.read(name)
+        if va.dtype.kind == "f":
+            np.testing.assert_array_equal(
+                np.isnan(va), np.isnan(vb)
+            )
+            np.testing.assert_array_equal(
+                va[~np.isnan(va)], vb[~np.isnan(vb)]
+            )
+        else:
+            np.testing.assert_array_equal(va, vb)
+        assert (
+            a.datasets[name].attributes.get("units")
+            == b.datasets[name].attributes.get("units")
+        )
+
+
+def test_streamed_nc4_record_chunksize_and_multichunk(spark, tmp_path):
+    from ncagg_spark.sources.hdf5 import read_hdf5
+
+    n = 1000
+    df = spark.createDataFrame(
+        [(1_704_153_600_000_000 + i * 1_000_000, float(i)) for i in range(n)],
+        "us long, v double",
+    ).select(F.timestamp_micros("us").alias("ts"), "v")
+    p = str(tmp_path / "c.nc4")
+    write_nc_aggregate_streamed(
+        df, p, fmt="netcdf4", index_col="ts",
+        record_chunksize=128, compression=4,
+    )
+    h5 = read_hdf5(p)
+    assert h5.datasets["v"].layout["chunk"] == (128,)
+    vals = h5.read("v")
+    np.testing.assert_array_equal(vals, np.arange(n, dtype="float64"))
+    # edge chunk (1000 % 128 != 0) decoded correctly too
+    ts = h5.read("ts")
+    assert ts[-1] - ts[0] == pytest.approx(n - 1)
+
+
+def test_streamed_nc4_capped_driver(tmp_path):
+    """2M rows exported to ONE .nc4 with spark.driver.memory=1g: the
+    toPandas path would hold the whole aggregate; the streamed path's
+    driver footprint is one compressed chunk."""
+    script = textwrap.dedent(
+        """
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from pyspark.sql import SparkSession, functions as F
+        from ncagg_spark.sources.nc_granules import (
+            write_nc_aggregate_streamed,
+        )
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.driver.memory", "1g")
+            .config("spark.sql.shuffle.partitions", "16")
+            .config("spark.sql.session.timeZone", "UTC")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        n = 2_000_000
+        df = spark.range(n).select(
+            (F.col("id") * 0.1).alias("time"),
+            (F.col("id") % 1000).cast("double").alias("v1"),
+            F.array(
+                (F.col("id") % 7).cast("double"),
+                (F.col("id") % 11).cast("double"),
+                (F.col("id") % 13).cast("double"),
+            ).alias("obs"),
+        )
+        out = sys.argv[1]
+        write_nc_aggregate_streamed(
+            df, out, index_col="time", fmt="netcdf4", compression=1
+        )
+        import os
+        print("OK", os.path.getsize(out))
+        """
+    )
+    out = str(tmp_path / "big.nc4")
+    sp = str(tmp_path / "script.py")
+    with open(sp, "w") as f:
+        f.write(script)
+    r = subprocess.run(
+        [sys.executable, sp, out],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=dict(os.environ),
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "OK" in r.stdout
+    with open(out, "rb") as f:
+        assert f.read(8) == b"\x89HDF\r\n\x1a\n"
+    # spot-decode the tail records without loading everything twice
+    from ncagg_spark.sources.hdf5 import read_hdf5
+
+    h5 = read_hdf5(out)
+    v1 = h5.read("v1")
+    assert len(v1) == 2_000_000 and v1[-1] == (2_000_000 - 1) % 1000
