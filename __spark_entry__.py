@@ -104,12 +104,26 @@ def _work_dir(prefix: str, sf_dir: str) -> str:
     one tree per (query, sf, process) and the wipe gives streaming a
     fresh checkpoint each run. The PID component keeps concurrent driver
     processes from wiping each other's in-flight granules."""
+    import glob as _glob
     import hashlib
     import os
     import shutil
     import tempfile
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # sweep siblings left by DEAD driver processes so the per-PID names
+    # stay bounded (a PID suffix alone would leak one tree per run)
+    for stale in _glob.glob(
+        os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}_*")
+    ):
+        try:
+            pid = int(stale.rsplit("_", 1)[-1])
+            if pid != os.getpid():
+                os.kill(pid, 0)  # raises if the process is gone
+        except ValueError:
+            continue
+        except OSError:
+            shutil.rmtree(stale, ignore_errors=True)
     d = os.path.join(
         tempfile.gettempdir(), f"{prefix}_{tag}_{os.getpid()}"
     )

@@ -691,6 +691,13 @@ def write_nc_aggregate_streamed(
         )
     if fmt != "classic":
         raise ValueError(f"unsupported fmt {fmt!r}")
+    if compression is not None or record_chunksize is not None:
+        # classic files have no compression/chunking — silently dropping
+        # the flags would write the wrong container
+        raise ValueError(
+            "compression/record_chunksize require fmt='netcdf4' "
+            "(classic NetCDF has neither)"
+        )
 
     attributes = attributes or {}
     record_dim = record_dim or index_col
@@ -800,6 +807,55 @@ def write_nc_aggregate_streamed(
             f.write(row["data"])
 
 
+def _fill_chunk_block(
+    values, n: int, kind: str, base: np.dtype, width: int, height: int
+):
+    """One (height x width) chunk block from ``n`` rows of column
+    values, null rows NaN/zero-filled and rows beyond ``n`` zeroed (the
+    HDF5 edge-chunk padding contract, matching the in-memory writer's
+    np.zeros blocks).
+
+    Third sibling of write_nc_aggregate's pandas fill and the classic
+    streamed encode — deliberately NOT unified with them: the classic
+    paths are byte-contract-frozen (big-endian, vsize padding), and the
+    value-equality tests pin all three against each other.
+    """
+    if kind == "array":
+        block = np.full(
+            (height, width), np.nan if base.kind == "f" else 0, dtype=base
+        )
+        block[n:] = 0
+        vals = list(values)
+        try:
+            # fast path: all rows present & full width — one C-level
+            # conversion instead of a row loop
+            stacked = np.array(vals, dtype=base)
+            if stacked.shape != (n, width):
+                raise ValueError
+            block[:n] = stacked
+        except (ValueError, TypeError):
+            for i, v in enumerate(vals):
+                if v is None:
+                    continue
+                a = np.asarray(v, dtype=base)
+                block[i, : len(a)] = a
+        return block
+    if kind == "string":
+        block = np.zeros((height, width), dtype="S1")
+        for i, s in enumerate(values):
+            if s is None:
+                continue
+            bs = s.encode("utf-8")[:width]
+            block[i, : len(bs)] = [bytes([c]) for c in bs]
+        return block
+    a = values.to_numpy()
+    if a.dtype == object:
+        a = values.astype(base).to_numpy()
+    block = np.zeros((height,), dtype=base)
+    block[:n] = a.astype(base)
+    return block
+
+
 def _write_nc4_streamed(
     df: DataFrame,
     path: str,
@@ -855,15 +911,25 @@ def _write_nc4_streamed(
         np.dtype(dt).itemsize * (width if kind != "scalar" else 1)
         for _, kind, dt, width in specs
     )
+    # widest single variable's bytes-per-record: the default chunk must
+    # stay under a per-VARIABLE byte cap, or a wide array column makes
+    # the default chunk multi-GiB (the _cap_chunk hazard)
+    max_var_row_bytes = max(
+        (
+            np.dtype(dt).itemsize * (width if kind != "scalar" else 1)
+            for _, kind, dt, width in specs
+        ),
+        default=1,
+    )
     if record_chunksize:
         C = max(1, record_chunksize)
     else:
-        # default to ~4 MiB chunks (min 4096 records): per-chunk
-        # encode/compress/stream overhead dominates with tiny chunks —
-        # 4096-record (32 KB) chunks measured 4x slower end-to-end
-        C = min(
-            max(4096, (4 << 20) // max(row_bytes, 1)), max(numrecs, 1)
-        )
+        # target ~4 MiB total per chunk row-group (tiny chunks measured
+        # 4x slower end-to-end), capped at 16 MiB for the widest var
+        C = max(4096, (4 << 20) // max(row_bytes, 1))
+        C = max(1, min(C, (16 << 20) // max(max_var_row_bytes, 1)))
+    # encoder blocks and declared chunk metadata must agree: clamp once
+    C = min(C, max(numrecs, 1))
 
     dims: list[tuple[str, int]] = [(record_dim, 0)]
     meta: dict[str, tuple[str, np.dtype, tuple, tuple, list[str]]] = {}
@@ -879,7 +945,7 @@ def _write_nc4_streamed(
             inner, vdims = (width,), [record_dim, dn]
         else:
             inner, vdims = (), [record_dim]
-        chunk = (min(C, max(numrecs, 1)),) + inner
+        chunk = (C,) + inner  # C already clamped to numrecs above
         _validate_chunk_bytes(chunk, base.itemsize)
         meta[name] = (kind, base, inner, chunk, vdims)
 
@@ -902,43 +968,9 @@ def _write_nc4_streamed(
             n = len(sub)
             for name, kind, dt, width in specs_c:
                 base = np.dtype(dt)
-                if kind == "array":
-                    block = np.full(
-                        (C_c, width),
-                        np.nan if base.kind == "f" else 0,
-                        dtype=base,
-                    )
-                    # edge-chunk rows beyond n stay ZERO (the HDF5
-                    # padding contract, matching np.zeros in-memory)
-                    block[n:] = 0
-                    vals = list(sub[name])
-                    try:
-                        # fast path: all rows present & full width —
-                        # one C-level conversion instead of a row loop
-                        stacked = np.array(vals, dtype=base)
-                        if stacked.shape != (n, width):
-                            raise ValueError
-                        block[:n] = stacked
-                    except (ValueError, TypeError):
-                        for i, v in enumerate(vals):
-                            if v is None:
-                                continue
-                            a = np.asarray(v, dtype=base)
-                            block[i, : len(a)] = a
-                elif kind == "string":
-                    block = np.zeros((C_c, width), dtype="S1")
-                    for i, s in enumerate(sub[name]):
-                        if s is None:
-                            continue
-                        bs = s.encode("utf-8")[:width]
-                        block[i, : len(bs)] = [bytes([c]) for c in bs]
-                else:
-                    col = sub[name]
-                    a = col.to_numpy()
-                    if a.dtype == object:
-                        a = col.astype(base).to_numpy()
-                    block = np.zeros((C_c,), dtype=base)
-                    block[:n] = a.astype(base)
+                block = _fill_chunk_block(
+                    sub[name], n, kind, base, width, C_c
+                )
                 raw = block.astype(base.newbyteorder("<")).tobytes()
                 cids.append(int(cid))
                 names.append(name)

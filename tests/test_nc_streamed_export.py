@@ -281,3 +281,53 @@ def test_streamed_nc4_capped_driver(tmp_path):
     h5 = read_hdf5(out)
     v1 = h5.read("v1")
     assert len(v1) == 2_000_000 and v1[-1] == (2_000_000 - 1) % 1000
+
+
+def test_streamed_nc4_chunksize_exceeding_numrecs_clamped(spark, tmp_path):
+    """record_chunksize > numrecs: declared chunk metadata and encoded
+    blocks must agree (clamped to numrecs), not diverge by 5x."""
+    from ncagg_spark.sources.hdf5 import read_hdf5
+
+    df = spark.createDataFrame(
+        [(1_704_153_600_000_000 + i * 1_000_000, float(i)) for i in range(100)],
+        "us long, v double",
+    ).select(F.timestamp_micros("us").alias("ts"), "v")
+    p = str(tmp_path / "ck.nc4")
+    write_nc_aggregate_streamed(
+        df, p, fmt="netcdf4", index_col="ts", record_chunksize=5000
+    )
+    h5 = read_hdf5(p)
+    assert h5.datasets["v"].layout["chunk"] == (100,)
+    np.testing.assert_array_equal(h5.read("v"), np.arange(100.0))
+
+
+def test_streamed_classic_rejects_nc4_only_flags(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1_704_153_600_000_000, 1.0)], "us long, v double"
+    ).select(F.timestamp_micros("us").alias("ts"), "v")
+    with pytest.raises(ValueError, match="netcdf4"):
+        write_nc_aggregate_streamed(
+            df, str(tmp_path / "x.nc"), index_col="ts", compression=5
+        )
+
+
+def test_streamed_nc4_wide_array_default_chunk_capped(spark, tmp_path):
+    """A wide array variable must cap the DEFAULT chunk per-variable
+    (previously the 4096-record floor built multi-GiB chunks)."""
+    from ncagg_spark.sources.hdf5 import read_hdf5
+
+    w = 1 << 14  # 16k float64 = 128 KiB per row for this var
+    df = spark.createDataFrame(
+        [(1_704_153_600_000_000 + i * 1_000_000, float(i)) for i in range(64)],
+        "us long, seed double",
+    ).select(
+        F.timestamp_micros("us").alias("ts"),
+        F.expr(f"transform(sequence(1, {w}), j -> seed)").alias("wide"),
+    )
+    p = str(tmp_path / "wide.nc4")
+    write_nc_aggregate_streamed(df, p, fmt="netcdf4", index_col="ts")
+    h5 = read_hdf5(p)
+    rows, width = h5.datasets["wide"].layout["chunk"]
+    assert width == w
+    assert rows * w * 8 <= 16 << 20  # per-variable 16 MiB cap
+    assert h5.read("wide").shape == (64, w)
