@@ -1033,9 +1033,13 @@ def write_nc_granules(
     interval_us: int = 86_400_000_000,
     attributes: dict | None = None,
     var_attributes: dict[str, dict] | None = None,
+    fmt: str = "classic",
+    compression: int | None = None,
 ) -> DataFrame:
     """Distributed `.nc` export: re-granulate an aggregate into one
-    classic NetCDF file per time interval (default: per UTC day).
+    NetCDF file per time interval (default: per UTC day); ``fmt``
+    selects classic (default) or ``"netcdf4"`` (chunked, optional zlib
+    — each granule is one task's in-memory write, fine at granule size).
 
     The scale-correct counterpart of ``write_nc_aggregate``'s bounded
     single-file contract: each interval group is written by ITS OWN task
@@ -1138,14 +1142,27 @@ def write_nc_granules(
                 if arr.dtype == object:
                     arr = col.astype("float64").to_numpy()
                 variables[name] = ([rec], arr)
-        path = os.path.join(out_dir, f"granule_{idx}.nc")
-        write_netcdf3(
-            path,
-            dims=dims,
-            variables=variables,
-            attributes=attributes,
-            var_attributes=var_attributes,
-        )
+        if fmt == "netcdf4":
+            from ncagg_spark.sources.hdf5_writer import write_hdf5
+
+            path = os.path.join(out_dir, f"granule_{idx}.nc4")
+            write_hdf5(
+                path,
+                dims=dims,
+                variables=variables,
+                attributes=attributes,
+                var_attributes=var_attributes,
+                compression=compression,
+            )
+        else:
+            path = os.path.join(out_dir, f"granule_{idx}.nc")
+            write_netcdf3(
+                path,
+                dims=dims,
+                variables=variables,
+                attributes=attributes,
+                var_attributes=var_attributes,
+            )
         return pd.DataFrame(
             {
                 "granule": [idx],

@@ -462,3 +462,37 @@ def test_cli_rejects_mixed_sources(tmp_path, capsys):
     )
     assert rc == 2
     assert "mixed" in capsys.readouterr().err
+
+
+def test_write_nc_granules_netcdf4(spark, tmp_path):
+    """Per-interval re-granulation in netCDF-4: each granule decodes
+    through the from-spec HDF5 reader and round-trips the values."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ncagg_spark.sources.hdf5 import read_hdf5
+    from ncagg_spark.sources.nc_granules import (
+        read_nc_granules,
+        write_nc_granules,
+    )
+
+    T0_US = 1_704_153_600_000_000
+    df = spark.createDataFrame(
+        [(T0_US + i * 1_800_000_000, float(i)) for i in range(8)],
+        "us long, v double",
+    ).select(F.timestamp_micros("us").alias("ts"), "v")
+    man = write_nc_granules(
+        df,
+        str(tmp_path / "g4"),
+        index_col="ts",
+        interval_us=7_200_000_000,  # 2h granules, 4 records each
+        fmt="netcdf4",
+        compression=4,
+    ).collect()
+    assert len(man) == 2 and all(m["path"].endswith(".nc4") for m in man)
+    h5 = read_hdf5(man[0]["path"])
+    assert h5.datasets["v"].filters  # compressed
+    np.testing.assert_array_equal(h5.read("v"), [0.0, 1.0, 2.0, 3.0])
+    # and the engine's own reader ingests the .nc4 granules back
+    back = read_nc_granules(spark, [m["path"] for m in man])
+    assert back.count() == 8

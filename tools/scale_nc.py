@@ -123,6 +123,24 @@ def main() -> None:
         f"{n_rows/t_one/1e6:.2f}M rows/s ({sz/1e6:.0f} MB, one .nc)"
     )
 
+    # netCDF-4 variant: executor-side chunk encode+compress, driver
+    # appends payloads and assembles metadata after the data
+    one4 = f"{tmp}/aggregate.nc4"
+    t0 = time.time()
+    write_nc_aggregate_streamed(
+        spark.read.parquet(out).drop("is_fill"),
+        one4,
+        index_col="time",
+        fmt="netcdf4",
+        compression=1,
+    )
+    t_one4 = time.time() - t0
+    sz4 = os.path.getsize(one4)
+    print(
+        f"single-file streamed export (netcdf4 zlib1): {t_one4:.2f}s = "
+        f"{n_rows/t_one4/1e6:.2f}M rows/s ({sz4/1e6:.0f} MB, one .nc4)"
+    )
+
 
 if __name__ == "__main__":
     main()
