@@ -161,7 +161,9 @@ def test_chunk_sql_parity(spark):
         + ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts))
         + ") AS v(doc_id, text)"
     )
-    toks = "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')"
+    from ncagg_spark.pipeline.text import sql_tokenize
+
+    toks = sql_tokenize("text")  # the REAL DuckDB twin the oracle uses
     duck_rows = sorted(
         con.execute(
             f"""
@@ -179,7 +181,8 @@ def test_chunk_sql_parity(spark):
     assert spark_rows == duck_rows
 
 
-def test_chunk_starts_validation():
+def test_chunk_starts_validation(spark):
+    # the spark fixture guarantees an active context for F.lit
     with pytest.raises(ValueError):
         chunk_starts(F.lit(10), 8, 8)
     with pytest.raises(ValueError):

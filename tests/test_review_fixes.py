@@ -42,9 +42,9 @@ def test_scalar_variable_with_compression_roundtrips():
 def test_array_datatype_v3_member_offsets():
     # hand-built v3 (class 10) array datatype over int32, dims (3,):
     # v3 packs dims right after ndims (no reserved bytes, no perm)
-    base = struct.pack("<BBBBI", 0x10, 0x08, 0, 0, 4) + struct.pack(
-        "<HH", 0, 32
-    )
+    from tests.conftest import dt_i32_msg
+
+    base = dt_i32_msg()
     msg = (
         struct.pack("<BBBBI", (3 << 4) | 10, 0, 0, 0, 12)
         + struct.pack("<B", 1)

@@ -16,10 +16,7 @@ from ncagg_spark.sources.hdf5_writer import _cap_chunk, write_hdf5
 from ncagg_spark.sources.netcdf3 import read_netcdf3, write_netcdf3
 
 
-def _dt_i32_msg() -> bytes:
-    return struct.pack("<BBBBI", 0x10, 0x08, 0, 0, 4) + struct.pack(
-        "<HH", 0, 32
-    )
+from tests.conftest import dt_i32_msg as _dt_i32_msg
 
 
 def test_shared_message_resolves_committed_datatype():

@@ -68,11 +68,15 @@ def test_stream_dedup_append_mode_and_bounds(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
-    got = {
-        r["__bucket"]: r["value"]
-        for r in spark.sql("SELECT * FROM append_sink").collect()
-    }
+    finished = q.awaitTermination(120)
+    if not finished:
+        q.stop()
+        pytest.fail("streaming query did not finish within 120s")
+    rows = spark.sql("SELECT * FROM append_sink").collect()
+    # exact ROW count too: a dedup regression that emits one row per
+    # input record would collapse invisibly in a dict comprehension
+    assert len(rows) == 2
+    got = {r["__bucket"]: r["value"] for r in rows}
     # availableNow end-of-stream advances the watermark past all slots
     assert got == {0: 1.0, 1: 2.0}
 
@@ -123,13 +127,11 @@ def test_incremental_merge_with_rename_and_alt(spark, tmp_path):
     out = spark.read.parquet(outp)
     assert "value_out" in out.columns and "v_old" not in out.columns
     real = {
-        r["__bucket"]: r["value_out"]
-        for r in out.filter(~F.col("is_fill")).collect()
-    } if "__bucket" in out.columns else {
         int(r["ts"].timestamp() - T0_US / 1e6): r["value_out"]
         for r in out.filter(~F.col("is_fill")).collect()
     }
-    assert set(real.values()) == {1.0, 3.0}
+    # full slot -> value mapping: values in the WRONG slots must fail
+    assert real == {0: 1.0, 2: 3.0}
     assert out.count() == 10  # full grid with fills
 
 

@@ -135,7 +135,10 @@ def test_aggregate_nc_per_granule_epochs(spark, tmp_path):
         cfg,
     )
     real = {
-        int(r["t"].replace(tzinfo=timezone.utc).timestamp() - t0): r["v"]
+        # naive .timestamp() round-trips the collected local-naive
+        # datetime correctly in ANY OS timezone (replace(tzinfo=utc)
+        # would shift keys on a non-UTC machine)
+        int(r["t"].timestamp() - t0): r["v"]
         for r in out.filter(~F.col("is_fill")).collect()
     }
     # B's records land at +5s/+6s, NOT 1h early (which would drop them)
