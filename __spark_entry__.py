@@ -48,7 +48,7 @@ from ncagg_spark.pipeline.dedup import (
     simhash_signatures,
 )
 from ncagg_spark.pipeline.similarity import (
-    brute_force_topk,
+    brute_force_topk_relational,
     ivf_topk,
     kmeans_centroids,
     srp_lsh_topk,
@@ -119,11 +119,15 @@ def _work_dir(prefix: str, sf_dir: str) -> str:
         try:
             pid = int(stale.rsplit("_", 1)[-1])
             if pid != os.getpid():
-                os.kill(pid, 0)  # raises if the process is gone
+                os.kill(pid, 0)  # ProcessLookupError iff the pid is gone
         except ValueError:
             continue
-        except OSError:
+        except ProcessLookupError:
             shutil.rmtree(stale, ignore_errors=True)
+        except OSError:
+            # PermissionError (EPERM) = pid is ALIVE under another user;
+            # leave its in-flight scratch dir alone
+            continue
     d = os.path.join(
         tempfile.gettempdir(), f"{prefix}_{tag}_{os.getpid()}"
     )
@@ -1152,7 +1156,9 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_emb_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = _t(spark, sf_dir, "embeddings")
     queries = em.filter(F.col("vec_id") < 10)
-    return brute_force_topk(em, queries, k=5)
+    # the relational (pair-fold) form: bit-exact vs the DuckDB oracle;
+    # the public brute_force_topk delegates to the matmul scale shape
+    return brute_force_topk_relational(em, queries, k=5)
 
 
 def q_emb_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -9,6 +9,7 @@ from ncagg_spark.pipeline.dedup import (
 )
 from ncagg_spark.pipeline.similarity import (
     brute_force_topk,
+    brute_force_topk_relational,
     ivf_topk,
     srp_lsh_topk,
 )
@@ -30,6 +31,7 @@ __all__ = [
     "simhash_near_duplicates",
     "simhash_signatures",
     "brute_force_topk",
+    "brute_force_topk_relational",
     "ivf_topk",
     "srp_lsh_topk",
     "detect_language",

@@ -84,8 +84,12 @@ def clean_corpus(
     # the near-dedup stage consumes `kept` several times (signatures,
     # both sides of the Jaccard verify, the survivor anti-join) —
     # materialize the quality-gate + exact-dedup subtree once instead of
-    # recomputing its scan and shuffle per consumer
-    kept = kept.persist()
+    # recomputing its scan and shuffle per consumer. The handle is
+    # unpersisted below once every eager consumer (the CC loop and the
+    # checkpointed drop sets) has run, so repeated clean_corpus calls in
+    # one session don't accumulate pinned storage; the final lazy plan
+    # then recomputes the gate subtree exactly once at action time.
+    cached = kept = kept.persist()
 
     sigs = minhash_signatures(
         kept, text_col=text_col, id_col=id_col,
@@ -114,9 +118,12 @@ def clean_corpus(
         long_pairs = duplicate_spans(
             kept, k=span_k, id_col=id_col, text_col=text_col
         ).filter(F.col("length") >= F.lit(max_shared_span))
+        # materialize the (small, id-level) drop set while the gate
+        # subtree is still cached — the returned plan then reads the
+        # checkpointed ids instead of re-deriving spans from `kept`
         drop = long_pairs.select(
             F.col("id_b").alias(id_col)
-        ).distinct()
+        ).distinct().localCheckpoint(eager=True)
         kept = kept.join(drop, on=id_col, how="left_anti")
 
     if benchmark is not None:
@@ -132,6 +139,11 @@ def clean_corpus(
             .filter(F.col("bench_frac") >= F.lit(max_bench_frac))
             .select(id_col)
             .distinct()
+            .localCheckpoint(eager=True)  # small id set; see span gate
         )
         kept = kept.join(contaminated, on=id_col, how="left_anti")
+    # every eager consumer of the cached subtree has run (the CC loop
+    # inside near_dedup and the checkpointed drop sets above); release
+    # the storage so back-to-back clean_corpus calls stay bounded
+    cached.unpersist()
     return kept

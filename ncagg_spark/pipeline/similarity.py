@@ -1,10 +1,11 @@
 """Similarity search over embedding columns (array<float>).
 
   * brute_force_topk — exact cosine top-k: broadcast the (small) query set
-    against the full corpus, one pass, no shuffle on the corpus side. The
-    correctness baseline; at 100 TB the corpus scan is embarrassingly
-    parallel and the per-row work is a codegen'd fused loop (zip_with /
-    aggregate — no Python).
+    against the full corpus, one pass, no shuffle on the corpus side.
+    Public default = the matmul formulation (one BLAS gemm per Arrow
+    batch, partial top-k per partition); brute_force_topk_relational is
+    the bit-exact oracle-replicable baseline (codegen'd zip_with /
+    aggregate fold, identical to the SQL an ANSI engine runs).
   * srp_lsh_topk — sign-random-projection LSH: bucket vectors by the sign
     pattern of h deterministic hyperplanes, search only the query's
     bucket (plus optional multi-probe neighbors). The scale path: turns a
@@ -39,7 +40,44 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_id_col: str | None = None,
 ) -> DataFrame:
-    """Exact cosine top-k neighbors for each query vector.
+    """Exact cosine top-k neighbors for each query vector — the public
+    entry point. Delegates to the matmul formulation
+    (``brute_force_topk_matmul``): one BLAS matmul per Arrow batch,
+    shuffle carries only partitions x queries x k candidates — the shape
+    that survives a 100 TB corpus. Use ``brute_force_topk_relational``
+    only when you need bit-exact SQL/DuckDB replication (its pair scores
+    come from the same left-to-right fold an ANSI engine runs; BLAS
+    reassociates the dot sum, differing in the last ulp only).
+
+    Returns (query_id, neighbor_id, rank, cosine). Self-matches (same id)
+    are excluded. Ties broken by neighbor id ascending (deterministic).
+    """
+    return brute_force_topk_matmul(
+        corpus,
+        queries,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
+
+
+def brute_force_topk_relational(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact cosine top-k, relational (pair-explosion) formulation.
+
+    The oracle-replicable baseline: every pair is scored by a Catalyst
+    fold identical to the SQL the DuckDB oracle runs, so values match an
+    ANSI engine bit-for-bit. ~1M pair-scores/s — fine for bounded query
+    sets and correctness gating; API users should call
+    ``brute_force_topk`` (matmul) instead, which is the scale shape.
 
     Returns (query_id, neighbor_id, rank, cosine). Self-matches (same id)
     are excluded. Ties broken by neighbor id ascending (deterministic).
@@ -194,9 +232,10 @@ def brute_force_topk_matmul(
     vec_col: str = "embedding",
     query_id_col: str | None = None,
 ) -> DataFrame:
-    """Exact cosine top-k, matmul formulation — the 100 TB scale shape.
+    """Exact cosine top-k, matmul formulation — the 100 TB scale shape
+    and what the public ``brute_force_topk`` delegates to.
 
-    The relational ``brute_force_topk`` explodes (query x corpus) into
+    ``brute_force_topk_relational`` explodes (query x corpus) into
     rows and scores each pair with an interpreted lambda chain; correct,
     oracle-replicable, but ~1M pair-scores/s. This variant keeps the
     corpus scan embarrassingly parallel and replaces per-pair rows with

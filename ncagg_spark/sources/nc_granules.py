@@ -1253,8 +1253,26 @@ def _reexpress_cf_units(
         scale_c, epoch_c = _parse_units(canon)
         ratio = scale_g / scale_c
         off = (epoch_g.timestamp() - epoch_c.timestamp()) / scale_c
-        vals = frame[col].astype("float64") * ratio + off
         target = schema[col].dataType.typeName() if col in schema.names else "double"
+        dt = schema[col].dataType if col in schema.names else None
+        if dt is not None and dt.typeName() == "array":
+            # multidim index (e.g. 2-D time from --inner-hz): each cell
+            # is a list/ndarray — .astype('float64') on the Series would
+            # raise; re-express element-wise, preserving None holes
+            elem = dt.elementType.typeName()
+            integral = elem in ("long", "integer", "short", "byte")
+
+            def _cell(v):
+                if v is None:
+                    return None
+                out = np.asarray(v, dtype="float64") * ratio + off
+                if integral:
+                    out = np.rint(out)
+                return out.tolist()
+
+            frame[col] = frame[col].map(_cell)
+            continue
+        vals = frame[col].astype("float64") * ratio + off
         if target in ("long", "integer", "short", "byte", "bigint", "int"):
             vals = vals.round()
         frame[col] = vals

@@ -235,3 +235,59 @@ def test_empty_input_inner_size_inference_raises(spark, tmp_path):
             _cfg(),
             inner_hz=INNER_HZ,
         )
+
+
+def test_aggregate_nc_multidim_heterogeneous_units(spark, tmp_path):
+    """Granules declaring DIFFERENT CF epochs/scales for a 2-D time
+    variable re-express element-wise into the canonical units instead of
+    crashing worker-side (round-6 fix: _reexpress_cf_units previously
+    called Series.astype('float64') on array cells)."""
+    from ncagg_spark.sources.netcdf3 import write_netcdf3
+
+    d = tmp_path / "hetnc"
+    d.mkdir()
+
+    def _write(name, secs, units, scale, epoch_off_s):
+        # values expressed IN the granule's own units
+        ob = np.array(
+            [
+                [(s + j / INNER_HZ - epoch_off_s) / scale
+                 for j in range(INNER)]
+                for s in secs
+            ]
+        )
+        write_netcdf3(
+            str(d / name),
+            dims=[("report", 0), ("samples", INNER)],
+            variables={
+                "ob_time": (["report", "samples"], ob),
+                "value": (["report"], np.array([float(s) for s in secs])),
+            },
+            var_attributes={"ob_time": {"units": units}},
+        )
+
+    # canonical granule: plain seconds since the window start
+    _write("g0.nc", range(0, 4),
+           "seconds since 2024-01-02 00:00:00", 1.0, 0.0)
+    # second granule: MILLIseconds since one second AFTER the epoch
+    _write("g1.nc", range(6, 9),
+           "milliseconds since 2024-01-02 00:00:01", 1e-3, 1.0)
+
+    out = aggregate_nc(
+        spark,
+        [str(d / "g0.nc"), str(d / "g1.nc")],
+        str(tmp_path / "hetout"),
+        _cfg(),
+        inner_hz=INNER_HZ,
+    )
+    rows = sorted(out.collect(), key=lambda r: r["ob_time_rep"])
+    real = [r for r in rows if not r["is_fill"]]
+    assert len(real) == 7
+    # BOTH granules' inner elements land on the exact microsecond grid
+    # of the canonical epoch — the re-expression is element-wise exact
+    for r in real:
+        base = int(r["ob_time_rep"].timestamp() * 1e6)
+        assert [int(t.timestamp() * 1e6) - base for t in r["ob_time"]] == [
+            j * int(1e6 / INNER_HZ) for j in range(INNER)
+        ]
+    assert {r["value"] for r in real} == {0.0, 1.0, 2.0, 3.0, 6.0, 7.0, 8.0}

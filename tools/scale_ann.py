@@ -22,8 +22,8 @@ from pyspark.sql import functions as F
 from ncagg_spark.pipeline.pq import pq_train
 from ncagg_spark.pipeline.similarity import (
     assign_cells,
-    brute_force_topk,
     brute_force_topk_matmul,
+    brute_force_topk_relational,
     ivf_topk,
     sample_centroids,
     srp_lsh_topk,
@@ -84,10 +84,10 @@ def main():
     print(f"corpus={corpus.count()} queries={n_q} dim={DIM}")
 
     t0 = time.time()
-    exact = brute_force_topk(corpus, queries, k=K).persist()
+    exact = brute_force_topk_relational(corpus, queries, k=K).persist()
     exact.write.format("noop").mode("overwrite").save()
     t_brute = time.time() - t0
-    print(f"brute_force_topk: {t_brute:.2f}s "
+    print(f"brute_relational: {t_brute:.2f}s "
           f"({n * n_q / t_brute / 1e6:.1f}M pair-scores/s)")
 
     t0 = time.time()
