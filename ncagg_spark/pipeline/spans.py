@@ -141,9 +141,14 @@ def duplicate_spans(
     )
 
 
-def sql_duplicate_spans(k: int, max_occurrences_per_hash: int = 64) -> str:
-    """DuckDB twin of duplicate_spans over a ``documents`` view with
-    (doc_id, text) — used by tests to pin cross-engine parity."""
+def sql_duplicate_spans(
+    k: int,
+    max_occurrences_per_hash: int = 64,
+    source: str = "documents",
+) -> str:
+    """DuckDB twin of duplicate_spans over ``source`` (a view/CTE name
+    with (doc_id, text)) — used by tests and the clean-corpus oracle to
+    pin cross-engine parity."""
     from ncagg_spark.functions.hashing import sql_hash64
     from ncagg_spark.pipeline.text import sql_tokenize, sql_word_ngrams
 
@@ -151,7 +156,7 @@ def sql_duplicate_spans(k: int, max_occurrences_per_hash: int = 64) -> str:
     grams = sql_word_ngrams("toks", k)
     h = sql_hash64("gram")
     return f"""
-        WITH t AS (SELECT doc_id AS id, {toks} AS toks FROM documents),
+        WITH t AS (SELECT doc_id AS id, {toks} AS toks FROM {source}),
         g AS (
             SELECT id, generate_subscripts(grams, 1) - 1 AS pos,
                    unnest(grams) AS gram
