@@ -152,6 +152,41 @@ def srp_bucket(vec_col: str, planes: list[list[float]]) -> Column:
     )
 
 
+def srp_probe_buckets(
+    vec_col: str, planes: list[list[float]], probes: int
+) -> Column:
+    """Multi-probe SRP bucket list: the query's own bucket plus
+    ``probes - 1`` single-bit-flip neighbors, flipping the hyperplanes
+    the vector is CLOSEST to first (smallest |dot| = most likely to be
+    on the wrong side — the standard multi-probe LSH ordering, Lv et
+    al. 2007). One SQL expression, no Python per row."""
+    n = len(planes)
+    darr = "array(" + ", ".join(
+        dot_const_sql(vec_col, p) for p in planes
+    ) + ")"
+    base = "(CAST(0 AS BIGINT) + " + " + ".join(
+        f"(CASE WHEN {dot_const_sql(vec_col, p)} > 0.0D"
+        f" THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i, p in enumerate(planes)
+    ) + ")"
+    # flip order: ascending |dot|, ties by plane index (deterministic;
+    # struct array_sort orders lexicographically by field)
+    order = (
+        f"transform(array_sort(zip_with({darr}, sequence(0, {n - 1}), "
+        "(d, i) -> struct(abs(d) AS a, i AS i))), s -> s.i)"
+    )
+    extra = max(min(probes, n + 1) - 1, 0)
+    dim = len(planes[0]) if planes else 0
+    return F.expr(
+        f"CASE WHEN {vec_col} IS NULL THEN CAST(NULL AS array<bigint>) "
+        f"WHEN size({vec_col}) <> {dim} THEN "
+        f"CAST(raise_error('srp_probe_buckets: embedding length <> {dim}')"
+        " AS array<bigint>) ELSE "
+        f"concat(array({base}), transform(slice({order}, 1, {extra}), "
+        f"i -> {base} ^ shiftleft(CAST(1 AS BIGINT), i))) END"
+    )
+
+
 def srp_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -160,13 +195,19 @@ def srp_lsh_topk(
     n_planes: int = 8,
     dim: int = 64,
     seed: int = 42,
+    probes: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate cosine top-k searching only the query's SRP bucket.
+    """Approximate cosine top-k searching the query's SRP bucket plus
+    ``probes - 1`` multi-probe neighbor buckets.
 
     The corpus is bucketed once (hash-partition by bucket); each query
-    probes exactly its own bucket — an equi-join, not a cross join.
+    probes an equi-join per bucket — never a cross join. Multi-probe
+    flips the bits of the hyperplanes the query is closest to, recovering
+    the recall single-probe loses as n_planes grows (measured curve in
+    SCALE.md / tools/ann_recall.py); each neighbor lives in exactly one
+    bucket, so probing needs no dedup.
     """
     planes = random_hyperplanes(n_planes, dim, seed)
     c = corpus.select(
@@ -179,7 +220,11 @@ def srp_lsh_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         norm_guard(l2_norm(vec_col)).alias("q_norm"),
-        srp_bucket(vec_col, planes).alias("bucket"),
+        (
+            F.explode(srp_probe_buckets(vec_col, planes, probes))
+            if probes > 1
+            else srp_bucket(vec_col, planes)
+        ).alias("bucket"),
     )
     scored = (
         F.broadcast(q)

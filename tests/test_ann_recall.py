@@ -1,0 +1,159 @@
+"""Measured recall floors for every approximate top-k operator.
+
+An approximate operator is only trustworthy with a measured recall
+curve (tools/ann_recall.py records the full sweep in SCALE.md); these
+tests pin the documented floors so a regression in bucketing, probing,
+codebook training, or rerank surfaces as a failing number, not a
+silently worse index. Everything here is deterministic — fixed test
+data, seeded hyperplanes, multiplicative-hash k-means init, sampled PQ
+training — so the floors are stable, set ~0.1 below measured.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ncagg_spark.pipeline.pq import pq_encode, pq_topk, pq_train
+from ncagg_spark.pipeline.similarity import (
+    brute_force_topk_matmul,
+    ivf_topk,
+    kmeans_centroids,
+    srp_lsh_topk,
+)
+from ncagg_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.01"
+K = 10
+
+
+@pytest.fixture(scope="module")
+def ann(spark):
+    corpus = load_table(spark, f"{SF_DIR}/embeddings.parquet").persist()
+    queries = corpus.filter(F.col("vec_id") % 40 == 0).persist()
+    exact = brute_force_topk_matmul(corpus, queries, k=K).persist()
+    n_exact = exact.count()
+    yield corpus, queries, exact, n_exact
+    exact.unpersist()
+    queries.unpersist()
+    corpus.unpersist()
+
+
+def _recall(approx, exact, n_exact) -> float:
+    hits = approx.join(
+        exact, on=["query_id", "neighbor_id"], how="semi"
+    ).count()
+    return hits / n_exact
+
+
+def test_ivf_recall_floor(ann):
+    corpus, queries, exact, n = ann
+    r = _recall(
+        ivf_topk(corpus, queries, k=K, n_cells=8, n_probe=4), exact, n
+    )
+    assert r >= 0.60, f"ivf(8 cells, 4 probes) recall@{K}={r}"
+
+
+def test_ivf_kmeans_recall_floor(ann):
+    corpus, queries, exact, n = ann
+    cents = kmeans_centroids(corpus, 8, max_iter=4)
+    r = _recall(
+        ivf_topk(
+            corpus, queries, k=K, n_cells=8, n_probe=4, centroids=cents
+        ),
+        exact,
+        n,
+    )
+    assert r >= 0.60, f"ivf_kmeans(8 cells, 4 probes) recall@{K}={r}"
+
+
+def test_ivf_probe_monotone(ann):
+    """More probed cells can only widen the candidate set."""
+    corpus, queries, exact, n = ann
+    r1 = _recall(
+        ivf_topk(corpus, queries, k=K, n_cells=8, n_probe=1), exact, n
+    )
+    r8 = _recall(
+        ivf_topk(corpus, queries, k=K, n_cells=8, n_probe=8), exact, n
+    )
+    assert r8 == 1.0  # probing every cell IS exact search
+    assert r1 < r8
+
+
+def test_pq_recall_floor(ann):
+    """ADC candidates at expand*k, exact-reranked to k (the production
+    recipe: pq_train -> pq_encode -> pq_topk -> rerank)."""
+    corpus, queries, exact, n = ann
+    books = pq_train(corpus, dim=64, m=8, n_codes=64)
+    codes = pq_encode(corpus, books)
+    cand = pq_topk(codes, books, queries, k=4 * K).select(
+        "query_id", "neighbor_id"
+    )
+    shortlist = corpus.join(
+        cand.select(F.col("neighbor_id").alias("vec_id")).distinct(),
+        on="vec_id",
+        how="semi",
+    )
+    # rerank per query: exact cosine over the query's own candidates
+    from pyspark.sql import Window
+
+    from ncagg_spark.functions.vectors import dot, l2_norm, norm_guard
+
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        norm_guard(l2_norm("embedding")).alias("q_norm"),
+    )
+    cv = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+        norm_guard(l2_norm("embedding")).alias("c_norm"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    rer = (
+        cand.join(F.broadcast(qv), on="query_id")
+        .join(cv, on="neighbor_id")
+        .withColumn(
+            "cosine",
+            dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+    )
+    r = _recall(rer, exact, n)
+    assert r >= 0.65, f"pq(m=8, 64 codes, expand=4) recall@{K}={r}"
+    assert shortlist.count() <= corpus.count()
+
+
+def test_srp_multiprobe_recovers_recall(ann):
+    """Multi-probe flips the closest hyperplanes first; recall must be
+    monotone in probes and strictly better than single-probe at the
+    production plane count."""
+    corpus, queries, exact, n = ann
+    rs = [
+        _recall(
+            srp_lsh_topk(
+                corpus, queries, k=K, n_planes=8, dim=64, probes=p
+            ),
+            exact,
+            n,
+        )
+        for p in (1, 2, 4, 8)
+    ]
+    assert all(a <= b for a, b in zip(rs, rs[1:])), rs
+    assert rs[-1] > rs[0], rs
+
+
+def test_srp_probes_one_matches_legacy(ann):
+    """probes=1 must be byte-identical to the original single-bucket
+    path (the oracle-gated emb_srp_topk shape)."""
+    corpus, queries, exact, n = ann
+    a = srp_lsh_topk(
+        corpus, queries, k=5, n_planes=8, dim=64, probes=1
+    )
+    b = srp_lsh_topk(corpus, queries, k=5, n_planes=8, dim=64)
+    assert sorted(map(tuple, a.collect())) == sorted(
+        map(tuple, b.collect())
+    )

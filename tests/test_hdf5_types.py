@@ -164,3 +164,29 @@ def test_compound_attribute_decoding_not_required_for_data_vars():
     )
     h5 = read_hdf5(blob)
     assert h5.root_attributes["title"] == "plain"
+
+
+def test_fletcher32_written_bytes_inspectable_without_reader():
+    """Reader-independent check of the WRITTEN checksum: the stored
+    chunk's trailing 4 LE bytes must equal fletcher32 over the preceding
+    payload, recomputed here straight from the file bytes (the reader is
+    used only to locate the chunk, never to validate it)."""
+    import struct
+
+    data = np.arange(32, dtype="int64")
+    blob = write_hdf5(
+        None,
+        dims=[("time", 0)],
+        variables={"time": (["time"], np.arange(32, dtype="float64")),
+                   "v": (["time"], data)},
+        fletcher32=True,  # checksum alone: stored chunk = raw + 4
+    )
+    h5 = read_hdf5(blob)
+    ds = h5.datasets["v"]
+    recs = h5._chunk_records(ds.layout["btree"], len(ds.layout["chunk"]) + 1)
+    for _, addr, size, _ in recs:
+        stored = blob[addr : addr + size]
+        payload, trailer = stored[:-4], stored[-4:]
+        assert trailer == struct.pack("<I", fletcher32(payload))
+        # and the payload really is the little-endian int64 data
+        assert payload == data.tobytes()

@@ -1,0 +1,195 @@
+"""ANN recall harness: measured recall@k of every approximate top-k
+operator against the exact brute-force baseline, across parameter
+sweeps.
+
+Approximate operators are only trustworthy with a measured recall
+curve — this prints one per method (SRP-LSH planes sweep, IVF cells x
+probes, IVF with trained k-means centroids, PQ codebook/rerank sweep)
+and emits a markdown table for SCALE.md plus one JSON line for
+machine diffing.
+
+Usage:
+    python tools/ann_recall.py [sf_dir] [k]
+defaults: $SPARK_GRAFT_SF_DIR or /root/testdata/sf0.1, k=10.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from ncagg_spark.session import get_spark
+from ncagg_spark.sources.tables import load_table
+from ncagg_spark.pipeline.pq import pq_encode, pq_topk, pq_train
+from ncagg_spark.pipeline.similarity import (
+    brute_force_topk_matmul,
+    ivf_topk,
+    kmeans_centroids,
+    srp_lsh_topk,
+)
+
+N_QUERIES = 50
+
+
+def recall_at_k(approx, exact) -> float:
+    hits = approx.join(
+        exact, on=["query_id", "neighbor_id"], how="semi"
+    ).count()
+    return hits / exact.count()
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark(app_name="ann-recall")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    corpus = load_table(spark, f"{sf_dir}/embeddings.parquet").persist()
+    n = corpus.count()
+    stride = max(n // N_QUERIES, 1)
+    queries = corpus.filter(F.col("vec_id") % stride == 0).persist()
+    nq = queries.count()
+    dim = len(corpus.select("embedding").first()[0])
+    print(f"sf_dir={sf_dir} corpus={n} queries={nq} dim={dim} k={k}")
+
+    t0 = time.time()
+    exact = brute_force_topk_matmul(corpus, queries, k=k).persist()
+    exact.count()
+    print(f"exact baseline (matmul): {time.time() - t0:.1f}s")
+
+    rows: list[dict] = []
+
+    def run(method: str, params: str, df) -> None:
+        t = time.time()
+        r = recall_at_k(df, exact)
+        rows.append(
+            {
+                "method": method,
+                "params": params,
+                "recall": round(r, 4),
+                "sec": round(time.time() - t, 2),
+            }
+        )
+        print(f"  {method:12s} {params:28s} recall@{k}={r:.4f}")
+
+    print("SRP-LSH (bucket = sign pattern; multi-probe flips closest planes):")
+    for n_planes in (2, 4, 6, 8):
+        for probes in (1, 2, 4, 8):
+            if probes > n_planes + 1:
+                continue
+            run(
+                "srp_lsh",
+                f"n_planes={n_planes} probes={probes}",
+                srp_lsh_topk(
+                    corpus,
+                    queries,
+                    k=k,
+                    n_planes=n_planes,
+                    dim=dim,
+                    probes=probes,
+                ),
+            )
+
+    print("IVF-Flat (sampled centroids):")
+    for n_cells in (8, 16, 32):
+        for n_probe in (1, 2, 4, 8):
+            if n_probe > n_cells:
+                continue
+            run(
+                "ivf",
+                f"n_cells={n_cells} n_probe={n_probe}",
+                ivf_topk(
+                    corpus, queries, k=k, n_cells=n_cells, n_probe=n_probe
+                ),
+            )
+
+    print("IVF-Flat (trained k-means centroids, 4 Lloyd iters):")
+    for n_cells in (8, 16):
+        cents = kmeans_centroids(corpus, n_cells, max_iter=4)
+        for n_probe in (1, 2, 4):
+            run(
+                "ivf_kmeans",
+                f"n_cells={n_cells} n_probe={n_probe}",
+                ivf_topk(
+                    corpus,
+                    queries,
+                    k=k,
+                    n_cells=n_cells,
+                    n_probe=n_probe,
+                    centroids=cents,
+                ),
+            )
+
+    print("PQ (trained codebooks, ADC + exact rerank of expand*k):")
+    for m, n_codes in ((4, 16), (8, 16), (8, 64)):
+        books = pq_train(corpus, dim=dim, m=m, n_codes=n_codes)
+        codes = pq_encode(corpus, books).persist()
+        codes.count()
+        for expand in (1, 2, 4):
+            # ADC candidates -> exact per-query rerank of expand*k
+            # (standard PQ): candidate pairs are nq*expand*k rows, so
+            # the rerank is a tiny equi-join + window
+            from pyspark.sql import Window
+
+            from ncagg_spark.functions.vectors import (
+                dot,
+                l2_norm,
+                norm_guard,
+            )
+
+            cand = pq_topk(codes, books, queries, k=expand * k).select(
+                "query_id", "neighbor_id"
+            )
+            qv = queries.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("q_vec"),
+                norm_guard(l2_norm("embedding")).alias("q_norm"),
+            )
+            cv = corpus.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("c_vec"),
+                norm_guard(l2_norm("embedding")).alias("c_norm"),
+            )
+            w = Window.partitionBy("query_id").orderBy(
+                F.col("cosine").desc(), F.col("neighbor_id").asc()
+            )
+            scored = (
+                cand.join(F.broadcast(qv), on="query_id")
+                .join(cv, on="neighbor_id")
+                .withColumn(
+                    "cosine",
+                    dot("q_vec", "c_vec")
+                    / (F.col("q_norm") * F.col("c_norm")),
+                )
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "neighbor_id", "rank", "cosine")
+            )
+            run("pq", f"m={m} codes={n_codes} expand={expand}", scored)
+        codes.unpersist()
+
+    print()
+    print("| method | params | recall@{} | eval s |".format(k))
+    print("|---|---|---|---|")
+    for r in rows:
+        print(
+            f"| {r['method']} | {r['params']} | {r['recall']:.4f} "
+            f"| {r['sec']} |"
+        )
+    print(
+        json.dumps(
+            {"sf_dir": sf_dir, "k": k, "n_queries": nq, "rows": rows}
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
