@@ -1,0 +1,156 @@
+"""Derive a larger scale factor from the driver's sf0.1 tables by
+deterministic k-fold replication — the sf1.0 scale-ramp input
+(VERDICT r5 #2). NOT a new synthetic generator: every replica is the
+driver's own data with keys shifted (FK-consistent), so per-row
+distributions are exactly preserved while volume scales by k.
+
+Per-table treatment (replica r in 0..k-1):
+  * region / nation: fixed dimensions, copied once (as in TPC-H, where
+    they are constant across SF).
+  * customer/supplier/part/orders/lineitem: every key column shifted by
+    r * (max_key + 1) of its table, consistently across FK pairs — joins
+    produce exactly k x the rows, never cross-replica matches.
+  * events: event_id/user_id shifted; ts jittered +r*73 us (well under
+    the 1 s cadence) — the same day becomes k x denser, which is how a
+    fixed-window regularization actually scales (more input per slot,
+    same output grid).
+  * documents: doc_id shifted; replica > 0 texts get a deterministic
+    ' rep<r>' suffix so cross-replica EXACT duplicates don't collapse
+    the corpus, while each replica keeps the driver's full dup/near-dup
+    structure.
+  * embeddings: vec_id shifted; coordinate 0 perturbed by r * 1e-4 so
+    replicas aren't bitwise-identical vectors (which would make every
+    query's top-k a tie pile-up) but geometry is preserved.
+
+Usage: python tools/gen_scale.py [k] [src] [out]
+defaults: k=10, src=/root/testdata/sf0.1, out=<repo>/.scale/sf1.0
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+KEYED = {
+    "customer": {"c_custkey": "customer"},
+    "supplier": {"s_suppkey": "supplier"},
+    "part": {"p_partkey": "part"},
+    "orders": {"o_orderkey": "orders", "o_custkey": "customer"},
+    "lineitem": {
+        "l_orderkey": "orders",
+        "l_partkey": "part",
+        "l_suppkey": "supplier",
+    },
+}
+
+
+def main():
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    out = (
+        sys.argv[3]
+        if len(sys.argv) > 3
+        else os.path.join(REPO, ".scale", "sf1.0")
+    )
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count() or 8}")
+
+    for t in ["region", "nation"]:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet')) "
+            f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+        print(t, "copied")
+
+    # strides: max key + 1 per base table, so shifted ranges are disjoint
+    strides = {}
+    for base, keycol in [
+        ("customer", "c_custkey"),
+        ("supplier", "s_suppkey"),
+        ("part", "p_partkey"),
+        ("orders", "o_orderkey"),
+    ]:
+        strides[base] = (
+            con.execute(
+                f"SELECT max({keycol}) + 1 FROM "
+                f"read_parquet('{src}/{base}.parquet')"
+            ).fetchone()[0]
+        )
+
+    rep = f"(SELECT unnest(generate_series(0, {k - 1})) AS r)"
+
+    for t, keymap in KEYED.items():
+        cols = [
+            r[0]
+            for r in con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{src}/{t}.parquet')"
+            ).fetchall()
+        ]
+        sel = ", ".join(
+            f"{c} + r * {strides[keymap[c]]} AS {c}" if c in keymap else c
+            for c in cols
+        )
+        con.execute(
+            f"COPY (SELECT {sel} FROM read_parquet('{src}/{t}.parquet'), "
+            f"{rep}) TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{out}/{t}.parquet')"
+        ).fetchone()[0]
+        print(t, n)
+
+    ev_stride = con.execute(
+        f"SELECT max(event_id) + 1 FROM read_parquet('{src}/events.parquet')"
+    ).fetchone()[0]
+    u_stride = con.execute(
+        f"SELECT max(user_id) + 1 FROM read_parquet('{src}/events.parquet')"
+    ).fetchone()[0]
+    con.execute(
+        f"""COPY (SELECT event_id + r * {ev_stride} AS event_id,
+                 ts + r * INTERVAL 73 MICROSECOND AS ts,
+                 user_id + r * {u_stride} AS user_id,
+                 event_type, value, props
+          FROM read_parquet('{src}/events.parquet'), {rep})
+          TO '{out}/events.parquet' (FORMAT PARQUET)"""
+    )
+    print("events", k * 100000)
+
+    d_stride = con.execute(
+        f"SELECT max(doc_id) + 1 FROM read_parquet('{src}/documents.parquet')"
+    ).fetchone()[0]
+    con.execute(
+        f"""COPY (SELECT doc_id + r * {d_stride} AS doc_id,
+                 CASE WHEN r = 0 THEN text
+                      ELSE text || ' rep' || CAST(r AS VARCHAR) END AS text,
+                 lang, source,
+                 CASE WHEN r = 0 THEN n_chars
+                      ELSE n_chars + 4 + length(CAST(r AS VARCHAR))
+                 END AS n_chars
+          FROM read_parquet('{src}/documents.parquet'), {rep})
+          TO '{out}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    print("documents done")
+
+    v_stride = con.execute(
+        f"SELECT max(vec_id) + 1 FROM "
+        f"read_parquet('{src}/embeddings.parquet')"
+    ).fetchone()[0]
+    con.execute(
+        f"""COPY (SELECT vec_id + r * {v_stride} AS vec_id,
+                 list_prepend(CAST(embedding[1] + r * 0.0001 AS FLOAT),
+                              embedding[2:]) AS embedding,
+                 label
+          FROM read_parquet('{src}/embeddings.parquet'), {rep})
+          TO '{out}/embeddings.parquet' (FORMAT PARQUET)"""
+    )
+    print("embeddings done")
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()
