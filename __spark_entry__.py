@@ -1210,9 +1210,14 @@ def q_emb_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH with MULTI-PROBE (round 6): the query's own bucket plus
+    its closest-plane flip neighbor — the probe list is re-derived in
+    the DuckDB oracle from the same deterministic planes, so the whole
+    multi-probe operator is value-hash-gated, not just the probes=1
+    degenerate case."""
     em = _t(spark, sf_dir, "embeddings")
     queries = em.filter(F.col("vec_id") < 10)
-    return srp_lsh_topk(em, queries, k=5, n_planes=8, dim=64)
+    return srp_lsh_topk(em, queries, k=5, n_planes=8, dim=64, probes=2)
 
 
 def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1549,6 +1554,41 @@ def _sql_srp_bucket(vec: str, n_planes: int = 8, dim: int = 64) -> str:
         )
         terms.append(f"(CASE WHEN {dotp} > 0 THEN {1 << i} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
+
+
+def _sql_srp_probe_buckets(
+    vec: str, n_planes: int = 8, dim: int = 64, probes: int = 2
+) -> str:
+    """DuckDB twin of similarity.srp_probe_buckets: the query's own
+    bucket plus probes-1 single-bit flips, flipping the planes with the
+    smallest |dot| first (ties by plane index) — identical fold order to
+    the Spark expression, so the probe LIST is bit-identical."""
+    from ncagg_spark.pipeline.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(n_planes, dim, 42)
+    dots = []
+    for plane in planes:
+        lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        dots.append(
+            f"list_sum(list_transform(list_zip({vec}, {lit}), "
+            "x -> x[1]::DOUBLE * x[2]::DOUBLE))"
+        )
+    dlist = "[" + ", ".join(dots) + "]"
+    idx = "[" + ", ".join(str(i) for i in range(n_planes)) + "]"
+    base = "(CAST(0 AS BIGINT) + " + " + ".join(
+        f"(CASE WHEN {d} > 0 THEN CAST({1 << i} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)"
+        for i, d in enumerate(dots)
+    ) + ")"
+    order = (
+        f"list_transform(list_sort(list_zip("
+        f"list_transform({dlist}, d -> abs(d)), {idx})), s -> s[2])"
+    )
+    extra = max(min(probes, n_planes + 1) - 1, 0)
+    return (
+        f"list_prepend({base}, list_transform({order}[1:{extra}], "
+        f"i -> xor({base}, (CAST(1 AS BIGINT) << i))))"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2350,15 +2390,20 @@ def oracle_sql() -> dict[str, str]:
 
     srp = _sql_srp_bucket("embedding")
     sqls["emb_srp_topk"] = f"""
-        WITH b AS (SELECT vec_id, embedding, {srp} AS bucket FROM embeddings)
+        WITH c AS (SELECT vec_id, embedding, {srp} AS bucket FROM embeddings),
+        q AS (
+            SELECT vec_id, embedding,
+                   unnest({_sql_srp_probe_buckets('embedding', probes=2)})
+                       AS bucket
+            FROM embeddings WHERE vec_id < 10
+        )
         SELECT query_id, neighbor_id, rank, cosine FROM (
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                    round({cos}, 6) AS cosine,
                    row_number() OVER (PARTITION BY q.vec_id
                                       ORDER BY round({cos}, 6) DESC, c.vec_id ASC) AS rank
-            FROM b q JOIN b c
+            FROM q JOIN c
               ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-            WHERE q.vec_id < 10
         ) WHERE rank <= 5
     """
 
