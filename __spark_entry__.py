@@ -345,6 +345,107 @@ def q_stream_day_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA correctness, oracle-checked (round 6): the
+    pure-streaming dedup (streaming/regularize.py:stream_dedup_cadence,
+    append mode, bounded state) must DROP records that arrive after the
+    watermark has passed them. Micro-batch order is forced by file
+    mtime with maxFilesPerTrigger=1:
+
+      batch 0  g0 = first-half-day events with event_id % 5 != 0
+               (advances the watermark to ~12:00 - delay)
+      batch 1  sentinel past the half-day window: filtered out by the
+               bounds (no output row of its own) but its event time
+               pushes the watermark past every open slot, so batch 1
+               EMITS AND EVICTS all of g0's windows
+      batch 2  g1 = the event_id % 5 == 0 stragglers, all with event
+               times in the first SIX hours — their windows are closed
+               AND evicted, so every row is dropped. (Ordering matters:
+               Spark only guarantees dropping late rows whose state is
+               already evicted; a late row arriving while its window is
+               still in state merges into it — the documented
+               "may or may not be dropped" zone. Flushing first makes
+               the drop deterministic, which is what lets this query be
+               value-hash-gated at all.)
+      batch 3  second sentinel: flushes anything still open (nothing —
+               guards the invariant rather than the result)
+
+    The DuckDB oracle therefore sees ONLY g0: earliest-per-minute-slot
+    over the %5 != 0 rows. If late rows leaked into the result, the
+    hash comparison fails."""
+    import glob as _glob
+    import os
+
+    from ncagg_spark.streaming.regularize import (
+        stream_dedup_cadence,
+        stream_granules,
+    )
+
+    base = _work_dir("ncagg_late", sf_dir)
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+
+    half_hi = DAY_LO_US + (DAY_HI_US - DAY_LO_US) // 2
+    ev = load_table(
+        spark,
+        f"{sf_dir}/events.parquet",
+        time_bounds=("ts", DAY_LO_US, half_hi),
+    )
+    ev = drop_invalid_index(ev, "ts").select("ts", "event_id", "value")
+    g0 = ev.filter(F.col("event_id") % 5 != 0)
+    g1 = ev.filter(
+        (F.col("event_id") % 5 == 0)
+        & (epoch_us("ts") < DAY_LO_US + 6 * 3_600_000_000)
+    )
+    sent = [
+        spark.createDataFrame(
+            [(half_hi + (i + 1) * 3_600_000_000, 10**9 + i, 0.0)],
+            "us long, event_id long, value double",
+        ).select(
+            F.timestamp_micros("us").alias("ts"), "event_id", "value"
+        )
+        for i in range(2)
+    ]
+    mtime = 1_700_000_000
+    for i, part in enumerate([g0, sent[0], g1, sent[1]]):
+        tmp_out = os.path.join(base, f"tmp{i}")
+        part.coalesce(1).write.parquet(tmp_out)
+        (pf,) = _glob.glob(os.path.join(tmp_out, "part-*.parquet"))
+        dst = os.path.join(in_dir, f"granule_{i}.parquet")
+        os.rename(pf, dst)
+        # force micro-batch order: the file source orders by mtime
+        os.utime(dst, (mtime + 100 * i, mtime + 100 * i))
+
+    cfg = AggregationConfig(
+        index_by="ts",
+        cadence_hz=1e6 / STEP_US,
+        min_bound=DAY_LO_US / 1e6,
+        max_bound=half_hi / 1e6,
+        tiebreak=["event_id"],
+    )
+    stream = stream_granules(
+        spark,
+        in_dir,
+        spark.read.parquet(in_dir).schema,
+        max_files_per_trigger=1,
+    )
+    out = stream_dedup_cadence(stream, cfg, watermark_delay="120 seconds")
+    out_dir = os.path.join(base, "out")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out_dir)
+    return got.select(
+        F.col("__bucket").alias("bucket"), "ts", "event_id", "value"
+    )
+
+
 def q_agg_bounds_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(
         spark,
@@ -1418,6 +1519,10 @@ def queries() -> dict[str, _T]:
         "doc_simhash": q_doc_simhash,
         "rel_window_topk": q_rel_window_topk,
         "rel_anti_join": q_rel_anti_join,
+        # streaming late-data correctness (round 6): fully oracle-SQL'd
+        # like the window queries; lives in the tail because the 50-slot
+        # window is full — tools/check_oracle.py still gates it
+        "stream_late_drop": q_stream_late_drop,
     }
 
 
@@ -1659,6 +1764,27 @@ def oracle_sql() -> dict[str, str]:
                coalesce(d.ts, make_timestamp({DAY_LO_US} + g.bucket * {STEP_US})) AS ts,
                d.event_id, d.value, (d.ts IS NULL) AS is_fill
         FROM grid g LEFT JOIN dedup d USING (bucket)
+    """
+
+    # streaming late-drop: the watermark drops every straggler in the
+    # late granule, so the oracle sees ONLY the on-time (%5 != 0) rows —
+    # earliest per minute slot over the first half-day
+    _HALF_HI_US = DAY_LO_US + (DAY_HI_US - DAY_LO_US) // 2
+    sqls["stream_late_drop"] = f"""
+        WITH src AS (
+            SELECT ts, event_id, value,
+                   (epoch_us(ts) - {DAY_LO_US}) // {STEP_US} AS bucket
+            FROM events
+            WHERE ts IS NOT NULL AND epoch_us(ts) > 0
+              AND ts >= make_timestamp({DAY_LO_US})
+              AND ts < make_timestamp({_HALF_HI_US})
+              AND event_id % 5 <> 0
+        )
+        SELECT bucket, ts, event_id, value FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY bucket ORDER BY ts, event_id) AS rn
+            FROM src
+        ) WHERE rn = 1
     """
 
     # incremental (4-micro-batch foreachBatch merge) == one-shot batch:
