@@ -59,13 +59,28 @@ def dedup_cadence(
 ) -> DataFrame:
     """Keep the first record per cadence slot.
 
-    Ordering inside a slot is (index, *tiebreak) ascending — fully
-    deterministic, never dropDuplicates-without-order (SURVEY.md §7.5.2).
+    Ordering inside a slot is (index, *tiebreak) ascending, with the
+    full row as the final tiebreaker — fully deterministic, never
+    dropDuplicates-without-order (SURVEY.md §7.5.2).
+
+    Formulated as ``min(struct(order-keys, row))`` per bucket (round 6;
+    the same shape the streaming dedup uses) rather than a
+    ``row_number`` window: an aggregate gets MAP-SIDE PARTIAL
+    aggregation, so each mapper ships at most one row per slot it saw —
+    on a 100 TB stream where many records land in each cadence slot,
+    the shuffle carries slots, not records, where the window form
+    shuffles and per-key-sorts EVERY input row. Result is identical on
+    any input where (index, tiebreak) is a total order per slot, and
+    still deterministic (the trailing row struct breaks residual ties)
+    otherwise.
     """
-    order = [F.col(index_col).asc()] + [F.col(c).asc() for c in (tiebreak or [])]
-    w = Window.partitionBy(bucket_col).orderBy(*order)
+    ordered = F.struct(
+        F.col(index_col).alias("__ix"),
+        *[F.col(c).alias(f"__tb_{c}") for c in (tiebreak or [])],
+        F.struct(*[F.col(c) for c in df.columns]).alias("row"),
+    )
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        df.groupBy(F.col(bucket_col).alias("__g"))
+        .agg(F.min(ordered).alias("__best"))
+        .select("__best.row.*")
     )

@@ -28,7 +28,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def union_find_min_labels(pairs: np.ndarray, nodes: np.ndarray) -> dict:
+def union_find_min_labels(pairs: np.ndarray) -> dict:
     """node -> min node id in its component, for nodes in `pairs`."""
     ids = np.unique(pairs)
     index = {int(v): i for i, v in enumerate(ids)}
@@ -66,7 +66,7 @@ def main() -> None:
     pairs = pdf.to_numpy(dtype=np.int64).reshape(-1, 2)
     print(f"pairs: {len(pairs):,}")
 
-    labels = union_find_min_labels(pairs, None)
+    labels = union_find_min_labels(pairs)
 
     got = {
         int(r["doc_id"]): int(r["cluster_id"])
