@@ -1217,6 +1217,7 @@ def q_doc_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         bench_ngram_n=8,
         max_shared_span=20,
         span_k=8,
+        cc_num_partitions=8,
     )
     return out.select("doc_id", "n_members")
 

@@ -60,6 +60,7 @@ def clean_corpus(
     max_dup_5gram_frac: float | None = None,
     max_shared_span: int | None = None,
     span_k: int = 8,
+    cc_num_partitions: int | None = None,
 ) -> DataFrame:
     """Run the full cleaning chain; returns surviving rows of ``docs``
     (original columns plus ``n_members``, the near-dup cluster size each
@@ -105,7 +106,12 @@ def clean_corpus(
     ).filter(F.col("jaccard") >= F.lit(jaccard_threshold)).select(
         "id_a", "id_b"
     )
-    kept = near_dedup(kept, verified, id_col=id_col)
+    # cc_num_partitions sizes the per-round CC shuffles to the PAIR
+    # GRAPH (orders of magnitude smaller than the corpus); callers at
+    # cluster scale pass ~|edges| / target_task_rows
+    kept = near_dedup(
+        kept, verified, id_col=id_col, num_partitions=cc_num_partitions
+    )
 
     if max_shared_span is not None:
         # span-level (substring) gate: document-level dedup keeps docs
