@@ -79,15 +79,22 @@ def run_reference(files, dim_updates, repeats):
     return best[0], best[1], out_path
 
 
-def ref_grid(out_path, index_var, inner):
+def ref_grid(out_path, index_var, inner, value_var=None):
     import netCDF4 as nc
 
     with nc.Dataset(out_path) as f:
         t = f.variables[index_var][:]
         units = f.variables[index_var].getncattr("units")
+        vals = None
+        if value_var:
+            v = f.variables[value_var]
+            vals = np.asarray(v[:], dtype="float64")
+            if "_FillValue" in v.ncattrs():
+                fv = float(v.getncattr("_FillValue"))
+                vals = np.where(vals == fv, np.nan, vals)
     if inner:
         t = t[:, 0]
-    return np.asarray(t, dtype="float64"), units
+    return np.asarray(t, dtype="float64"), units, vals
 
 
 def run_engine(spark, files, cfg, out_dir, inner_hz, repeats):
@@ -203,6 +210,7 @@ def main():
             },
             "index_var": "OB_time",
             "inner_hz": 10.0,
+            "value_var": "attitude_quat_Q3",
             "eng_cfg": AggregationConfig(
                 index_by="OB_time",
                 cadence_hz=1.0,
@@ -229,6 +237,7 @@ def main():
             },
             "index_var": "time",
             "inner_hz": None,
+            "value_var": "irradiance_xrsb1",
             "eng_cfg": AggregationConfig(
                 index_by="time",
                 cadence_hz=1.0,
@@ -272,6 +281,7 @@ def main():
             },
             "index_var": "OB_time",
             "inner_hz": 10.0,
+            "value_var": "attitude_quat_Q3",
             "eng_cfg": AggregationConfig(
                 index_by="OB_time",
                 cadence_hz=1.0,
@@ -296,7 +306,10 @@ def main():
             sc["files"], sc["dim_updates"],
             sc.get("ref_repeats", repeats),
         )
-        rt, units = ref_grid(ref_out, sc["index_var"], sc["inner_hz"])
+        rt, units, rvals = ref_grid(
+            ref_out, sc["index_var"], sc["inner_hz"],
+            sc.get("value_var"),
+        )
         os.remove(ref_out)
         print(
             f"reference: {ref_sec:.2f}s (gen {ref_gen:.2f}s) "
@@ -312,11 +325,19 @@ def main():
         col = (
             F.element_at(idx, 1) if sc["inner_hz"] else F.col(idx)
         )
-        et = np.array(
-            [
-                r[0].timestamp()
-                for r in df.select(col).orderBy(col).collect()
-            ]
+        vcol = sc.get("value_var")
+        sel = [col.alias("__t")] + ([F.col(vcol)] if vcol else [])
+        rows = df.select(*sel).orderBy("__t").collect()
+        et = np.array([r["__t"].timestamp() for r in rows])
+        evals = (
+            np.array(
+                [
+                    np.nan if r[vcol] is None else float(r[vcol])
+                    for r in rows
+                ]
+            )
+            if vcol
+            else None
         )
         print(f"engine:    {eng_sec:.2f}s records={eng_rows}")
 
@@ -325,8 +346,11 @@ def main():
         from ncagg_spark.functions.time import _parse_units
 
         scale, epoch = _parse_units(units)
-        rsec = np.sort(rt * scale + epoch.timestamp())
-        et = np.sort(et)
+        rsec_raw = rt * scale + epoch.timestamp()
+        ri = np.argsort(rsec_raw)
+        rsec = rsec_raw[ri]
+        rvals_s = rvals[ri] if rvals is not None else None
+        # et/evals are already time-ordered (orderBy above)
         # nearest-neighbor parity: a single leading/trailing fill slot
         # placed differently would shift an element-wise compare by one
         # whole cadence; match each engine slot to its closest reference
@@ -347,6 +371,34 @@ def main():
             f"grid parity: n={n} max|dt|={max_dt:.6f}s "
             f"slots_off_by>1ms={n_off}"
         )
+        # VALUE parity on a data variable: match each engine slot to the
+        # nearest reference slot; where the slot times agree (<1 ms),
+        # the carried values must agree too (both fill, or both real and
+        # numerically equal up to the float32 storage the reference
+        # round-trips through)
+        max_dv = None
+        n_val = n_val_mismatch = 0
+        if rvals_s is not None and evals is not None:
+            match = near <= 1e-3
+            ref_at = np.where(
+                np.abs(et - rsec[pos - 1]) <= np.abs(et - rsec[pos]),
+                pos - 1,
+                pos,
+            )
+            rv = rvals_s[ref_at[match]]
+            evv = evals[match]
+            both = np.isfinite(rv) & np.isfinite(evv)
+            n_val = int(both.sum())
+            n_val_mismatch = int(
+                (np.isfinite(rv) != np.isfinite(evv)).sum()
+            )
+            if n_val:
+                max_dv = float(np.abs(rv[both] - evv[both]).max())
+            print(
+                f"value parity ({sc.get('value_var')}): "
+                f"n_both_real={n_val} fill_disagree={n_val_mismatch} "
+                f"max|dv|={max_dv}"
+            )
         results.append(
             {
                 "scenario": sc["name"],
@@ -357,6 +409,10 @@ def main():
                 "ratio_engine_over_ref": round(eng_sec / ref_sec, 3),
                 "grid_max_abs_dt_sec": max_dt,
                 "grid_slots_off_gt_1ms": n_off,
+                "value_var": sc.get("value_var"),
+                "value_slots_both_real": n_val,
+                "value_fill_disagreements": n_val_mismatch,
+                "value_max_abs_diff": max_dv,
             }
         )
 
