@@ -157,3 +157,30 @@ def test_srp_probes_one_matches_legacy(ann):
     assert sorted(map(tuple, a.collect())) == sorted(
         map(tuple, b.collect())
     )
+
+
+def test_srp_probe_bucket_list_properties(spark):
+    """Probe list invariants: own bucket first, all entries distinct,
+    length = min(probes, n_planes + 1), and each flip differs from the
+    base in exactly one bit."""
+    from ncagg_spark.pipeline.similarity import (
+        random_hyperplanes,
+        srp_bucket,
+        srp_probe_buckets,
+    )
+    import pyspark.sql.functions as F
+
+    corpus = load_table(spark, f"{SF_DIR}/embeddings.parquet").limit(64)
+    planes = random_hyperplanes(8, 64, 42)
+    rows = corpus.select(
+        srp_bucket("embedding", planes).alias("base"),
+        srp_probe_buckets("embedding", planes, 4).alias("probes"),
+        srp_probe_buckets("embedding", planes, 100).alias("all_probes"),
+    ).collect()
+    for r in rows:
+        assert r["probes"][0] == r["base"]
+        assert len(r["probes"]) == 4
+        assert len(set(r["probes"])) == 4
+        assert len(r["all_probes"]) == 9  # n_planes + 1 cap
+        for flip in r["probes"][1:]:
+            assert bin(flip ^ r["base"]).count("1") == 1

@@ -111,3 +111,29 @@ def test_connected_components_long_chain_converges(spark):
     labels = {r["cluster_id"] for r in out.collect()}
     assert labels == {100}
     assert out.count() == 25
+
+
+def test_cc_agrees_with_union_find_oracle(spark):
+    """Third-implementation agreement (round 6): the Spark pointer-
+    jumping CC and a driver-side union-find must produce identical
+    min-label clusterings of the real simhash pair graph — the check
+    that scales past where the DuckDB recursive oracle is tractable
+    (tools/verify_cc.py runs the same comparison at sf1.0)."""
+    import numpy as np
+
+    import __spark_entry__ as entry
+    from tools.verify_cc import union_find_min_labels
+
+    sf = "/root/testdata/sf0.01"
+    pdf = (
+        entry.queries()["doc_simhash_near_dup"](spark, sf)
+        .select("id_a", "id_b")
+        .toPandas()
+    )
+    pairs = pdf.to_numpy(dtype=np.int64).reshape(-1, 2)
+    expect = union_find_min_labels(pairs)
+    got = {
+        int(r["doc_id"]): int(r["cluster_id"])
+        for r in entry.queries()["doc_dup_clusters"](spark, sf).collect()
+    }
+    assert got == expect
