@@ -219,6 +219,7 @@ class Variable:
             self._grow_axis0(int(key[0].stop))
         elif (
             key
+            and isinstance(key[0], slice)  # array keys must not hit ==
             and key[0] == slice(None)
             and self.dimensions
             and self._ds.dimensions[self.dimensions[0]].isunlimited()
