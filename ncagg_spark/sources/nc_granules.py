@@ -472,6 +472,68 @@ def write_nc_aggregate(
     for name in pdf.columns:
         col = pdf[name]
         first = next((v for v in col if v is not None), None)
+        if isinstance(first, (list, np.ndarray)) and any(
+            isinstance(e, (list, np.ndarray))
+            for v in col
+            if v is not None
+            for e in v
+        ):
+            # NESTED array column (2-D per record, e.g. MAG's
+            # amb_mag_EPN (report, samples, 3)): becomes a 3-D
+            # (record, dim1, dim2) variable. Widths from the widest
+            # non-null row / element; short rows and elements pad NaN.
+            w1 = max((len(v) for v in col if v is not None), default=0)
+            w2 = max(
+                (
+                    len(e)
+                    for v in col
+                    if v is not None
+                    for e in v
+                    if e is not None
+                ),
+                default=0,
+            )
+            if w1 == 0 or w2 == 0:
+                raise ValueError(
+                    f"nested array column {name!r} has no non-empty "
+                    "rows — cannot derive fixed inner dimensions"
+                )
+            full = True
+            mat = np.full((len(col), w1, w2), np.nan, dtype="float64")
+            for i, v in enumerate(col):
+                if v is None:
+                    full = False
+                    continue
+                if len(v) < w1:
+                    full = False
+                for j, e in enumerate(v):
+                    if e is None:
+                        full = False
+                        continue
+                    if len(e) < w2:
+                        full = False
+                    a = np.asarray(e, dtype="float64")
+                    mat[i, j, : len(a)] = a
+            el0 = next(
+                (
+                    e[0]
+                    for v in col
+                    if v is not None
+                    for e in v
+                    if e is not None and len(e) > 0
+                ),
+                None,
+            )
+            is_int = isinstance(el0, (int, np.integer)) and not isinstance(
+                el0, bool
+            )
+            if is_int and full:
+                mat = mat.astype("int64")
+            d1, d2 = f"{name}_dim1", f"{name}_dim2"
+            dims.append((d1, w1))
+            dims.append((d2, w2))
+            variables[name] = ([record_dim, d1, d2], mat)
+            continue
         if isinstance(first, (list, np.ndarray)):
             # inner width from the widest non-null row (the first row may
             # be an empty list); short rows pad with NaN
@@ -573,6 +635,21 @@ def _streamed_col_specs(df: DataFrame):
         if isinstance(f.dataType, T.ArrayType):
             aggs.append(F.max(F.size(c)).alias(f"xw__{c}"))
             aggs.append(F.min(F.size(c)).alias(f"nw__{c}"))
+            if isinstance(f.dataType.elementType, T.ArrayType):
+                sizes = F.transform(F.col(c), lambda x: F.size(x))
+                aggs.append(
+                    F.max(F.array_max(sizes)).alias(f"xw2__{c}")
+                )
+                aggs.append(
+                    F.min(F.array_min(sizes)).alias(f"nw2__{c}")
+                )
+                aggs.append(
+                    F.max(
+                        F.exists(F.col(c), lambda x: x.isNull()).cast(
+                            "int"
+                        )
+                    ).alias(f"ne__{c}")
+                )
         elif isinstance(f.dataType, T.StringType):
             # UTF-8 byte width (octet_length), matching the pandas
             # paths' s.encode('utf-8') sizing — a char-count width
@@ -582,7 +659,7 @@ def _streamed_col_specs(df: DataFrame):
     numrecs = int(row["__n"])
 
     _scalar = {
-        "byte": "int8", "short": "int16", "int": "int32",
+        "byte": "int8", "short": "int16", "integer": "int32",
         "long": "int64", "float": "float32", "double": "float64",
     }
     specs = []
@@ -597,7 +674,36 @@ def _streamed_col_specs(df: DataFrame):
             # to a float64 NaN scalar variable (byte-identical contract)
             specs.append((c, "scalar", "float64", 0))
             continue
-        if isinstance(f.dataType, T.ArrayType):
+        if isinstance(f.dataType, T.ArrayType) and isinstance(
+            f.dataType.elementType, T.ArrayType
+        ):
+            # nested (2-D per record) array -> 3-D variable; mirrors the
+            # pandas path's widths-from-widest + int64-only-when-full
+            if isinstance(
+                f.dataType.elementType.elementType, T.ArrayType
+            ):
+                raise ValueError(
+                    f"column {c!r}: arrays nested deeper than 2 levels "
+                    "are not supported by the single-file .nc export"
+                )
+            w1 = max(int(row.get(f"xw__{c}") or 0), 0)
+            w2 = max(int(row.get(f"xw2__{c}") or 0), 0)
+            if w1 == 0 or w2 == 0:
+                raise ValueError(
+                    f"nested array column {c!r} has no non-empty rows — "
+                    "cannot derive fixed inner dimensions"
+                )
+            el = f.dataType.elementType.elementType.typeName()
+            full = (
+                not has_null
+                and row.get(f"nw__{c}") == w1
+                and row.get(f"nw2__{c}") == w2
+                and not bool(row.get(f"ne__{c}") or 0)
+            )
+            is_int = el in ("byte", "short", "integer", "long")
+            dt = "int64" if (is_int and full) else "float64"
+            specs.append((c, "array2", dt, (w1, w2)))
+        elif isinstance(f.dataType, T.ArrayType):
             inner = max(int(row.get(f"xw__{c}") or 0), 0)
             if inner == 0:
                 raise ValueError(
@@ -606,7 +712,7 @@ def _streamed_col_specs(df: DataFrame):
                 )
             el = f.dataType.elementType.typeName()
             full = (row.get(f"nw__{c}") == inner) and not has_null
-            is_int = el in ("byte", "short", "int", "long")
+            is_int = el in ("byte", "short", "integer", "long")
             dt = "int64" if (is_int and full) else "float64"
             specs.append((c, "array", dt, inner))
         elif isinstance(f.dataType, T.StringType):
@@ -709,7 +815,16 @@ def write_nc_aggregate_streamed(
     dims: list[tuple[str, int]] = [(record_dim, 0)]
     variables: dict[str, tuple[list[str], np.ndarray]] = {}
     for name, kind, dt, width in specs:
-        if kind == "array":
+        if kind == "array2":
+            w1, w2 = width
+            d1, d2 = f"{name}_dim1", f"{name}_dim2"
+            dims.append((d1, w1))
+            dims.append((d2, w2))
+            variables[name] = (
+                [record_dim, d1, d2],
+                np.empty((0, w1, w2), dt),
+            )
+        elif kind == "array":
             dn = f"{name}_dim1"
             dims.append((dn, width))
             variables[name] = ([record_dim, dn], np.empty((0, width), dt))
@@ -733,8 +848,12 @@ def write_nc_aggregate_streamed(
     for name, kind, dt, width in specs:
         t = _NP_TO_NC[str(np.dtype(dt))] if kind != "string" else 2
         be, esz = _DTYPES[t]
-        inner = width if kind in ("array", "string") else 1
-        per = esz * inner
+        if kind == "array2":
+            inner = width  # (w1, w2); flattened row-major per record
+            per = esz * width[0] * width[1]
+        else:
+            inner = width if kind in ("array", "string") else 1
+            per = esz * (inner if kind in ("array", "string") else 1)
         vsize = per + ((4 - per % 4) % 4)
         layout.append((name, kind, be, inner, per, vsize))
     packed = len(layout) == 1  # single record var: no per-record padding
@@ -747,7 +866,24 @@ def write_nc_aggregate_streamed(
             chunks = []
             for name, kind, be, inner, per, vsize in layout:
                 col = pdf[name]
-                if kind == "array":
+                if kind == "array2":
+                    w1, w2 = inner
+                    base = np.dtype(be).newbyteorder("=")
+                    mat = np.full(
+                        (n, w1, w2),
+                        np.nan if base.kind == "f" else 0,
+                        dtype=base,
+                    )
+                    for i, v in enumerate(col):
+                        if v is None:
+                            continue
+                        for j, e in enumerate(v):
+                            if e is None:
+                                continue
+                            a = np.asarray(e, dtype=base)
+                            mat[i, j, : len(a)] = a
+                    a = mat.astype(be).reshape(n, w1 * w2)
+                elif kind == "array":
                     base = np.dtype(be).newbyteorder("=")
                     mat = np.full((n, inner), np.nan if base.kind == "f" else 0,
                                   dtype=base)

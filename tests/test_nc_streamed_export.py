@@ -331,3 +331,73 @@ def test_streamed_nc4_wide_array_default_chunk_capped(spark, tmp_path):
     assert width == w
     assert rows * w * 8 <= 16 << 20  # per-variable 16 MiB cap
     assert h5.read("wide").shape == (64, w)
+
+
+def test_nested_array_columns_export_3d(spark, tmp_path):
+    """array<array<T>> columns (2-D per record, e.g. MAG's
+    (report, samples, 3) field vectors) export as 3-D
+    (record, dim1, dim2) variables — round 6, found by exporting the
+    full real MAG aggregate in the head-to-head harness. Both export
+    paths must agree byte-for-byte; ragged rows pad NaN; int64 only
+    when every row and element is full."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ncagg_spark.sources.nc_granules import (
+        write_nc_aggregate,
+        write_nc_aggregate_streamed,
+    )
+    from ncagg_spark.sources.netcdf3 import read_netcdf3
+
+    T0 = 1_704_153_600_000_000
+    rows = []
+    for i in range(50):
+        mat = [[float(i), float(j), i + j / 10.0] for j in range(4)]
+        if i == 7:
+            mat = mat[:2]  # ragged outer -> float64 + NaN pad
+        imat = [[i, j] for j in range(3)]  # full -> int64
+        rows.append((T0 + i * 1_000_000, mat, imat, float(i)))
+    df = spark.createDataFrame(
+        rows,
+        "us long, field array<array<double>>, "
+        "counts array<array<long>>, v double",
+    ).select(
+        F.timestamp_micros("us").alias("ts"), "field", "counts", "v"
+    )
+
+    p_mem = str(tmp_path / "mem.nc")
+    p_str = str(tmp_path / "str.nc")
+    write_nc_aggregate(df, p_mem, index_col="ts")
+    write_nc_aggregate_streamed(df, p_str, index_col="ts")
+    a = open(p_mem, "rb").read()
+    assert a == open(p_str, "rb").read()
+
+    f = read_netcdf3(a)
+    field = f.data["field"]
+    counts = f.data["counts"]
+    assert field.shape == (50, 4, 3) and field.dtype.kind == "f"
+    # classic files store big-endian; int64 fullness rule held
+    assert counts.shape == (50, 3, 2)
+    assert counts.dtype.kind == "i" and counts.dtype.itemsize == 8
+    assert field[3][2][2] == 3 + 2 / 10.0
+    # ragged row 7: rows 2..3 padded NaN
+    assert np.isnan(field[7][3]).all() and np.isfinite(field[7][1]).all()
+    assert counts[49][2][1] == 2
+    assert f.variables["field"].dims == ["ts", "field_dim1", "field_dim2"]
+
+
+def test_nested_array_deeper_nesting_raises(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ncagg_spark.sources.nc_granules import (
+        write_nc_aggregate_streamed,
+    )
+
+    df = spark.createDataFrame(
+        [(1_704_153_600_000_000, [[[1.0]]])],
+        "us long, x array<array<array<double>>>",
+    ).select(F.timestamp_micros("us").alias("ts"), "x")
+    with pytest.raises(ValueError, match="deeper than 2"):
+        write_nc_aggregate_streamed(
+            df, str(tmp_path / "n.nc"), index_col="ts"
+        )
