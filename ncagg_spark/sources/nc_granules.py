@@ -613,6 +613,62 @@ def write_nc_aggregate(
     )
 
 
+def _nested_to_matrix(
+    col: pd.Series, widths: tuple, base: np.dtype
+) -> np.ndarray:
+    """List/nested-list column -> dense padded matrix, vectorized.
+
+    Fast path reconstructs the Arrow ListArray and reads its flat
+    values buffer directly — one C-level pass instead of a per-row
+    python loop (the loop made the day-file .nc export CPU-bound).
+    Applies when the batch is fully populated and rectangular at the
+    spec widths; anything ragged/null falls back to the padding loop.
+    """
+    n = len(col)
+    shape = (n, *widths)
+    try:
+        import pyarrow as pa
+
+        arr = pa.array(col)
+        flat = arr
+        total = n
+        ok = arr.null_count == 0
+        for w in widths:
+            if not ok:
+                break
+            offs = flat.offsets.to_numpy()
+            step = np.diff(offs)
+            ok = bool(len(step) == total and np.all(step == w))
+            flat = flat.flatten()
+            total *= w
+            ok = ok and flat.null_count == 0
+        if ok:
+            return flat.to_numpy(zero_copy_only=False).astype(
+                base, copy=False
+            ).reshape(shape)
+    except Exception:  # any Arrow shape surprise -> padding loop below
+        pass
+    mat = np.full(
+        shape, np.nan if base.kind == "f" else 0, dtype=base
+    )
+    if len(widths) == 1:
+        for i, v in enumerate(col):
+            if v is None:
+                continue
+            a = np.asarray(v, dtype=base)
+            mat[i, : len(a)] = a
+    else:
+        for i, v in enumerate(col):
+            if v is None:
+                continue
+            for j, e in enumerate(v):
+                if e is None:
+                    continue
+                a = np.asarray(e, dtype=base)
+                mat[i, j, : len(a)] = a
+    return mat
+
+
 def _streamed_col_specs(df: DataFrame):
     """One distributed aggregate -> per-column export specs.
 
@@ -869,29 +925,11 @@ def write_nc_aggregate_streamed(
                 if kind == "array2":
                     w1, w2 = inner
                     base = np.dtype(be).newbyteorder("=")
-                    mat = np.full(
-                        (n, w1, w2),
-                        np.nan if base.kind == "f" else 0,
-                        dtype=base,
-                    )
-                    for i, v in enumerate(col):
-                        if v is None:
-                            continue
-                        for j, e in enumerate(v):
-                            if e is None:
-                                continue
-                            a = np.asarray(e, dtype=base)
-                            mat[i, j, : len(a)] = a
+                    mat = _nested_to_matrix(col, (w1, w2), base)
                     a = mat.astype(be).reshape(n, w1 * w2)
                 elif kind == "array":
                     base = np.dtype(be).newbyteorder("=")
-                    mat = np.full((n, inner), np.nan if base.kind == "f" else 0,
-                                  dtype=base)
-                    for i, v in enumerate(col):
-                        if v is None:
-                            continue
-                        a = np.asarray(v, dtype=base)
-                        mat[i, : len(a)] = a
+                    mat = _nested_to_matrix(col, (inner,), base)
                     a = mat.astype(be)
                 elif kind == "string":
                     mat = np.zeros((n, inner), dtype="S1")
@@ -921,9 +959,13 @@ def write_nc_aggregate_streamed(
             )
 
     recsize = sum(v for *_, v in layout) if not packed else layout[0][4]
+    # blocks sized to target_block_bytes ONLY: with
+    # prefetchPartitions=False the driver consumes one partition-job at
+    # a time, so every extra block is a sequential ~0.2 s scheduling
+    # round-trip — a defaultParallelism floor here turned MB-sized
+    # exports into 32 serial mini-jobs for zero parallelism gain
+    # (round-6 fix, found by the head-to-head output-parity timing)
     n_blocks = max(1, int(np.ceil(numrecs * recsize / target_block_bytes)))
-    n_blocks = max(n_blocks, df2.sparkSession.sparkContext.defaultParallelism
-                   if numrecs * recsize > 4 << 20 else 1)
     enc = (
         df2.repartitionByRange(n_blocks, F.col(index_col))
         .sortWithinPartitions(index_col)

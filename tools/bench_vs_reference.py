@@ -101,6 +101,7 @@ def run_engine(spark, files, cfg, out_dir, inner_hz, repeats):
     from ncagg_spark.api import aggregate_nc
 
     best = None
+    best_nc = None
     out = None
     for i in range(repeats):
         t0 = time.time()
@@ -111,15 +112,29 @@ def run_engine(spark, files, cfg, out_dir, inner_hz, repeats):
             cfg,
             inner_hz=inner_hz,
         )
-        # aggregate_nc returns after the output parquet is fully
-        # written — stop the clock there; the re-read count below is
-        # result verification, not aggregation work (the reference's
-        # timing likewise excludes re-opening its output)
-        dt = time.time() - t0
-        rows = df.count()
+        dt = time.time() - t0  # native sink (parquet) fully written
+        # output-format parity: ALSO export the materialized sink to the
+        # single-file .nc the reference produces (streamed classic
+        # writer) and report that wall time separately — engine_sec is
+        # the native-sink pipeline, engine_nc_sec adds the .nc artifact
+        from ncagg_spark.sources.nc_granules import (
+            write_nc_aggregate_streamed,
+        )
+
+        idx = cfg.index_by
+        exp = spark.read.parquet(f"{out_dir}/run{i}")
+        if f"{idx}_rep" in exp.columns:
+            # multidim result: export on the representative element
+            idx = f"{idx}_rep"
+        write_nc_aggregate_streamed(exp, f"{out_dir}/run{i}.nc",
+                                    index_col=idx)
+        dt_nc = time.time() - t0
+        rows = df.count()  # verification, outside the timed region
         if best is None or dt < best:
             best, out = dt, df
-    return best, out, rows
+        if best_nc is None or dt_nc < best_nc:
+            best_nc = dt_nc
+    return best, best_nc, out, rows
 
 
 def _san_attrs(attrs):
@@ -321,7 +336,7 @@ def main():
         )
 
         with tempfile.TemporaryDirectory() as d:
-            eng_sec, df, eng_rows = run_engine(
+            eng_sec, eng_nc_sec, df, eng_rows = run_engine(
                 spark, sc["files"], sc["eng_cfg"], d, sc["inner_hz"],
                 repeats,
             )
@@ -343,7 +358,10 @@ def main():
             if vcol
             else None
         )
-        print(f"engine:    {eng_sec:.2f}s records={eng_rows}")
+        print(
+            f"engine:    {eng_sec:.2f}s (+.nc export: {eng_nc_sec:.2f}s) "
+            f"records={eng_rows}"
+        )
 
         # cross-engine grid parity on the shared prefix: decode the
         # reference's CF floats with the same units, compare seconds
@@ -410,7 +428,11 @@ def main():
                 "records": int(eng_rows),
                 "reference_sec": round(ref_sec, 3),
                 "engine_sec": round(eng_sec, 3),
+                "engine_with_nc_sec": round(eng_nc_sec, 3),
                 "ratio_engine_over_ref": round(eng_sec / ref_sec, 3),
+                "ratio_engine_nc_over_ref": round(
+                    eng_nc_sec / ref_sec, 3
+                ),
                 "grid_max_abs_dt_sec": max_dt,
                 "grid_slots_off_gt_1ms": n_off,
                 "value_var": sc.get("value_var"),
@@ -422,13 +444,15 @@ def main():
 
     print()
     print("| scenario | granules | records | reference s | engine s "
-          "| engine/ref |")
-    print("|---|---|---|---|---|---|")
+          "| engine+.nc s | engine/ref | engine+.nc/ref |")
+    print("|---|---|---|---|---|---|---|---|")
     for r in results:
         print(
             f"| {r['scenario']} | {r['n_granules']} | {r['records']} "
             f"| {r['reference_sec']} | {r['engine_sec']} "
-            f"| {r['ratio_engine_over_ref']} |"
+            f"| {r['engine_with_nc_sec']} "
+            f"| {r['ratio_engine_over_ref']} "
+            f"| {r['ratio_engine_nc_over_ref']} |"
         )
     print(json.dumps({"repeats": repeats, "results": results}))
     import shutil
