@@ -866,6 +866,10 @@ def write_nc_aggregate_streamed(
     df2, var_attributes = _cf_encode_timestamps(
         df, cf_units, dict(var_attributes or {})
     )
+    # multiple consumers read df2 (spec pass, partition sampling,
+    # encode) — materialize it once; executor storage spills to disk,
+    # the DRIVER memory contract is untouched
+    df2 = df2.persist()
     numrecs, specs = _streamed_col_specs(df2)
 
     dims: list[tuple[str, int]] = [(record_dim, 0)]
@@ -972,17 +976,20 @@ def write_nc_aggregate_streamed(
         .mapInPandas(encode, schema="ord double, data binary")
     )
 
-    with open(path, "wb") as f:
-        f.write(header)
-        last = -np.inf
-        for row in enc.toLocalIterator(prefetchPartitions=False):
-            if row["ord"] < last:
-                raise RuntimeError(
-                    "record blocks arrived out of order — range "
-                    "partitioning violated"
-                )
-            last = row["ord"]
-            f.write(row["data"])
+    try:
+        with open(path, "wb") as f:
+            f.write(header)
+            last = -np.inf
+            for row in enc.toLocalIterator(prefetchPartitions=False):
+                if row["ord"] < last:
+                    raise RuntimeError(
+                        "record blocks arrived out of order — range "
+                        "partitioning violated"
+                    )
+                last = row["ord"]
+                f.write(row["data"])
+    finally:
+        df2.unpersist()
 
 
 def _fill_chunk_block(
@@ -1084,7 +1091,19 @@ def _write_nc4_streamed(
     df2, var_attributes = _cf_encode_timestamps(
         df, cf_units, dict(var_attributes or {})
     )
+    # multiple consumers read df2 (spec pass, partition sampling,
+    # encode) — materialize it once; executor storage spills to disk,
+    # the DRIVER memory contract is untouched
+    df2 = df2.persist()
     numrecs, specs = _streamed_col_specs(df2)
+    if any(kind == "array2" for _, kind, _, _ in specs):
+        df2.unpersist()
+        raise NotImplementedError(
+            "streamed netCDF-4 export of nested (2-D per record) array "
+            "columns is not implemented; use fmt='classic' (streamed, "
+            "supports them) or write_nc_aggregate(fmt='netcdf4') "
+            "(in-memory, supports them)"
+        )
     row_bytes = sum(
         np.dtype(dt).itemsize * (width if kind != "scalar" else 1)
         for _, kind, dt, width in specs
@@ -1200,6 +1219,7 @@ def _write_nc4_streamed(
             shuffle=shuffle,
             _builder=fbd,
         )
+    df2.unpersist()
 
 
 def write_nc_granules(

@@ -401,3 +401,20 @@ def test_nested_array_deeper_nesting_raises(spark, tmp_path):
         write_nc_aggregate_streamed(
             df, str(tmp_path / "n.nc"), index_col="ts"
         )
+
+
+def test_nested_array_nc4_streamed_raises_with_alternative(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ncagg_spark.sources.nc_granules import (
+        write_nc_aggregate_streamed,
+    )
+
+    df = spark.createDataFrame(
+        [(1_704_153_600_000_000, [[1.0, 2.0]])],
+        "us long, m array<array<double>>",
+    ).select(F.timestamp_micros("us").alias("ts"), "m")
+    with pytest.raises(NotImplementedError, match="fmt='classic'"):
+        write_nc_aggregate_streamed(
+            df, str(tmp_path / "x.nc4"), fmt="netcdf4", index_col="ts"
+        )
