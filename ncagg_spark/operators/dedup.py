@@ -73,7 +73,23 @@ def dedup_cadence(
     any input where (index, tiebreak) is a total order per slot, and
     still deterministic (the trailing row struct breaks residual ties)
     otherwise.
+
+    Frames containing non-orderable column types (MapType anywhere in
+    the schema) cannot ride in an ordered struct — for those the
+    row_number window form is used instead, ordering only by
+    (index, *tiebreak) exactly as the pre-round-6 implementation did
+    (ADVICE r6: the aggregate form was a silent API regression for
+    map-typed callers).
     """
+    if any(_has_map_type(f.dataType) for f in df.schema.fields):
+        w = Window.partitionBy(bucket_col).orderBy(
+            index_col, *(tiebreak or [])
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
     ordered = F.struct(
         F.col(index_col).alias("__ix"),
         *[F.col(c).alias(f"__tb_{c}") for c in (tiebreak or [])],
@@ -84,3 +100,17 @@ def dedup_cadence(
         .agg(F.min(ordered).alias("__best"))
         .select("__best.row.*")
     )
+
+
+def _has_map_type(dt) -> bool:
+    """True when a MapType occurs anywhere in ``dt`` (maps have no
+    ordering in Spark, so they cannot appear inside min(struct(...)))."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _has_map_type(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_has_map_type(f.dataType) for f in dt.fields)
+    return False

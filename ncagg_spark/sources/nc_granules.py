@@ -512,7 +512,16 @@ def write_nc_aggregate(
                         continue
                     if len(e) < w2:
                         full = False
-                    a = np.asarray(e, dtype="float64")
+                    # leaf-level nulls: numpy silently maps None -> NaN
+                    # for float64, and a later astype("int64") would turn
+                    # that NaN into INT64_MIN garbage (ADVICE r6) — demote
+                    # the column to float64/NaN instead.
+                    if any(x is None for x in e):
+                        full = False
+                    a = np.asarray(
+                        [np.nan if x is None else x for x in e],
+                        dtype="float64",
+                    )
                     mat[i, j, : len(a)] = a
             el0 = next(
                 (
@@ -546,8 +555,14 @@ def write_nc_aggregate(
             dim_name = f"{name}_dim1"
             dims.append((dim_name, inner))
             # int64 only when every row is present and integral: null rows
-            # fill with NaN, which int64 cannot represent (ADVICE r4)
-            has_null = any(v is None or len(v) < inner for v in col)
+            # AND null leaf elements fill with NaN, which int64 cannot
+            # represent (ADVICE r4, r6)
+            has_null = any(
+                v is None
+                or len(v) < inner
+                or any(x is None for x in v)
+                for v in col
+            )
             is_int = (
                 len(first) > 0
                 and isinstance(first[0], (int, np.integer))
@@ -699,11 +714,24 @@ def _streamed_col_specs(df: DataFrame):
                 aggs.append(
                     F.min(F.array_min(sizes)).alias(f"nw2__{c}")
                 )
+                # null inner array OR null LEAF element: either demotes
+                # an integer column to float64/NaN (ADVICE r6 — a None
+                # leaf would otherwise become INT64_MIN via NaN)
                 aggs.append(
                     F.max(
-                        F.exists(F.col(c), lambda x: x.isNull()).cast(
-                            "int"
-                        )
+                        F.exists(
+                            F.col(c),
+                            lambda x: x.isNull()
+                            | F.exists(x, lambda e: e.isNull()),
+                        ).cast("int")
+                    ).alias(f"ne__{c}")
+                )
+            else:
+                aggs.append(
+                    F.max(
+                        F.exists(
+                            F.col(c), lambda e: e.isNull()
+                        ).cast("int")
                     ).alias(f"ne__{c}")
                 )
         elif isinstance(f.dataType, T.StringType):
@@ -767,7 +795,11 @@ def _streamed_col_specs(df: DataFrame):
                     "cannot derive a fixed inner dimension"
                 )
             el = f.dataType.elementType.typeName()
-            full = (row.get(f"nw__{c}") == inner) and not has_null
+            full = (
+                (row.get(f"nw__{c}") == inner)
+                and not has_null
+                and not bool(row.get(f"ne__{c}") or 0)
+            )
             is_int = el in ("byte", "short", "integer", "long")
             dt = "int64" if (is_int and full) else "float64"
             specs.append((c, "array", dt, inner))
@@ -870,113 +902,113 @@ def write_nc_aggregate_streamed(
     # encode) — materialize it once; executor storage spills to disk,
     # the DRIVER memory contract is untouched
     df2 = df2.persist()
-    numrecs, specs = _streamed_col_specs(df2)
-
-    dims: list[tuple[str, int]] = [(record_dim, 0)]
-    variables: dict[str, tuple[list[str], np.ndarray]] = {}
-    for name, kind, dt, width in specs:
-        if kind == "array2":
-            w1, w2 = width
-            d1, d2 = f"{name}_dim1", f"{name}_dim2"
-            dims.append((d1, w1))
-            dims.append((d2, w2))
-            variables[name] = (
-                [record_dim, d1, d2],
-                np.empty((0, w1, w2), dt),
-            )
-        elif kind == "array":
-            dn = f"{name}_dim1"
-            dims.append((dn, width))
-            variables[name] = ([record_dim, dn], np.empty((0, width), dt))
-        elif kind == "string":
-            dn = f"{name}_str_len"
-            dims.append((dn, width))
-            variables[name] = ([record_dim, dn], np.empty((0, width), dt))
-        else:
-            variables[name] = ([record_dim], np.empty((0,), dt))
-    header = write_netcdf3(
-        None,
-        dims=dims,
-        variables=variables,
-        attributes=attributes,
-        var_attributes=var_attributes,
-        numrecs=numrecs,
-    )
-
-    # per-variable record layout (matching write_netcdf3's data section)
-    layout = []  # (name, kind, be_dtype, inner, per, vsize)
-    for name, kind, dt, width in specs:
-        t = _NP_TO_NC[str(np.dtype(dt))] if kind != "string" else 2
-        be, esz = _DTYPES[t]
-        if kind == "array2":
-            inner = width  # (w1, w2); flattened row-major per record
-            per = esz * width[0] * width[1]
-        else:
-            inner = width if kind in ("array", "string") else 1
-            per = esz * (inner if kind in ("array", "string") else 1)
-        vsize = per + ((4 - per % 4) % 4)
-        layout.append((name, kind, be, inner, per, vsize))
-    packed = len(layout) == 1  # single record var: no per-record padding
-
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            n = len(pdf)
-            if n == 0:
-                continue
-            chunks = []
-            for name, kind, be, inner, per, vsize in layout:
-                col = pdf[name]
-                if kind == "array2":
-                    w1, w2 = inner
-                    base = np.dtype(be).newbyteorder("=")
-                    mat = _nested_to_matrix(col, (w1, w2), base)
-                    a = mat.astype(be).reshape(n, w1 * w2)
-                elif kind == "array":
-                    base = np.dtype(be).newbyteorder("=")
-                    mat = _nested_to_matrix(col, (inner,), base)
-                    a = mat.astype(be)
-                elif kind == "string":
-                    mat = np.zeros((n, inner), dtype="S1")
-                    for i, s in enumerate(col):
-                        if s is None:
-                            continue
-                        bs = s.encode("utf-8")[:inner]
-                        mat[i, : len(bs)] = [bytes([c]) for c in bs]
-                    a = mat
-                else:
-                    a = col.to_numpy()
-                    if a.dtype == object:
-                        a = col.astype(np.dtype(be).newbyteorder("=")).to_numpy()
-                    a = a.astype(be).reshape(n, 1)
-                raw = np.ascontiguousarray(a).view("u1").reshape(n, per)
-                if not packed and vsize > per:
-                    padded = np.zeros((n, vsize), dtype="u1")
-                    padded[:, :per] = raw
-                    raw = padded
-                chunks.append(raw)
-            block = np.hstack(chunks) if len(chunks) > 1 else chunks[0]
-            yield pd.DataFrame(
-                {
-                    "ord": [float(pdf[index_col].iloc[0])],
-                    "data": [block.tobytes()],
-                }
-            )
-
-    recsize = sum(v for *_, v in layout) if not packed else layout[0][4]
-    # blocks sized to target_block_bytes ONLY: with
-    # prefetchPartitions=False the driver consumes one partition-job at
-    # a time, so every extra block is a sequential ~0.2 s scheduling
-    # round-trip — a defaultParallelism floor here turned MB-sized
-    # exports into 32 serial mini-jobs for zero parallelism gain
-    # (round-6 fix, found by the head-to-head output-parity timing)
-    n_blocks = max(1, int(np.ceil(numrecs * recsize / target_block_bytes)))
-    enc = (
-        df2.repartitionByRange(n_blocks, F.col(index_col))
-        .sortWithinPartitions(index_col)
-        .mapInPandas(encode, schema="ord double, data binary")
-    )
-
     try:
+        numrecs, specs = _streamed_col_specs(df2)
+
+        dims: list[tuple[str, int]] = [(record_dim, 0)]
+        variables: dict[str, tuple[list[str], np.ndarray]] = {}
+        for name, kind, dt, width in specs:
+            if kind == "array2":
+                w1, w2 = width
+                d1, d2 = f"{name}_dim1", f"{name}_dim2"
+                dims.append((d1, w1))
+                dims.append((d2, w2))
+                variables[name] = (
+                    [record_dim, d1, d2],
+                    np.empty((0, w1, w2), dt),
+                )
+            elif kind == "array":
+                dn = f"{name}_dim1"
+                dims.append((dn, width))
+                variables[name] = ([record_dim, dn], np.empty((0, width), dt))
+            elif kind == "string":
+                dn = f"{name}_str_len"
+                dims.append((dn, width))
+                variables[name] = ([record_dim, dn], np.empty((0, width), dt))
+            else:
+                variables[name] = ([record_dim], np.empty((0,), dt))
+        header = write_netcdf3(
+            None,
+            dims=dims,
+            variables=variables,
+            attributes=attributes,
+            var_attributes=var_attributes,
+            numrecs=numrecs,
+        )
+
+        # per-variable record layout (matching write_netcdf3's data section)
+        layout = []  # (name, kind, be_dtype, inner, per, vsize)
+        for name, kind, dt, width in specs:
+            t = _NP_TO_NC[str(np.dtype(dt))] if kind != "string" else 2
+            be, esz = _DTYPES[t]
+            if kind == "array2":
+                inner = width  # (w1, w2); flattened row-major per record
+                per = esz * width[0] * width[1]
+            else:
+                inner = width if kind in ("array", "string") else 1
+                per = esz * (inner if kind in ("array", "string") else 1)
+            vsize = per + ((4 - per % 4) % 4)
+            layout.append((name, kind, be, inner, per, vsize))
+        packed = len(layout) == 1  # single record var: no per-record padding
+
+        def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                n = len(pdf)
+                if n == 0:
+                    continue
+                chunks = []
+                for name, kind, be, inner, per, vsize in layout:
+                    col = pdf[name]
+                    if kind == "array2":
+                        w1, w2 = inner
+                        base = np.dtype(be).newbyteorder("=")
+                        mat = _nested_to_matrix(col, (w1, w2), base)
+                        a = mat.astype(be).reshape(n, w1 * w2)
+                    elif kind == "array":
+                        base = np.dtype(be).newbyteorder("=")
+                        mat = _nested_to_matrix(col, (inner,), base)
+                        a = mat.astype(be)
+                    elif kind == "string":
+                        mat = np.zeros((n, inner), dtype="S1")
+                        for i, s in enumerate(col):
+                            if s is None:
+                                continue
+                            bs = s.encode("utf-8")[:inner]
+                            mat[i, : len(bs)] = [bytes([c]) for c in bs]
+                        a = mat
+                    else:
+                        a = col.to_numpy()
+                        if a.dtype == object:
+                            a = col.astype(np.dtype(be).newbyteorder("=")).to_numpy()
+                        a = a.astype(be).reshape(n, 1)
+                    raw = np.ascontiguousarray(a).view("u1").reshape(n, per)
+                    if not packed and vsize > per:
+                        padded = np.zeros((n, vsize), dtype="u1")
+                        padded[:, :per] = raw
+                        raw = padded
+                    chunks.append(raw)
+                block = np.hstack(chunks) if len(chunks) > 1 else chunks[0]
+                yield pd.DataFrame(
+                    {
+                        "ord": [float(pdf[index_col].iloc[0])],
+                        "data": [block.tobytes()],
+                    }
+                )
+
+        recsize = sum(v for *_, v in layout) if not packed else layout[0][4]
+        # blocks sized to target_block_bytes ONLY: with
+        # prefetchPartitions=False the driver consumes one partition-job at
+        # a time, so every extra block is a sequential ~0.2 s scheduling
+        # round-trip — a defaultParallelism floor here turned MB-sized
+        # exports into 32 serial mini-jobs for zero parallelism gain
+        # (round-6 fix, found by the head-to-head output-parity timing)
+        n_blocks = max(1, int(np.ceil(numrecs * recsize / target_block_bytes)))
+        enc = (
+            df2.repartitionByRange(n_blocks, F.col(index_col))
+            .sortWithinPartitions(index_col)
+            .mapInPandas(encode, schema="ord double, data binary")
+        )
+
         with open(path, "wb") as f:
             f.write(header)
             last = -np.inf
@@ -1095,131 +1127,132 @@ def _write_nc4_streamed(
     # encode) — materialize it once; executor storage spills to disk,
     # the DRIVER memory contract is untouched
     df2 = df2.persist()
-    numrecs, specs = _streamed_col_specs(df2)
-    if any(kind == "array2" for _, kind, _, _ in specs):
-        df2.unpersist()
-        raise NotImplementedError(
-            "streamed netCDF-4 export of nested (2-D per record) array "
-            "columns is not implemented; use fmt='classic' (streamed, "
-            "supports them) or write_nc_aggregate(fmt='netcdf4') "
-            "(in-memory, supports them)"
-        )
-    row_bytes = sum(
-        np.dtype(dt).itemsize * (width if kind != "scalar" else 1)
-        for _, kind, dt, width in specs
-    )
-    # widest single variable's bytes-per-record: the default chunk must
-    # stay under a per-VARIABLE byte cap, or a wide array column makes
-    # the default chunk multi-GiB (the _cap_chunk hazard)
-    max_var_row_bytes = max(
-        (
+    try:
+        numrecs, specs = _streamed_col_specs(df2)
+        if any(kind == "array2" for _, kind, _, _ in specs):
+            raise NotImplementedError(
+                "streamed netCDF-4 export of nested (2-D per record) array "
+                "columns is not implemented; use fmt='classic' (streamed, "
+                "supports them) or write_nc_aggregate(fmt='netcdf4') "
+                "(in-memory, supports them)"
+            )
+        row_bytes = sum(
             np.dtype(dt).itemsize * (width if kind != "scalar" else 1)
             for _, kind, dt, width in specs
-        ),
-        default=1,
-    )
-    if record_chunksize:
-        C = max(1, record_chunksize)
-    else:
-        # target ~4 MiB total per chunk row-group (tiny chunks measured
-        # 4x slower end-to-end), capped at 16 MiB for the widest var
-        C = max(4096, (4 << 20) // max(row_bytes, 1))
-        C = max(1, min(C, (16 << 20) // max(max_var_row_bytes, 1)))
-    # encoder blocks and declared chunk metadata must agree: clamp once
-    C = min(C, max(numrecs, 1))
-
-    dims: list[tuple[str, int]] = [(record_dim, 0)]
-    meta: dict[str, tuple[str, np.dtype, tuple, tuple, list[str]]] = {}
-    for name, kind, dt, width in specs:
-        base = np.dtype(dt)
-        if kind == "array":
-            dn = f"{name}_dim1"
-            dims.append((dn, width))
-            inner, vdims = (width,), [record_dim, dn]
-        elif kind == "string":
-            dn = f"{name}_str_len"
-            dims.append((dn, width))
-            inner, vdims = (width,), [record_dim, dn]
+        )
+        # widest single variable's bytes-per-record: the default chunk must
+        # stay under a per-VARIABLE byte cap, or a wide array column makes
+        # the default chunk multi-GiB (the _cap_chunk hazard)
+        max_var_row_bytes = max(
+            (
+                np.dtype(dt).itemsize * (width if kind != "scalar" else 1)
+                for _, kind, dt, width in specs
+            ),
+            default=1,
+        )
+        if record_chunksize:
+            C = max(1, record_chunksize)
         else:
-            inner, vdims = (), [record_dim]
-        chunk = (C,) + inner  # C already clamped to numrecs above
-        _validate_chunk_bytes(chunk, base.itemsize)
-        meta[name] = (kind, base, inner, chunk, vdims)
+            # target ~4 MiB total per chunk row-group (tiny chunks measured
+            # 4x slower end-to-end), capped at 16 MiB for the widest var
+            C = max(4096, (4 << 20) // max(row_bytes, 1))
+            C = max(1, min(C, (16 << 20) // max(max_var_row_bytes, 1)))
+        # encoder blocks and declared chunk metadata must agree: clamp once
+        C = min(C, max(numrecs, 1))
 
-    # group MANY chunks per task: one python-worker invocation per
-    # ~target block, not per chunk (overhead would dominate)
-    per_group = max(1, (64 << 20) // max(C * row_bytes, 1))
+        dims: list[tuple[str, int]] = [(record_dim, 0)]
+        meta: dict[str, tuple[str, np.dtype, tuple, tuple, list[str]]] = {}
+        for name, kind, dt, width in specs:
+            base = np.dtype(dt)
+            if kind == "array":
+                dn = f"{name}_dim1"
+                dims.append((dn, width))
+                inner, vdims = (width,), [record_dim, dn]
+            elif kind == "string":
+                dn = f"{name}_str_len"
+                dims.append((dn, width))
+                inner, vdims = (width,), [record_dim, dn]
+            else:
+                inner, vdims = (), [record_dim]
+            chunk = (C,) + inner  # C already clamped to numrecs above
+            _validate_chunk_bytes(chunk, base.itemsize)
+            meta[name] = (kind, base, inner, chunk, vdims)
 
-    pos = global_position(df2, index_col, position_col="__pos")
-    grouped = pos.withColumn(
-        "__cid", (F.col("__pos") / F.lit(C)).cast("long")
-    ).withColumn("__gid", (F.col("__cid") / F.lit(per_group)).cast("long"))
+        # group MANY chunks per task: one python-worker invocation per
+        # ~target block, not per chunk (overhead would dominate)
+        per_group = max(1, (64 << 20) // max(C * row_bytes, 1))
 
-    specs_c = list(specs)
-    comp, shuf, C_c = compression, shuffle, C
+        pos = global_position(df2, index_col, position_col="__pos")
+        grouped = pos.withColumn(
+            "__cid", (F.col("__pos") / F.lit(C)).cast("long")
+        ).withColumn("__gid", (F.col("__cid") / F.lit(per_group)).cast("long"))
 
-    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("__pos")
-        cids, names, payloads = [], [], []
-        for cid, sub in pdf.groupby("__cid", sort=True):
-            n = len(sub)
-            for name, kind, dt, width in specs_c:
-                base = np.dtype(dt)
-                block = _fill_chunk_block(
-                    sub[name], n, kind, base, width, C_c
-                )
-                raw = block.astype(base.newbyteorder("<")).tobytes()
-                cids.append(int(cid))
-                names.append(name)
-                payloads.append(
-                    _encode_chunk_bytes(
-                        raw, base.itemsize,
-                        compression=comp, shuffle=shuf, fletcher32=False,
+        specs_c = list(specs)
+        comp, shuf, C_c = compression, shuffle, C
+
+        def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("__pos")
+            cids, names, payloads = [], [], []
+            for cid, sub in pdf.groupby("__cid", sort=True):
+                n = len(sub)
+                for name, kind, dt, width in specs_c:
+                    base = np.dtype(dt)
+                    block = _fill_chunk_block(
+                        sub[name], n, kind, base, width, C_c
                     )
-                )
-        return pd.DataFrame(
-            {"cid": cids, "var": names, "payload": payloads}
-        )
-
-    enc = grouped.groupBy("__gid").applyInPandas(
-        encode_group, schema="cid long, var string, payload binary"
-    )
-
-    entries: dict[str, list] = {name: [] for name in meta}
-    with open(path, "w+b") as f:
-        fbd = _FileBuilderDisk(f)
-        for row in enc.toLocalIterator(prefetchPartitions=False):
-            payload = bytes(row["payload"])
-            addr = fbd.alloc(payload)
-            kind, base, inner, chunk, vdims = meta[row["var"]]
-            offs = (int(row["cid"]) * C,) + (0,) * len(inner)
-            entries[row["var"]].append((offs, addr, len(payload)))
-        variables = {}
-        for name, (kind, base, inner, chunk, vdims) in meta.items():
-            variables[name] = (
-                vdims,
-                ChunkedData(
-                    (numrecs,) + inner,
-                    base,
-                    chunk,
-                    entries[name],
-                    _chunk_filters(
-                        base.itemsize,
-                        compression=comp, shuffle=shuf, fletcher32=False,
-                    ),
-                ),
+                    raw = block.astype(base.newbyteorder("<")).tobytes()
+                    cids.append(int(cid))
+                    names.append(name)
+                    payloads.append(
+                        _encode_chunk_bytes(
+                            raw, base.itemsize,
+                            compression=comp, shuffle=shuf, fletcher32=False,
+                        )
+                    )
+            return pd.DataFrame(
+                {"cid": cids, "var": names, "payload": payloads}
             )
-        write_hdf5(
-            None,
-            dims=dims,
-            variables=variables,
-            attributes=attributes,
-            var_attributes=var_attributes,
-            compression=compression,
-            shuffle=shuffle,
-            _builder=fbd,
+
+        enc = grouped.groupBy("__gid").applyInPandas(
+            encode_group, schema="cid long, var string, payload binary"
         )
-    df2.unpersist()
+
+        entries: dict[str, list] = {name: [] for name in meta}
+        with open(path, "w+b") as f:
+            fbd = _FileBuilderDisk(f)
+            for row in enc.toLocalIterator(prefetchPartitions=False):
+                payload = bytes(row["payload"])
+                addr = fbd.alloc(payload)
+                kind, base, inner, chunk, vdims = meta[row["var"]]
+                offs = (int(row["cid"]) * C,) + (0,) * len(inner)
+                entries[row["var"]].append((offs, addr, len(payload)))
+            variables = {}
+            for name, (kind, base, inner, chunk, vdims) in meta.items():
+                variables[name] = (
+                    vdims,
+                    ChunkedData(
+                        (numrecs,) + inner,
+                        base,
+                        chunk,
+                        entries[name],
+                        _chunk_filters(
+                            base.itemsize,
+                            compression=comp, shuffle=shuf, fletcher32=False,
+                        ),
+                    ),
+                )
+            write_hdf5(
+                None,
+                dims=dims,
+                variables=variables,
+                attributes=attributes,
+                var_attributes=var_attributes,
+                compression=compression,
+                shuffle=shuffle,
+                _builder=fbd,
+            )
+    finally:
+        df2.unpersist()
 
 
 def write_nc_granules(

@@ -203,6 +203,14 @@ class Variable:
             self._ds._grow_dim(self.dimensions[0], need)
 
     def __setitem__(self, key, value):
+        if getattr(self._ds, "_mode", "w") == "r":
+            # netCDF4-python raises on writes to a read-mode handle; the
+            # decode cache shares arrays across read opens, so a silent
+            # write here would corrupt every later open of the file in
+            # this process (ADVICE r6)
+            raise RuntimeError(
+                "NetCDF: Write to read only"
+            )
         key = self._key(key)
         if not isinstance(key, tuple):
             key = (key,)
