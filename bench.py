@@ -3,18 +3,36 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"q": sec, ...}, "sf": <sf>}
+     "queries": {"q": sec, ...}, "sf": <sf>, ...}
 
 Each query is timed end-to-end with ``df.write.format("noop")`` — the
 standard Spark benchmarking sink: it fully evaluates every output column
 (a bare count() would let Catalyst prune the expensive expressions and
 measure nothing) without driver-side row conversion.
+
+Contention-proofing (VERDICT r6 #1 — three rounds of verdict time went
+to re-litigating box noise):
+
+* every query runs ``$SPARK_GRAFT_BENCH_REPEATS`` (default 3) times
+  in-process and reports the MEDIAN; the per-query value is no longer
+  a single sample;
+* the 1-min load average is recorded before and after the run
+  (``load_1m_start`` / ``load_1m_end``) so drift can be attributed;
+* if the box is busy at start (1-min load > 0.5) the bench waits up to
+  ``$SPARK_GRAFT_BENCH_SETTLE`` seconds (default 180) for it to drain;
+  if it never settles the run proceeds but is marked
+  ``"certified": false`` and the process exits 75 (EX_TEMPFAIL) AFTER
+  printing the JSON line — numbers from a contended box are recorded
+  but not certified;
+* ``cold_total`` (sum of first-repeat timings) is reported alongside
+  the median total so plan-compilation cost stays visible.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -50,10 +68,41 @@ BENCH_QUERIES = [
     "emb_ivf_topk",
 ]
 
+LOAD_CERTIFY_MAX = 0.5
+
+
+def _load_1m() -> float:
+    try:
+        return os.getloadavg()[0]
+    except OSError:  # platforms without getloadavg
+        return 0.0
+
+
+def _settle(max_wait_sec: float) -> float:
+    """Wait (poll 5 s) for the 1-min load to drop under the certify
+    threshold; returns the load observed when we stop waiting."""
+    deadline = time.time() + max_wait_sec
+    load = _load_1m()
+    while load > LOAD_CERTIFY_MAX and time.time() < deadline:
+        print(
+            f"# load_1m={load:.2f} > {LOAD_CERTIFY_MAX} — waiting for the "
+            "box to drain...",
+            file=sys.stderr,
+        )
+        time.sleep(5)
+        load = _load_1m()
+    return load
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    settle = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE", "180"))
+
+    load_start = _settle(settle)
+    certified = load_start <= LOAD_CERTIFY_MAX
+
     spark = get_spark(app_name="ncagg-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -69,15 +118,35 @@ def main() -> None:
 
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        samples = []
+        for _ in range(repeats):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+        timings[name] = round(statistics.median(samples), 3)
+        cold[name] = round(samples[0], 3)
+        spread[name] = round(
+            (max(samples) - min(samples)) / max(timings[name], 1e-9), 3
+        )
+        print(
+            f"# {name}: median {timings[name]:.3f}s over {repeats} "
+            f"(cold {cold[name]:.3f}s, spread {spread[name]:.0%})",
+            file=sys.stderr,
+        )
 
+    load_end = _load_1m()
     total = round(sum(timings.values()), 3)
+    if not certified:
+        print(
+            f"# NOT CERTIFIED: 1-min load was {load_start:.2f} > "
+            f"{LOAD_CERTIFY_MAX} at start — rerun on an idle box",
+            file=sys.stderr,
+        )
     print(
         json.dumps(
             {
@@ -86,9 +155,17 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "repeats": repeats,
+                "cold_total": round(sum(cold.values()), 3),
+                "max_spread": max(spread.values()) if spread else 0.0,
+                "load_1m_start": round(load_start, 3),
+                "load_1m_end": round(load_end, 3),
+                "certified": certified,
             }
         )
     )
+    if not certified:
+        sys.exit(75)  # EX_TEMPFAIL: numbers recorded, not certified
 
 
 if __name__ == "__main__":
