@@ -1708,11 +1708,21 @@ def oracle_sql() -> dict[str, str]:
         FROM grid g LEFT JOIN dedup d USING (bucket)
     """
 
+    # anchored fill semantics (operators/gapfill.py anchor="previous"):
+    # mid/trailing fills continue from the last real record; LEADING
+    # fills (no real record precedes) back-compute from the FIRST real
+    # record (the reference's ncagg/aggregator.py:176-191 rule); grid
+    # only when the input is empty.
     sqls["agg_regularize_anchored"] = f"""
         WITH dedup AS ({_EV_DEDUP}), grid AS ({_GRID}),
         j AS (
             SELECT g.bucket, d.ts AS real_ts, d.event_id
             FROM grid g LEFT JOIN dedup d USING (bucket)
+        ),
+        fr AS (
+            SELECT min(bucket) AS fr_bkt,
+                   min_by(ts, bucket) AS fr_ts
+            FROM dedup
         ),
         anch AS (
             SELECT bucket, real_ts, event_id,
@@ -1724,12 +1734,15 @@ def oracle_sql() -> dict[str, str]:
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_bkt
             FROM j
         )
-        SELECT bucket,
-               coalesce(real_ts,
-                        make_timestamp(epoch_us(last_ts) + (bucket - last_bkt) * {STEP_US}),
-                        make_timestamp({DAY_LO_US} + bucket * {STEP_US})) AS ts,
-               event_id, (real_ts IS NULL) AS is_fill
-        FROM anch
+        SELECT a.bucket,
+               coalesce(a.real_ts,
+                        make_timestamp(epoch_us(a.last_ts) + (a.bucket - a.last_bkt) * {STEP_US}),
+                        CASE WHEN f.fr_bkt IS NOT NULL AND a.bucket < f.fr_bkt
+                             THEN make_timestamp(epoch_us(f.fr_ts) - (f.fr_bkt - a.bucket) * {STEP_US})
+                        END,
+                        make_timestamp({DAY_LO_US} + a.bucket * {STEP_US})) AS ts,
+               a.event_id, (a.real_ts IS NULL) AS is_fill
+        FROM anch a CROSS JOIN fr f
     """
 
     sqls["agg_dedup_cadence"] = f"""

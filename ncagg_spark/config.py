@@ -69,6 +69,21 @@ class AggregationConfig:
     # reference's phase (its too-close chop merges records within half a
     # cadence of each other, ncagg/aggrelist.py:290-293)
     bucket_phase: float = 0.0
+    # where the cadence grid's sub-step phase comes from:
+    #   "bound" (default) — slot k's nominal time is min_bound + k*step;
+    #       the engine's oracle-checked semantics.
+    #   "data" — the grid is anchored to the FIRST real record's phase:
+    #       origin = min_bound + ((first_record - min_bound) mod step).
+    #       This is the reference's effective behavior — it never
+    #       rewrites real timestamps and back-computes leading fill
+    #       start times from the next real node
+    #       (ncagg/aggregator.py:176-191: start_from = next_start -
+    #       (size+1)*dt_nom, bumped up so the first fill stays >= the
+    #       bound — which is exactly the mod-step phase shift), so a
+    #       day build over phase-offset granules reproduces the
+    #       reference's grid slot-for-slot. Costs one extra min()
+    #       aggregate over the index column at plan time.
+    grid_phase: str = "bound"
     # global-attribute name -> strategy name (see plans/attributes.py)
     # (reference: ncagg/config.py:355-382)
     attribute_strategies: dict[str, str] = field(default_factory=dict)
@@ -86,6 +101,11 @@ class AggregationConfig:
             raise ValueError("timing_certainty must be in (0, 1]")
         if self.cadence_hz is not None and self.cadence_hz <= 0:
             raise ValueError("cadence_hz must be positive")
+        if self.grid_phase not in ("bound", "data"):
+            raise ValueError(
+                f"grid_phase must be 'bound' or 'data', got "
+                f"{self.grid_phase!r}"
+            )
 
     def validate_columns(self, columns: Sequence[str]) -> None:
         """Inter-validation against the actual input columns — the

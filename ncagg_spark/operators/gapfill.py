@@ -17,8 +17,10 @@ Fill-timestamp anchoring — two modes, both from the reference:
     the scalable default; timestamps are exact grid points.
   * ``anchor="previous"``: fill ts continues from the last real record
     (ncagg/aggregator.py:171-175: stamps "continue from the previous
-    node"), falling back to the grid when no real record precedes (the
-    leading-fill case, :176-191). Implemented as the standard two-phase
+    node"); LEADING fills (no real record precedes) are back-computed
+    from the FIRST real record (:176-191 — start_from derived from
+    next_start), falling back to the grid only when the input is empty.
+    Implemented as the standard two-phase
     distributed running-last: slots are partitioned into coarse blocks,
     the running ``last(ignorenulls)`` window runs per block (parallel),
     and block-boundary carry-over comes from a tiny one-row-per-block
@@ -136,14 +138,41 @@ def gap_fill(
             epoch_us(last_real_ts)
             + (F.col(bucket_col) - last_real_bkt) * F.lit(step_us)
         )
-        ts_out = F.coalesce(real_ts, anchored, grid_ts)
+        # LEADING fill (no real record precedes): the reference
+        # back-computes the fill start from the NEXT real node
+        # (ncagg/aggregator.py:176-191: start_from = next_start -
+        # (size+1)*dt_nom, bumped so the first fill stays >= the bound)
+        # — i.e. leading fills carry the FIRST real record's phase. One
+        # 1-row aggregate over the (already deduped) input, broadcast
+        # back; the bump rule is automatic here because slots never
+        # extend below the grid origin.
+        first_real = df.agg(
+            F.min(F.col(bucket_col)).alias("__fr_bkt"),
+            F.min_by(F.col(index_col), F.col(bucket_col)).alias(
+                "__fr_ts"
+            ),
+        )
+        joined = joined.crossJoin(F.broadcast(first_real))
+        backward = F.when(
+            F.col("__fr_bkt").isNotNull()
+            & (F.col(bucket_col) < F.col("__fr_bkt")),
+            F.timestamp_micros(
+                epoch_us(F.col("__fr_ts"))
+                - (F.col("__fr_bkt") - F.col(bucket_col))
+                * F.lit(step_us)
+            ),
+        )
+        ts_out = F.coalesce(real_ts, anchored, backward, grid_ts)
 
     # flag first: once index_col is overwritten, the null-check would see
     # the coalesced timestamp and always be false.
     out = joined.withColumn(FILL_FLAG_COL, is_fill).withColumn(index_col, ts_out)
     drop_cols = [] if keep_bucket else [bucket_col]
     if anchor == "previous":
-        drop_cols += ["__gf_block", "__carry_bkt", "__carry_ts"]
+        drop_cols += [
+            "__gf_block", "__carry_bkt", "__carry_ts",
+            "__fr_bkt", "__fr_ts",
+        ]
     if drop_cols:
         out = out.drop(*drop_cols)
     return out

@@ -61,9 +61,29 @@ def regularize(
     if cfg.cadence_hz is not None:
         if lo_us is None or hi_us is None:
             raise ValueError("cadence regularization requires both bounds")
+        origin_us, n_buckets = lo_us, cfg.n_buckets()
+        if getattr(cfg, "grid_phase", "bound") == "data":
+            # reference-parity grid: shift the slot origin by the first
+            # real record's sub-step phase (see AggregationConfig.
+            # grid_phase — this realizes the reference's back-computed
+            # leading-fill start, ncagg/aggregator.py:176-191, and keeps
+            # every in-bounds record on its own slot with no bound-phase
+            # lead slot). One tiny min() aggregate over the (pruned)
+            # index column; returns None on an empty input -> plain
+            # bound grid.
+            from ncagg_spark.functions.time import epoch_us
+
+            first_us = df.agg(
+                F.min(epoch_us(ix)).alias("m")
+            ).first()["m"]
+            if first_us is not None:
+                origin_us = lo_us + (int(first_us) - lo_us) % cfg.step_us
+                n_buckets = max(
+                    0, -(-(hi_us - origin_us) // cfg.step_us)
+                )
         phase = getattr(cfg, "bucket_phase", 0.0)
         df = cadence_bucket(
-            df, ix, origin_us=lo_us, step_us=cfg.step_us, phase=phase
+            df, ix, origin_us=origin_us, step_us=cfg.step_us, phase=phase
         )
         if phase > 0:
             # nearest-slot rounding can push an in-bounds record past the
@@ -74,16 +94,16 @@ def regularize(
             # occupancy deterministically.
             df = df.withColumn(
                 BUCKET_COL,
-                F.least(F.col(BUCKET_COL), F.lit(cfg.n_buckets() - 1)),
+                F.least(F.col(BUCKET_COL), F.lit(n_buckets - 1)),
             )
         df = dedup_cadence(df, ix, tiebreak=cfg.tiebreak)
         df = gap_fill(
             spark,
             df,
             ix,
-            origin_us=lo_us,
+            origin_us=origin_us,
             step_us=cfg.step_us,
-            n_buckets=cfg.n_buckets(),
+            n_buckets=n_buckets,
             anchor=anchor,
         )
 

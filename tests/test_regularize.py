@@ -147,10 +147,12 @@ def test_anchored_fill_continues_from_previous_record(spark):
     assert us_g[1:] == [T0_US + i * 1_000_000 for i in range(1, 4)]
 
 
-def test_leading_fill_falls_back_to_grid_in_anchored_mode(spark):
-    # no real record precedes the leading fills (aggregator.py:176-191):
-    # anchored mode backfills from the grid
-    rows = [(T0_US + 2 * 1_000_000 + 250_000, 1.0)]  # slot 2
+def test_leading_fill_back_computed_from_first_record(spark):
+    # no real record precedes the leading fills: the reference
+    # back-computes the fill start from the NEXT real node
+    # (aggregator.py:176-191: start_from = next_start - (size+1)*dt_nom)
+    # — leading fills carry the first real record's phase, not the grid
+    rows = [(T0_US + 2 * 1_000_000 + 250_000, 1.0)]  # slot 2, +0.25s
     cfg = _cfg(hi=T0_US + 4 * 1_000_000)
     out = (
         regularize(spark, _df(spark, rows), cfg, anchor="previous")
@@ -158,10 +160,28 @@ def test_leading_fill_falls_back_to_grid_in_anchored_mode(spark):
         .collect()
     )
     us = _micros(out)
-    assert us[0] == T0_US
-    assert us[1] == T0_US + 1_000_000
-    assert us[2] == T0_US + 2_250_000
+    assert us[0] == T0_US + 250_000  # 2.25s - 2*dt
+    assert us[1] == T0_US + 1_250_000  # 2.25s - 1*dt
+    assert us[2] == T0_US + 2_250_000  # the real record
     assert us[3] == T0_US + 3_250_000  # continues from the real record
+    # the bump rule (start_from + dt >= bound) is automatic: every
+    # back-computed fill stays >= the grid origin
+    assert all(u >= T0_US for u in us)
+
+
+def test_leading_fill_grid_when_input_empty(spark):
+    # with NO real records at all there is no node to back-compute from:
+    # anchored mode falls back to the grid
+    rows = [(0, 1.0)]  # invalid index -> dropped
+    cfg = _cfg(hi=T0_US + 3 * 1_000_000)
+    out = (
+        regularize(spark, _df(spark, rows), cfg, anchor="previous")
+        .orderBy("ts")
+        .collect()
+    )
+    us = _micros(out)
+    assert us == [T0_US + i * 1_000_000 for i in range(3)]
+    assert all(r["is_fill"] for r in out)
 
 
 def test_anchored_fill_carries_across_blocks(spark):
@@ -195,9 +215,10 @@ def test_anchored_fill_carries_across_blocks(spark):
         .collect()
     )
     us = _micros(out)
-    assert us[:3] == [T0_US + i * 1_000_000 for i in range(3)]  # grid lead-in
-    assert us[3:] == [
-        T0_US + 3 * 1_000_000 + 300_000 + i * 1_000_000 for i in range(n - 3)
+    # leading fills back-compute from the first real record (its +0.3s
+    # phase), then everything after anchors forward from it
+    assert us == [
+        T0_US + 300_000 + i * 1_000_000 for i in range(n)
     ]
 
 
@@ -247,3 +268,66 @@ def test_fill_value_normalization_feeds_pipeline(spark):
     assert [r["value"] is None for r in out] == [bool(i % 2) for i in range(10)]
     # the rows themselves are real (index was valid), not fills
     assert all(not r["is_fill"] for r in out)
+
+
+def test_grid_phase_data_keeps_all_phase_offset_records(spark):
+    """The head-to-head day-build divergence (VERDICT r6 #2): records at
+    a constant sub-step phase (+0.9 s) with nearest-slot bucketing.
+    grid_phase='bound' leaves slot 0 empty (a fill at the bound's phase)
+    and clamp-drops the last record; grid_phase='data' anchors the grid
+    to the first record's phase (the reference's effective behavior —
+    aggregator.py:176-191) so every record keeps its own slot and the
+    output is exactly the input series."""
+    n = 10
+    rows = [(T0_US + 900_000 + i * 1_000_000, float(i)) for i in range(n)]
+    cfg = _cfg(hi=T0_US + n * 1_000_000, bucket_phase=0.5,
+               grid_phase="data")
+    out = (
+        regularize(spark, _df(spark, rows), cfg).orderBy("ts").collect()
+    )
+    assert len(out) == n
+    assert not any(r["is_fill"] for r in out)
+    assert _micros(out) == [us for us, _ in rows]
+    # the bound-phase grid, for contrast: one leading fill, last real
+    # record clamp-merged away
+    cfg_b = _cfg(hi=T0_US + n * 1_000_000, bucket_phase=0.5)
+    out_b = (
+        regularize(spark, _df(spark, rows), cfg_b).orderBy("ts").collect()
+    )
+    assert len(out_b) == n
+    assert out_b[0]["is_fill"] and not any(r["is_fill"] for r in out_b[1:])
+
+
+def test_grid_phase_data_gap_fill_carries_phase(spark):
+    """With a data-aligned grid, mid-series fill slots synthesize
+    timestamps on the DATA's phase (anchor='previous'), exactly the
+    reference's prev_end + k*dt_nom fill stamps."""
+    rows = [
+        (T0_US + 400_000, 0.0),
+        (T0_US + 1_400_000, 1.0),
+        # slots 2,3 missing
+        (T0_US + 4_400_000, 4.0),
+    ]
+    cfg = _cfg(hi=T0_US + 5 * 1_000_000, bucket_phase=0.5,
+               grid_phase="data")
+    out = (
+        regularize(spark, _df(spark, rows), cfg, anchor="previous")
+        .orderBy("ts")
+        .collect()
+    )
+    assert len(out) == 5
+    assert [r["is_fill"] for r in out] == [False, False, True, True, False]
+    assert _micros(out) == [T0_US + 400_000 + i * 1_000_000
+                            for i in range(5)]
+
+
+def test_grid_phase_data_empty_input_uses_bound_grid(spark):
+    rows = [(0, 1.0)]  # invalid -> dropped
+    cfg = _cfg(hi=T0_US + 3 * 1_000_000, grid_phase="data")
+    out = regularize(spark, _df(spark, rows), cfg).orderBy("ts").collect()
+    assert _micros(out) == [T0_US + i * 1_000_000 for i in range(3)]
+
+
+def test_grid_phase_validation():
+    with pytest.raises(ValueError, match="grid_phase"):
+        _cfg(grid_phase="nope")

@@ -240,6 +240,7 @@ def main():
                     2017, 2, 12, 16, tzinfo=timezone.utc
                 ).timestamp(),
                 bucket_phase=0.5,
+                grid_phase="data",
             ),
             "expect_records": 3600,
         },
@@ -267,6 +268,7 @@ def main():
                     2017, 3, 5, 0, 35, tzinfo=timezone.utc
                 ).timestamp(),
                 bucket_phase=0.5,
+                grid_phase="data",
             ),
             "expect_records": 300,
         },
@@ -311,6 +313,7 @@ def main():
                     2017, 2, 13, 15, tzinfo=timezone.utc
                 ).timestamp(),
                 bucket_phase=0.5,
+                grid_phase="data",
             ),
             "expect_records": 86400,
             "ref_repeats": 1,
