@@ -446,6 +446,80 @@ def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# online gap-fill cadence: 10-min slots, gap trigger > 15 min
+GF_STEP_US = 600_000_000
+GF_DTMAX_US = 900_000_000
+GF_HI_US = DAY_LO_US + 2 * 86_400_000_000
+
+
+def q_stream_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ONLINE gap fill, oracle-gated (VERDICT r6 #3): the
+    stateful empty-window emitter (streaming/stateful.py
+    fill_gaps_online — applyInPandasWithState, one state row per key)
+    run over two days of events keyed by event_type, fed as two
+    time-ordered granule micro-batches (maxFilesPerTrigger=1, mtime
+    order). Real records pass through is_fill=false; whenever a record
+    lands > 15 min after its key's previous record, the missing 10-min
+    cadence slots (prev + k*step — the reference's fill synthesis,
+    ncagg/aggregator.py:173-175, applied online) are emitted as
+    is_fill=true rows in the SAME micro-batch as the closing record.
+    State carries across the batch boundary, so the micro-batched
+    output must equal the one-shot batch rule — which is exactly what
+    the DuckDB lag-window oracle computes."""
+    import glob as _glob
+    import os
+
+    from ncagg_spark.streaming.regularize import stream_granules
+    from ncagg_spark.streaming.stateful import fill_gaps_online
+
+    base = _work_dir("ncagg_gapfill", sf_dir)
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+
+    ev = load_table(
+        spark,
+        f"{sf_dir}/events.parquet",
+        time_bounds=("ts", DAY_LO_US, GF_HI_US),
+    )
+    ev = drop_invalid_index(ev, "ts").select("ts", "event_type")
+    mid = DAY_LO_US + (GF_HI_US - DAY_LO_US) // 2
+    mtime = 1_700_000_000
+    for i, part in enumerate(
+        [ev.filter(epoch_us("ts") < mid), ev.filter(epoch_us("ts") >= mid)]
+    ):
+        tmp_out = os.path.join(base, f"tmp{i}")
+        part.coalesce(1).write.parquet(tmp_out)
+        (pf,) = _glob.glob(os.path.join(tmp_out, "part-*.parquet"))
+        dst = os.path.join(in_dir, f"granule_{i}.parquet")
+        os.rename(pf, dst)
+        os.utime(dst, (mtime + 100 * i, mtime + 100 * i))
+
+    stream = stream_granules(
+        spark,
+        in_dir,
+        spark.read.parquet(in_dir).schema,
+        max_files_per_trigger=1,
+    )
+    out = fill_gaps_online(
+        stream,
+        key_col="event_type",
+        step_us=GF_STEP_US,
+        dt_max_s=GF_DTMAX_US / 1e6,
+        timeout="none",  # bounded availableNow run; see fill_gaps_online
+    )
+    out_dir = os.path.join(base, "out")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select("key", "ts", "is_fill")
+
+
 def q_agg_bounds_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(
         spark,
@@ -1422,109 +1496,97 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_agg_regularize_day(spark, "/root/testdata/sf0.001")
 
 
+# ---------------------------------------------------------------------------
+# Canonical query registry (VERDICT r6 #8): ONE table of every declared
+# query; ``queries()`` is a view of it. The driver checks only the FIRST
+# 50 entries of queries(), so the registry is ordered in-window first
+# (at-risk / newest queries lead) and tail after; tools/check_oracle.py
+# iterates the whole dict and therefore gates every row including the
+# tail. in_window=False rows each keep a driver-checked twin covering
+# the same operator family (noted inline) plus pytest coverage —
+# rotation history lives in git, not in comments here.
+# ---------------------------------------------------------------------------
+DRIVER_WINDOW = 50
+
+_REGISTRY: list[tuple[str, _T, bool]] = [
+    # (name, fn, in_window)
+    # -- streaming online gap-fill + composed product surfaces lead:
+    #    newest, so a count- or time-capped driver run still covers them
+    ("stream_gap_fill", q_stream_gap_fill, True),
+    ("doc_clean_corpus", q_doc_clean_corpus, True),
+    ("doc_decontaminate", q_doc_decontaminate, True),
+    ("emb_ivf_kmeans_topk", q_emb_ivf_kmeans_topk, True),
+    ("emb_srp_topk", q_emb_srp_topk, True),
+    ("emb_ivf_topk", q_emb_ivf_topk, True),
+    ("mm_hash_features", q_mm_hash_features, True),
+    ("mm_features", q_mm_features, True),
+    ("agg_multidim", q_agg_multidim, True),
+    # -- ncagg core (events) --
+    ("agg_regularize_day", q_agg_regularize_day, True),
+    ("agg_regularize_anchored", q_agg_regularize_anchored, True),
+    ("agg_dedup_cadence", q_agg_dedup_cadence, True),
+    ("agg_dedup_phase", q_agg_dedup_phase, True),
+    ("agg_nc_ingest", q_agg_nc_ingest, True),
+    ("stream_day_merge", q_stream_day_merge, True),
+    ("agg_bounds_filter", q_agg_bounds_filter, True),
+    ("agg_manifest_attrs", q_agg_manifest_attrs, True),
+    ("agg_coalesce_alt", q_agg_coalesce_alt, True),
+    ("agg_take_dim_index", q_agg_take_dim_index, True),
+    ("agg_flatten_by_index", q_agg_flatten_by_index, True),
+    ("agg_promote_dim", q_agg_promote_dim, True),
+    ("agg_block_diagonal", q_agg_block_diagonal, True),
+    ("agg_cf_time", q_agg_cf_time, True),
+    ("evt_sessionize", q_evt_sessionize, True),
+    ("evt_json_props", q_evt_json_props, True),
+    ("evt_asof_purchase", q_evt_asof_purchase, True),
+    # -- relational surface --
+    ("rel_q1_pricing", q_rel_q1_pricing, True),
+    ("rel_q3_topk", q_rel_q3_topk, True),
+    ("rel_q5_nation_volume", q_rel_q5_nation_volume, True),
+    ("rel_rollup", q_rel_rollup, True),
+    ("rel_intersect_except", q_rel_intersect_except, True),
+    ("rel_exists_subquery", q_rel_exists_subquery, True),
+    # -- documents (LLM-pipeline text ops) --
+    ("doc_exact_dedup", q_doc_exact_dedup, True),
+    ("doc_text_stats", q_doc_text_stats, True),
+    ("doc_quality_filter", q_doc_quality_filter, True),
+    ("doc_lang_id", q_doc_lang_id, True),
+    ("doc_minhash_sig", q_doc_minhash_sig, True),
+    ("doc_lsh_pairs", q_doc_lsh_pairs, True),
+    ("doc_ngram_jaccard", q_doc_ngram_jaccard, True),
+    ("doc_simhash_near_dup", q_doc_simhash_near_dup, True),
+    ("doc_dup_spans", q_doc_dup_spans, True),
+    ("doc_token_count", q_doc_token_count, True),
+    ("doc_top_ngrams", q_doc_top_ngrams, True),
+    ("doc_dup_clusters", q_doc_dup_clusters, True),
+    ("doc_near_dedup", q_doc_near_dedup, True),
+    ("doc_pii_redact", q_doc_pii_redact, True),
+    ("doc_chunk", q_doc_chunk, True),
+    # -- embeddings (similarity) --
+    ("emb_near_dup", q_emb_near_dup, True),
+    ("emb_brute_topk", q_emb_brute_topk, True),
+    ("emb_pq_topk", q_emb_pq_topk, True),
+    # -- tail (past the driver window; check_oracle gates them all) --
+    ("evt_asof_next_error", q_evt_asof_next_error, False),  # twin: evt_asof_purchase
+    ("doc_simhash", q_doc_simhash, False),  # twin: doc_simhash_near_dup
+    ("rel_window_topk", q_rel_window_topk, False),  # twin: emb_brute_topk
+    ("rel_anti_join", q_rel_anti_join, False),  # twin: doc_near_dedup
+    ("stream_late_drop", q_stream_late_drop, False),  # twin: stream_day_merge
+]
+
+
 def queries() -> dict[str, _T]:
-    # Exactly 50 entries: the round-1 driver checked the first 50 declared
-    # queries, leaving the tail unchecked. At-risk queries (unchecked in
-    # round 1, or new this round) are declared FIRST so a count- or
-    # time-capped run still covers them. Redundant variants were retired
-    # to fit the window — each retired query's operator keeps another
-    # driver-checked query plus pytest coverage: agg_flatten_overlay
-    # (flatten_overlay ~ agg_flatten_by_index), doc_exact_duplicates
-    # (~ doc_exact_dedup), rel_region_volume (~ rel_q5_nation_volume),
-    # rel_part_type_revenue (~ rel_q1_pricing), rel_cube
-    # (~ rel_rollup / rel_grouping_sets).
-    return {
-        # -- new this round (r6): the composed product surfaces --
-        "doc_clean_corpus": q_doc_clean_corpus,
-        "doc_decontaminate": q_doc_decontaminate,
-        # -- unchecked in round 1 / new in earlier rounds --
-        "emb_ivf_kmeans_topk": q_emb_ivf_kmeans_topk,
-        "emb_srp_topk": q_emb_srp_topk,
-        "emb_ivf_topk": q_emb_ivf_topk,
-        "mm_hash_features": q_mm_hash_features,
-        "mm_features": q_mm_features,
-        "agg_multidim": q_agg_multidim,
-        # -- ncagg core (events) --
-        "agg_regularize_day": q_agg_regularize_day,
-        "agg_regularize_anchored": q_agg_regularize_anchored,
-        "agg_dedup_cadence": q_agg_dedup_cadence,
-        "agg_dedup_phase": q_agg_dedup_phase,
-        "agg_nc_ingest": q_agg_nc_ingest,
-        "stream_day_merge": q_stream_day_merge,
-        "agg_bounds_filter": q_agg_bounds_filter,
-        "agg_manifest_attrs": q_agg_manifest_attrs,
-        "agg_coalesce_alt": q_agg_coalesce_alt,
-        "agg_take_dim_index": q_agg_take_dim_index,
-        "agg_flatten_by_index": q_agg_flatten_by_index,
-        "agg_promote_dim": q_agg_promote_dim,
-        "agg_block_diagonal": q_agg_block_diagonal,
-        "agg_cf_time": q_agg_cf_time,
-        "evt_sessionize": q_evt_sessionize,
-        "evt_json_props": q_evt_json_props,
-        "evt_asof_purchase": q_evt_asof_purchase,
-        "evt_asof_next_error": q_evt_asof_next_error,
-        # -- relational surface --
-        "rel_q1_pricing": q_rel_q1_pricing,
-        "rel_q3_topk": q_rel_q3_topk,
-        "rel_q5_nation_volume": q_rel_q5_nation_volume,
-        "rel_rollup": q_rel_rollup,
-        "rel_intersect_except": q_rel_intersect_except,
-        "rel_exists_subquery": q_rel_exists_subquery,
-        # rel_anti_join and rel_window_topk retired from the 50-query
-        # window in round 6, making room for doc_clean_corpus /
-        # doc_decontaminate. Both capabilities keep driver-checked twins:
-        #   rel_anti_join -> doc_clean_corpus + doc_near_dedup (LeftAnti
-        #     plan nodes in the survivor anti-joins) + rel_exists_subquery
-        #     (the same subquery-join family),
-        #   rel_window_topk -> emb_brute_topk (rank-over-window top-k)
-        #     + evt_sessionize (window functions).
-        # The fns + oracles remain below and stay pytest-runnable.
-        # Retired from the 50-query window in round 5, making room for
-        # agg_nc_ingest / stream_day_merge / agg_dedup_phase /
-        # emb_pq_topk / doc_pii_redact / doc_chunk. Every capability
-        # keeps a green twin:
-        #   rel_moving_avg + rel_window_agg -> rel_window_topk (frames),
-        #   rel_semi_join -> rel_exists_subquery (LeftSemi plan),
-        #   rel_union_distinct -> rel_intersect_except (set ops),
-        #   rel_distinct_count -> doc_top_ngrams (distinct aggregation),
-        #   rel_grouping_sets -> rel_rollup (GROUPING SETS plan node),
-        #   rel_scalar_subquery -> rel_exists_subquery (subquery rewrite).
-        # The query fns + oracles remain below and stay pytest-runnable.
-        # -- documents (LLM-pipeline text ops) --
-        "doc_exact_dedup": q_doc_exact_dedup,
-        "doc_text_stats": q_doc_text_stats,
-        "doc_quality_filter": q_doc_quality_filter,
-        "doc_lang_id": q_doc_lang_id,
-        "doc_minhash_sig": q_doc_minhash_sig,
-        "doc_lsh_pairs": q_doc_lsh_pairs,
-        "doc_ngram_jaccard": q_doc_ngram_jaccard,
-        "doc_simhash_near_dup": q_doc_simhash_near_dup,
-        "doc_dup_spans": q_doc_dup_spans,
-        "doc_token_count": q_doc_token_count,
-        "doc_top_ngrams": q_doc_top_ngrams,
-        "doc_dup_clusters": q_doc_dup_clusters,
-        # winnow_fp retired from the 50-query window (overlaps
-        # doc_text_stats; still pytest-covered) in favor of the
-        # end-to-end near-dedup deliverable
-        "doc_near_dedup": q_doc_near_dedup,
-        "doc_pii_redact": q_doc_pii_redact,
-        "doc_chunk": q_doc_chunk,
-        # -- embeddings (similarity) --
-        "emb_near_dup": q_emb_near_dup,
-        "emb_brute_topk": q_emb_brute_topk,
-        "emb_pq_topk": q_emb_pq_topk,
-        # position 51+: past the driver's 50-query check window but kept
-        # callable for bench.py. Capability stays driver-checked via
-        # doc_simhash_near_dup (same signatures end-to-end); the two
-        # rel_* rows retired in round 6 keep their bench slots here.
-        "doc_simhash": q_doc_simhash,
-        "rel_window_topk": q_rel_window_topk,
-        "rel_anti_join": q_rel_anti_join,
-        # streaming late-data correctness (round 6): fully oracle-SQL'd
-        # like the window queries; lives in the tail because the 50-slot
-        # window is full — tools/check_oracle.py still gates it
-        "stream_late_drop": q_stream_late_drop,
-    }
+    """Driver view of the registry: in-window entries first (exactly the
+    first DRIVER_WINDOW get driver-gated), tail after — one source of
+    truth, no hand-maintained ordering."""
+    reg = [(n, f, w) for n, f, w in _REGISTRY if f is not None]
+    d = {n: f for n, f, w in reg if w}
+    assert len(d) <= DRIVER_WINDOW, (
+        f"{len(d)} in-window queries exceed the driver's "
+        f"{DRIVER_WINDOW}-slot check window — rotate one to the tail"
+    )
+    d.update({n: f for n, f, w in reg if not w})
+    return d
 
 
 # ---------------------------------------------------------------------------
@@ -1808,6 +1870,44 @@ def oracle_sql() -> dict[str, str]:
         SELECT coalesce(d.ts, make_timestamp({DAY_LO_US} + g.bucket * {STEP_US})) AS ts,
                d.event_id, d.value, (d.ts IS NULL) AS is_fill
         FROM grid g LEFT JOIN dedup d USING (bucket)
+    """
+
+    # online stateful gap fill (applyInPandasWithState) == one-shot
+    # batch rule: real rows pass through; per key, every consecutive
+    # pair more than dt_max apart emits the missing cadence slots
+    # prev + k*step. The engine's slot count uses python round() and
+    # the oracle floor(x+0.5) — identical except at exact half-steps,
+    # which microsecond-grained event gaps never hit.
+    sqls["stream_gap_fill"] = f"""
+        WITH src AS (
+            SELECT event_type AS key, ts
+            FROM events
+            WHERE ts IS NOT NULL AND epoch_us(ts) > 0
+              AND ts >= make_timestamp({DAY_LO_US})
+              AND ts < make_timestamp({GF_HI_US})
+        ),
+        ordered AS (
+            SELECT key, ts,
+                   lag(epoch_us(ts)) OVER (
+                       PARTITION BY key ORDER BY ts) AS prev_us
+            FROM src
+        ),
+        gaps AS (
+            SELECT key, prev_us,
+                   least(greatest(1,
+                       CAST(floor((epoch_us(ts) - prev_us) / {GF_STEP_US}.0
+                                  + 0.5) AS BIGINT) - 1), 10000) AS n
+            FROM ordered
+            WHERE prev_us IS NOT NULL
+              AND epoch_us(ts) - prev_us > {GF_DTMAX_US}
+        )
+        SELECT key, ts, FALSE AS is_fill FROM src
+        UNION ALL
+        SELECT g.key,
+               make_timestamp(g.prev_us + k.k * {GF_STEP_US}) AS ts,
+               TRUE AS is_fill
+        FROM gaps g,
+             LATERAL (SELECT unnest(generate_series(1, g.n)) AS k) k
     """
 
     # nearest-slot assignment: floor(x + 0.5) on the identical IEEE-double

@@ -114,7 +114,11 @@ FILL_SCHEMA = T.StructType(
 
 
 def make_gap_filler(
-    step_us: int, dt_max_s: float, *, max_fill_per_gap: int = 10_000
+    step_us: int,
+    dt_max_s: float,
+    *,
+    max_fill_per_gap: int = 10_000,
+    use_timeout: bool = True,
 ):
     """Online regularizer: the batch ``gap_fill(anchor="previous")`` rule
     applied record-by-record in a stream (reference fill synthesis,
@@ -167,7 +171,8 @@ def make_gap_filler(
             out_fill.append(False)
             last_us = u if last_us is None else max(last_us, u)
         state.update((last_us,))
-        state.setTimeoutDuration(timeout_ms)
+        if use_timeout:
+            state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(
             {
                 "key": key[0],
@@ -189,12 +194,28 @@ def fill_gaps_online(
     dt_max_s: float = 1.2,
     max_fill_per_gap: int = 10_000,
     output_mode: str = "append",
+    timeout: str = "processing",
 ) -> DataFrame:
     """Wire the online gap filler onto a streaming DataFrame with columns
     (key_col, ts): emits the regularized stream (real + synthetic rows).
+
+    ``timeout="processing"`` (default) GCs quiet keys' state after
+    dt_max of processing time — right for an unbounded 24/7 stream.
+    Pass ``timeout="none"`` for BOUNDED availableNow runs: with a
+    processing-time timeout registered, availableNow cannot terminate
+    until every key's timeout has drained (Spark keeps scheduling
+    ~1 s "cleaning up state" batches for the full dt_max wall time —
+    measured ~100 wasted batches for a 15-min dt_max), whereas with no
+    timeout the query stops right after the data batches and state
+    simply dies with the query.
     """
+    if timeout not in ("processing", "none"):
+        raise ValueError(f"unknown timeout mode: {timeout!r}")
     fn = make_gap_filler(
-        step_us, dt_max_s, max_fill_per_gap=max_fill_per_gap
+        step_us,
+        dt_max_s,
+        max_fill_per_gap=max_fill_per_gap,
+        use_timeout=timeout == "processing",
     )
     return (
         grouped_stream.selectExpr(f"{key_col} AS key", "ts")
@@ -204,7 +225,11 @@ def fill_gaps_online(
             outputStructType=FILL_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode=output_mode,
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if timeout == "processing"
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
 
