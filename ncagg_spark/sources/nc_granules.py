@@ -655,6 +655,13 @@ def _write_nc_aggregate_inmem(
     if fmt == "netcdf4":
         from ncagg_spark.sources.hdf5_writer import write_hdf5
 
+        enums = _extract_enums(
+            var_attributes,
+            {
+                n: np.asarray(a).dtype.kind in "iu"
+                for n, (_, a) in variables.items()
+            },
+        )
         write_hdf5(
             path,
             dims=dims,
@@ -664,6 +671,7 @@ def _write_nc_aggregate_inmem(
             chunksizes=chunksizes,
             record_chunksize=record_chunksize,
             compression=compression,
+            enums=enums or None,
         )
         return
     if fmt != "classic":
@@ -677,6 +685,27 @@ def _write_nc_aggregate_inmem(
         attributes=attributes,
         var_attributes=var_attributes,
     )
+
+
+def _extract_enums(
+    var_attributes: dict[str, dict], int_ok: dict[str, bool]
+) -> dict[str, dict[str, int]]:
+    """Pop per-variable ``_enum_dict`` attributes into a ``write_hdf5``
+    ``enums`` mapping so an ingested enum re-exports as a REAL HDF5 enum
+    datatype (round-trip parity with the reader, which surfaces class-8
+    name maps as ``_enum_dict``; VERDICT r6 #6). Only integer-typed
+    variables qualify — an ``_enum_dict`` on a null-demoted float64
+    column stays a plain attribute. Mutates ``var_attributes`` in
+    place (drops the consumed attrs)."""
+    enums: dict[str, dict[str, int]] = {}
+    for name, attrs in list((var_attributes or {}).items()):
+        ed = (attrs or {}).get("_enum_dict")
+        if isinstance(ed, dict) and ed and int_ok.get(name):
+            enums[name] = {str(k): int(v) for k, v in ed.items()}
+            var_attributes[name] = {
+                k: v for k, v in attrs.items() if k != "_enum_dict"
+            }
+    return enums
 
 
 def _nested_to_matrix(
@@ -1269,6 +1298,10 @@ def _write_nc4_streamed(
         )
 
         entries: dict[str, list] = {name: [] for name in meta}
+        enums = _extract_enums(
+            var_attributes,
+            {n: m[1].kind in "iu" for n, m in meta.items()},
+        )
         with open(path, "w+b") as f:
             fbd = _FileBuilderDisk(f)
             for row in enc.toLocalIterator(prefetchPartitions=False):
@@ -1300,6 +1333,7 @@ def _write_nc4_streamed(
                 var_attributes=var_attributes,
                 compression=compression,
                 shuffle=shuffle,
+                enums=enums or None,
                 _builder=fbd,
             )
     finally:
@@ -1428,13 +1462,22 @@ def write_nc_granules(
             from ncagg_spark.sources.hdf5_writer import write_hdf5
 
             path = os.path.join(out_dir, f"granule_{idx}.nc4")
+            va = {k: dict(v) for k, v in var_attributes.items()}
+            enums = _extract_enums(
+                va,
+                {
+                    n: np.asarray(a).dtype.kind in "iu"
+                    for n, (_, a) in variables.items()
+                },
+            )
             write_hdf5(
                 path,
                 dims=dims,
                 variables=variables,
                 attributes=attributes,
-                var_attributes=var_attributes,
+                var_attributes=va,
                 compression=compression,
+                enums=enums or None,
             )
         else:
             path = os.path.join(out_dir, f"granule_{idx}.nc")

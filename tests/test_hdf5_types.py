@@ -190,3 +190,94 @@ def test_fletcher32_written_bytes_inspectable_without_reader():
         assert trailer == struct.pack("<I", fletcher32(payload))
         # and the payload really is the little-endian int64 data
         assert payload == data.tobytes()
+
+
+def test_enum_reexport_through_nc4_aggregate_paths(spark, tmp_path):
+    """VERDICT r6 #6 — writer/reader round-trip parity: a variable whose
+    var-attributes carry ``_enum_dict`` (what the reader surfaces for a
+    class-8 enum) re-exports as a REAL HDF5 enum datatype through BOTH
+    nc4 aggregate writers, and the refshim netCDF4 Dataset reads the
+    result (values + name map)."""
+    import sys
+
+    from ncagg_spark.sources.nc_granules import (
+        _write_nc_aggregate_inmem,
+        write_nc_aggregate_streamed,
+    )
+    df = spark.createDataFrame(
+        [(0, 0), (1, 1), (2, 2), (3, 1)], "rid long, flag long"
+    ).selectExpr("rid", "CAST(flag AS TINYINT) AS flag")
+    emap = {"ok": 0, "warn": 1, "bad": 2}
+    kw = dict(
+        index_col="rid",
+        fmt="netcdf4",
+        var_attributes={"flag": {"_enum_dict": emap, "note": "kept"}},
+    )
+    p_mem = str(tmp_path / "m.nc4")
+    p_str = str(tmp_path / "s.nc4")
+    _write_nc_aggregate_inmem(df, p_mem, **kw)
+    write_nc_aggregate_streamed(df, p_str, **kw)
+    for p in (p_mem, p_str):
+        h5 = read_hdf5(open(p, "rb").read())
+        ds = h5.datasets["flag"]
+        assert ds.datatype.cls == 8, p  # a real enum, not an int + attr
+        assert ds.attributes["_enum_dict"] == emap, p
+        assert ds.attributes["note"] == "kept", p
+        np.testing.assert_array_equal(h5.read("flag"), [0, 1, 2, 1])
+
+    sys.path.insert(0, "/root/repo/tools/refshim")
+    try:
+        import importlib
+
+        nc4 = importlib.import_module("netCDF4")
+        if "refshim" not in (nc4.__file__ or ""):
+            import pytest
+
+            pytest.skip("real netCDF4 present")
+        for p in (p_mem, p_str):
+            rd = nc4.Dataset(p, "r")
+            np.testing.assert_array_equal(
+                rd.variables["flag"][:], [0, 1, 2, 1]
+            )
+            assert rd.variables["flag"]._enum_dict == emap
+            rd.close()
+    finally:
+        sys.path.remove("/root/repo/tools/refshim")
+
+
+def test_compound_file_readable_via_refshim(tmp_path):
+    """The from-spec writer's compound output is readable through the
+    refshim netCDF4 Dataset (structured array surface)."""
+    import sys
+
+    comp = np.zeros(6, dtype=np.dtype([("a", "<i4"), ("b", "<f8")]))
+    comp["a"] = np.arange(6)
+    comp["b"] = np.linspace(0.0, 1.0, 6)
+    blob = write_hdf5(
+        None,
+        dims=[("time", 0)],
+        variables={
+            "time": (["time"], np.arange(6, dtype="float64")),
+            "rec": (["time"], comp),
+        },
+        compression=4,
+    )
+    p = str(tmp_path / "c.nc4")
+    open(p, "wb").write(blob)
+    sys.path.insert(0, "/root/repo/tools/refshim")
+    try:
+        import importlib
+
+        nc4 = importlib.import_module("netCDF4")
+        if "refshim" not in (nc4.__file__ or ""):
+            import pytest
+
+            pytest.skip("real netCDF4 present")
+        rd = nc4.Dataset(p, "r")
+        out = rd.variables["rec"][:]
+        assert out.dtype.names == ("a", "b")
+        np.testing.assert_array_equal(out["a"], comp["a"])
+        np.testing.assert_allclose(out["b"], comp["b"])
+        rd.close()
+    finally:
+        sys.path.remove("/root/repo/tools/refshim")

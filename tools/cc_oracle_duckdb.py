@@ -1,0 +1,188 @@
+"""DuckDB-feasible connected-components oracle (VERDICT r6 #4).
+
+The driver-facing oracle for ``doc_dup_clusters`` / ``doc_near_dedup``
+is a recursive-CTE transitive closure — fine at the sf0.01 gate, but it
+DNFs on sf1.0's 12.4M-edge pair graph (15+ min). This module provides a
+TRUE cross-engine SQL oracle at that scale: iterative min-label
+propagation over DuckDB TEMP TABLES — every step is a plain SQL
+statement executed BY DuckDB (the Python loop only re-issues the same
+statement until the converged-row count reaches zero), so the answer is
+still computed by an independent engine, not by numpy on the driver
+(that third check already exists in tools/verify_cc.py).
+
+Pair generation mirrors the well-known SimHash pigeonhole bound rather
+than the O(n^2) brute-force join (132 s at sf1.0 for the pair scan
+alone): split the 64-bit signature into 4 16-bit blocks — any pair at
+hamming distance <= 3 shares at least one intact block — equi-join per
+block, dedup, then verify the true hamming distance. Identical pair set
+to the brute-force join (asserted at the gate sf by check_oracle's
+hash compare, and cheap enough to re-assert here via --brute).
+
+Usage:
+    python tools/cc_oracle_duckdb.py [sf_dir]          # run + report
+    from tools.cc_oracle_duckdb import cc_label_prop   # as a library
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from ncagg_spark.functions.hashing import sql_simhash64
+from ncagg_spark.pipeline.text import sql_tokenize
+
+MAX_HAMMING = 3
+N_BLOCKS = 4  # 64 bits / 16-bit blocks; pigeonhole-complete at hamming<=3
+
+
+def build_edges(con, *, brute: bool = False) -> int:
+    """TEMP TABLE cc_edges(src, dst): the symmetric SimHash near-dup
+    pair graph over ``documents`` (registered as a view/table in
+    ``con``). Returns the edge count."""
+    toks = sql_tokenize("text")
+    con.execute(
+        f"""
+        CREATE OR REPLACE TEMP TABLE cc_sigs AS
+        SELECT doc_id, {sql_simhash64('toks')} AS simhash
+        FROM (SELECT doc_id, {toks} AS toks FROM documents)
+        """
+    )
+    if brute:
+        pair_src = """
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM cc_sigs a JOIN cc_sigs b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= {mh}
+        """.format(mh=MAX_HAMMING)
+    else:
+        # pigeonhole: hamming<=3 over 4 disjoint 16-bit blocks => at
+        # least one block equal; equi-join per block then verify
+        blocks = " UNION ALL ".join(
+            f"""
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM cc_sigs a JOIN cc_sigs b
+              ON ((a.simhash >> {16 * i}) & 65535)
+                 = ((b.simhash >> {16 * i}) & 65535)
+             AND a.doc_id < b.doc_id
+            """
+            for i in range(N_BLOCKS)
+        )
+        pair_src = f"""
+            SELECT DISTINCT c.id_a, c.id_b
+            FROM ({blocks}) c
+            JOIN cc_sigs a ON a.doc_id = c.id_a
+            JOIN cc_sigs b ON b.doc_id = c.id_b
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= {MAX_HAMMING}
+        """
+    con.execute(
+        f"""
+        CREATE OR REPLACE TEMP TABLE cc_edges AS
+        WITH pairs AS ({pair_src})
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs
+        """
+    )
+    return con.execute("SELECT count(*) FROM cc_edges").fetchone()[0]
+
+
+def cc_label_prop(con, *, max_iter: int = 64, log=None) -> None:
+    """TEMP TABLE cc_labels(node, label): min-label propagation over
+    cc_edges until fixpoint. Each iteration is ONE SQL statement
+    (neighbor-min join) plus one scalar convergence count — O(diameter)
+    iterations; near-dup clusters are dense, so a handful in practice."""
+    con.execute(
+        """
+        CREATE OR REPLACE TEMP TABLE cc_labels AS
+        SELECT DISTINCT src AS node, src AS label FROM cc_edges
+        """
+    )
+    for it in range(max_iter):
+        con.execute(
+            """
+            CREATE OR REPLACE TEMP TABLE cc_labels_next AS
+            SELECT l.node,
+                   least(l.label, coalesce(m.minlab, l.label)) AS label
+            FROM cc_labels l
+            LEFT JOIN (
+                SELECT e.dst AS node, min(l2.label) AS minlab
+                FROM cc_edges e JOIN cc_labels l2 ON l2.node = e.src
+                GROUP BY e.dst
+            ) m ON m.node = l.node
+            """
+        )
+        changed = con.execute(
+            """
+            SELECT count(*) FROM cc_labels_next n
+            JOIN cc_labels o USING (node)
+            WHERE n.label <> o.label
+            """
+        ).fetchone()[0]
+        con.execute("DROP TABLE cc_labels")
+        con.execute("ALTER TABLE cc_labels_next RENAME TO cc_labels")
+        if log:
+            log(f"  iter {it}: {changed} labels changed")
+        if changed == 0:
+            return
+    raise RuntimeError(f"label propagation did not converge in {max_iter}")
+
+
+def dup_clusters_df(con, *, brute: bool = False, log=None):
+    """The ``doc_dup_clusters`` result (doc_id, cluster_id) as a pandas
+    frame, computed entirely in DuckDB."""
+    n = build_edges(con, brute=brute)
+    if log:
+        log(f"  {n} directed edges")
+    cc_label_prop(con, log=log)
+    return con.execute(
+        "SELECT node AS doc_id, label AS cluster_id FROM cc_labels"
+    ).df()
+
+
+def near_dedup_df(con, *, brute: bool = False, log=None):
+    """The ``doc_near_dedup`` result (doc_id, n_members): cluster
+    representatives (min doc_id) with member counts, singletons kept."""
+    n = build_edges(con, brute=brute)
+    if log:
+        log(f"  {n} directed edges")
+    cc_label_prop(con, log=log)
+    return con.execute(
+        """
+        WITH sizes AS (
+            SELECT label AS cluster_id, count(*) AS n_members
+            FROM cc_labels GROUP BY label
+        )
+        SELECT d.doc_id,
+               coalesce(s.n_members, 1::BIGINT) AS n_members
+        FROM documents d
+        LEFT JOIN cc_labels l ON d.doc_id = l.node
+        LEFT JOIN sizes s ON l.label = s.cluster_id
+        WHERE l.node IS NULL OR l.node = l.label
+        """
+    ).df()
+
+
+ITER_CC_ORACLES = {
+    "doc_dup_clusters": dup_clusters_df,
+    "doc_near_dedup": near_dedup_df,
+}
+
+
+def main():
+    import duckdb
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    brute = "--brute" in sys.argv
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    for name, fn in ITER_CC_ORACLES.items():
+        t0 = time.time()
+        df = fn(con, brute=brute, log=lambda m: print(m, flush=True))
+        print(f"{name}: {len(df)} rows in {time.time() - t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main()

@@ -161,7 +161,9 @@ def check_one(name, sdf, con, oracle):
     if oracle is None:
         return "ROWS_ONLY", [f"{len(spdf)} rows; canon ok"]
     try:
-        dpdf = con.execute(oracle).df()
+        # oracle is either an SQL string or a callable(con) -> pandas
+        # frame (the iterative temp-table oracles under --iter-cc)
+        dpdf = oracle(con) if callable(oracle) else con.execute(oracle).df()
     except Exception as e:
         return "FAIL", [f"duckdb error: {e}"]
     if sorted(spdf.columns) != sorted(dpdf.columns):
@@ -195,8 +197,10 @@ def check_one(name, sdf, con, oracle):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a != "--vanilla"]
-    vanilla = "--vanilla" in sys.argv[1:]
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    vanilla = "--vanilla" in flags
+    iter_cc = "--iter-cc" in flags
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -227,6 +231,13 @@ def main():
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    if iter_cc:
+        # substitute the recursive-CTE CC oracles (DNF at sf1.0's
+        # 12.4M-edge graph) with the iterative temp-table label
+        # propagation — still computed entirely by DuckDB
+        from tools.cc_oracle_duckdb import ITER_CC_ORACLES
+
+        oracles.update(ITER_CC_ORACLES)
     n_pass = n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
