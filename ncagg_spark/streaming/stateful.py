@@ -42,7 +42,9 @@ GAP_SCHEMA = T.StructType(
 STATE_SCHEMA = T.StructType([T.StructField("last_us", T.LongType())])
 
 
-def make_gap_detector(step_us: int, dt_max_s: float):
+def make_gap_detector(
+    step_us: int, dt_max_s: float, *, use_timeout: bool = True
+):
     """Returns the applyInPandasWithState function for a given cadence.
 
     Emits (key, gap_start, gap_end, missing_slots) whenever consecutive
@@ -97,7 +99,8 @@ def make_gap_detector(step_us: int, dt_max_s: float):
                     )
                 last_us = u if last_us is None else max(last_us, u)
             state.update((last_us,))
-            state.setTimeoutDuration(timeout_ms)
+            if use_timeout:
+                state.setTimeoutDuration(timeout_ms)
         if out:
             yield pd.DataFrame(out)
 
@@ -202,12 +205,12 @@ def fill_gaps_online(
     ``timeout="processing"`` (default) GCs quiet keys' state after
     dt_max of processing time — right for an unbounded 24/7 stream.
     Pass ``timeout="none"`` for BOUNDED availableNow runs: with a
-    processing-time timeout registered, availableNow cannot terminate
-    until every key's timeout has drained (Spark keeps scheduling
-    ~1 s "cleaning up state" batches for the full dt_max wall time —
-    measured ~100 wasted batches for a 15-min dt_max), whereas with no
-    timeout the query stops right after the data batches and state
-    simply dies with the query.
+    processing-time timeout registered, an availableNow query NEVER
+    self-terminates — Spark keeps scheduling ~1 s empty
+    "cleaning up state" batches indefinitely, even after every key's
+    state is removed (measured: 38+ batches and still active) — whereas
+    with no timeout the query stops right after the data batches and
+    state simply dies with the query.
     """
     if timeout not in ("processing", "none"):
         raise ValueError(f"unknown timeout mode: {timeout!r}")
@@ -241,11 +244,23 @@ def detect_gaps(
     step_us: int = 1_000_000,
     dt_max_s: float = 1.2,
     output_mode: str = "append",
+    timeout: str = "processing",
 ) -> DataFrame:
     """Wire the gap detector onto a (possibly streaming) DataFrame with
     columns (key_col, ts). Returns the gap-event DataFrame.
+
+    ``timeout`` as in ``fill_gaps_online``: "processing" (default) emits
+    open trailing gaps for quiet keys via ProcessingTimeTimeout — but a
+    query with that timeout registered NEVER self-terminates under
+    trigger(availableNow) (Spark keeps scheduling empty state-cleanup
+    batches); use "none" for bounded runs that don't need the trailing
+    flush, or stop the query explicitly once the sink has what you need.
     """
-    fn = make_gap_detector(step_us, dt_max_s)
+    if timeout not in ("processing", "none"):
+        raise ValueError(f"unknown timeout mode: {timeout!r}")
+    fn = make_gap_detector(
+        step_us, dt_max_s, use_timeout=timeout == "processing"
+    )
     return (
         grouped_stream.selectExpr(f"{key_col} AS key", "ts")
         .groupBy("key")
@@ -254,6 +269,10 @@ def detect_gaps(
             outputStructType=GAP_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode=output_mode,
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if timeout == "processing"
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )

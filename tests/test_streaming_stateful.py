@@ -141,8 +141,13 @@ def test_gap_filler_state_spans_batches(spark, tmp_path):
     _write(spark, inp, [("A", T0_US + 6 * 1_000_000)])
 
     stream = stream_granules(spark, inp, SCHEMA, max_files_per_trigger=1)
+    # timeout="none": the timeout branch is unit-tested above with
+    # _FakeState; with ProcessingTimeTimeout an availableNow query never
+    # self-terminates (endless empty cleanup batches — this test used to
+    # burn its full 180 s await)
     reg = fill_gaps_online(
-        stream, key_col="event_type", step_us=1_000_000, dt_max_s=1.2
+        stream, key_col="event_type", step_us=1_000_000, dt_max_s=1.2,
+        timeout="none",
     )
     q = (
         reg.writeStream.format("memory")
@@ -152,7 +157,8 @@ def test_gap_filler_state_spans_batches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    q.awaitTermination(120)
+    assert not q.isActive, "availableNow query failed to self-terminate"
 
     got = spark.sql(
         "SELECT * FROM fill_sink ORDER BY ts"
@@ -186,7 +192,12 @@ def test_gap_detector_state_spans_batches(spark, tmp_path):
     )
 
     stream = stream_granules(spark, inp, SCHEMA, max_files_per_trigger=1)
-    gaps = detect_gaps(stream, key_col="event_type", step_us=1_000_000, dt_max_s=1.2)
+    # timeout="none": see test_gap_filler_state_spans_batches — the
+    # open-trailing-gap flush is unit-tested with _FakeState above
+    gaps = detect_gaps(
+        stream, key_col="event_type", step_us=1_000_000, dt_max_s=1.2,
+        timeout="none",
+    )
     q = (
         gaps.writeStream.format("memory")
         .queryName("gap_sink")
@@ -195,7 +206,8 @@ def test_gap_detector_state_spans_batches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    q.awaitTermination(120)
+    assert not q.isActive, "availableNow query failed to self-terminate"
 
     got = spark.sql("SELECT * FROM gap_sink").collect()
     closed = [g for g in got if g["gap_end"] is not None]
@@ -204,12 +216,5 @@ def test_gap_detector_state_spans_batches(spark, tmp_path):
     assert g["key"] == "A"
     assert g["missing_slots"] == 6
     assert (g["gap_end"] - g["gap_start"]).total_seconds() == 7.0
-    # ProcessingTimeTimeout may flush open trailing gaps for quiet keys
-    # before availableNow terminates (wall-clock dependent): each is one
-    # open row with null end/slots for a known key.
-    open_rows = [g for g in got if g["gap_end"] is None]
-    assert len(open_rows) <= 2
-    assert all(
-        r["missing_slots"] is None and r["key"] in ("A", "B")
-        for r in open_rows
-    )
+    # with timeout="none" no open trailing rows can appear
+    assert not [g for g in got if g["gap_end"] is None]
