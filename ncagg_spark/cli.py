@@ -118,6 +118,14 @@ def build_parser() -> argparse.ArgumentParser:
         "--anchor", choices=("grid", "previous"), default="grid",
         help="fill-timestamp anchoring mode",
     )
+    p.add_argument(
+        "--grid-phase", choices=("bound", "data"), default="bound",
+        help="cadence-grid phase origin: 'bound' (slot k = min_bound + "
+        "k*step, the oracle-checked default) or 'data' (grid anchored "
+        "to the first real record's sub-step phase — the reference's "
+        "effective behavior; with --anchor previous this reproduces "
+        "the reference's grid slot-for-slot)",
+    )
     p.add_argument("--max-records-per-file", type=int)
     p.add_argument("--num-files", type=int, help="output file count (1 = single file)")
     p.add_argument(
@@ -225,6 +233,7 @@ def main(argv: list[str] | None = None) -> int:
                     cadence_hz=float(hz) if hz else None,
                     min_bound=bounds[0],
                     max_bound=bounds[1],
+                    grid_phase=args.grid_phase,
                 ),
                 anchor=args.anchor,
             )
@@ -257,6 +266,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.bounds:
         lo, hi = parse_bounds(args.bounds)
         cfg.min_bound, cfg.max_bound = lo, hi
+    if args.grid_phase != "bound":
+        cfg.grid_phase = args.grid_phase
 
     spark = get_spark(app_name="ncagg-aggregate", cpus=args.cpus)
     # native .nc granules route through the NetCDF source (the
