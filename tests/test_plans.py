@@ -24,7 +24,18 @@ SF = "/root/testdata/sf0.001"
 # physical shape for the exact baselines only:
 # the two exact ANN baselines + the PQ ADC scoring join (broadcast NL
 # against the 10-row query side — bounded by construction)
-CROSS_OK = {"emb_brute_topk", "emb_near_dup", "emb_pq_topk"}
+# declared-bounded cross/NL joins:
+#   emb_brute_topk / emb_near_dup / emb_pq_topk — exact ANN baselines,
+#     broadcast NL against the <=O(100)-row query side;
+#   agg_regularize_anchored — gap_fill(anchor="previous") broadcasts the
+#     ONE-ROW first-real-record aggregate onto the grid (the backward
+#     leading-fill anchor, r7); a 1-row broadcast side by construction.
+CROSS_OK = {
+    "emb_brute_topk",
+    "emb_near_dup",
+    "emb_pq_topk",
+    "agg_regularize_anchored",
+}
 
 
 def _plan(spark, name):
