@@ -1572,6 +1572,22 @@ _REGISTRY: list[tuple[str, _T, bool]] = [
     ("rel_window_topk", q_rel_window_topk, False),  # twin: emb_brute_topk
     ("rel_anti_join", q_rel_anti_join, False),  # twin: doc_near_dedup
     ("stream_late_drop", q_stream_late_drop, False),  # twin: stream_day_merge
+    # r5-retired variants, restored to the checked tail in r7 — their
+    # fns + oracles never left; listing them here puts them back under
+    # tools/check_oracle.py's full gate at zero new code
+    ("agg_flatten_overlay", q_agg_flatten_overlay, False),
+    ("doc_exact_duplicates", q_doc_exact_duplicates, False),
+    ("doc_winnow_fp", q_doc_winnow_fp, False),
+    ("rel_cube", q_rel_cube, False),
+    ("rel_distinct_count", q_rel_distinct_count, False),
+    ("rel_grouping_sets", q_rel_grouping_sets, False),
+    ("rel_moving_avg", q_rel_moving_avg, False),
+    ("rel_part_type_revenue", q_rel_part_type_revenue, False),
+    ("rel_region_volume", q_rel_region_volume, False),
+    ("rel_scalar_subquery", q_rel_scalar_subquery, False),
+    ("rel_semi_join", q_rel_semi_join, False),
+    ("rel_union_distinct", q_rel_union_distinct, False),
+    ("rel_window_agg", q_rel_window_agg, False),
 ]
 
 
