@@ -243,6 +243,10 @@ def test_enum_reexport_through_nc4_aggregate_paths(spark, tmp_path):
             rd.close()
     finally:
         sys.path.remove("/root/repo/tools/refshim")
+        # drop the cached shim so later tests that probe "is a real
+        # netCDF4 importable?" (the declared library seam) see the
+        # true environment
+        sys.modules.pop("netCDF4", None)
 
 
 def test_compound_file_readable_via_refshim(tmp_path):
@@ -281,3 +285,7 @@ def test_compound_file_readable_via_refshim(tmp_path):
         rd.close()
     finally:
         sys.path.remove("/root/repo/tools/refshim")
+        # drop the cached shim so later tests that probe "is a real
+        # netCDF4 importable?" (the declared library seam) see the
+        # true environment
+        sys.modules.pop("netCDF4", None)

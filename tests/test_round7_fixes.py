@@ -149,3 +149,7 @@ def test_refshim_read_mode_write_raises(tmp_path):
         rd.close()
     finally:
         sys.path.remove("/root/repo/tools/refshim")
+        # drop the cached shim so later tests that probe "is a real
+        # netCDF4 importable?" (the declared library seam) see the
+        # true environment
+        sys.modules.pop("netCDF4", None)
