@@ -1032,10 +1032,18 @@ def write_nc_aggregate_streamed(
         packed = len(layout) == 1  # single record var: no per-record padding
 
         def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # iterator-of-batches over ONE sorted range partition:
+            # batches advance a partition-local record counter, so every
+            # emitted run is (pid, local_start, n, bytes); the driver
+            # turns local starts into global byte offsets from the
+            # per-pid run totals (range partition ids ascend with the
+            # key range, so offsets are a cumsum over pid)
+            local_pos = 0
             for pdf in batches:
                 n = len(pdf)
                 if n == 0:
                     continue
+                pid = int(pdf["__pid"].iloc[0])
                 chunks = []
                 for name, kind, be, inner, per, vsize in layout:
                     col = pdf[name]
@@ -1070,38 +1078,112 @@ def write_nc_aggregate_streamed(
                 block = np.hstack(chunks) if len(chunks) > 1 else chunks[0]
                 yield pd.DataFrame(
                     {
-                        "ord": [float(pdf[index_col].iloc[0])],
+                        "pid": [pid],
+                        "start": [local_pos],
+                        "n": [n],
                         "data": [block.tobytes()],
                     }
                 )
+                local_pos += n
 
         recsize = sum(v for *_, v in layout) if not packed else layout[0][4]
-        # blocks sized to target_block_bytes ONLY: with
-        # prefetchPartitions=False the driver consumes one partition-job at
-        # a time, so every extra block is a sequential ~0.2 s scheduling
-        # round-trip — a defaultParallelism floor here turned MB-sized
-        # exports into 32 serial mini-jobs for zero parallelism gain
-        # (round-6 fix, found by the head-to-head output-parity timing)
-        n_blocks = max(1, int(np.ceil(numrecs * recsize / target_block_bytes)))
-        enc = (
-            df2.repartitionByRange(n_blocks, F.col(index_col))
-            .sortWithinPartitions(index_col)
-            .mapInPandas(encode, schema="ord double, data binary")
-        )
+        # Parallel encode, positional write (round 7; replaces the
+        # in-order block stream whose encode parallelism EQUALLED the
+        # block count — 3 tasks for a 159 MB day file on 32 cores).
+        # Every record is a fixed recsize bytes, so a run of records
+        # starting at global record position p lands at byte
+        # header + p*recsize — no ordering requirement at the sink:
+        #   1. range-repartition + in-partition sort gives the global
+        #      write order; every partition encodes its rows to
+        #      (pid, local_start, n, bytes) runs — one per Arrow batch,
+        #      so task memory is one batch — fully parallel, in ONE
+        #      pass over the data, materialized DISK_ONLY (write-once
+        #      bytes do not belong in executor memory: on a tight heap
+        #      they starve the sort);
+        #   2. the per-pid run totals (a tiny agg over the CACHED runs)
+        #      give each partition's global offset — range partition
+        #      ids ascend with the key range, so offsets are a cumsum
+        #      over pid; no second scan of the raw data, no window;
+        #   3. the driver drains the cached runs in ARBITRARY order via
+        #      a handful of coalesced cache-fetch jobs and seek-writes
+        #      each at header + (offset[pid]+local_start)*recsize.
+        #      Peak driver memory = one run (maxRecordsPerBatch *
+        #      recsize), NOT the dataset.
+        from pyspark import StorageLevel
 
+        spark = df2.sparkSession
+        n_parts = max(spark.sparkContext.defaultParallelism, 1)
+        part = (
+            df2.repartitionByRange(n_parts, F.col(index_col))
+            .sortWithinPartitions(index_col)
+            .withColumn("__pid", F.spark_partition_id())
+        )
+        # the SQL columnar cache accumulates
+        # inMemoryColumnarStorage.batchSize ROWS per cache batch
+        # (default 10,000) before flushing — with megabyte binary run
+        # cells that is gigabytes of heap PER TASK; cap it to a few
+        # rows while the cached-plan is created + materialized
+        # (restored right after; the conf is captured when persist()
+        # registers the plan, so it must be set BEFORE)
+        # ... and bound the Arrow transfer batch for the encoders: the
+        # default 10,000-row batches mean every concurrent task holds a
+        # multi-MB Arrow allocation + an equally sized encoded run; a
+        # target_block_bytes/parallelism budget keeps N concurrent
+        # encode tasks' transient heap within one block total
+        ab_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+        run_rows = max(
+            256,
+            min(
+                10_000,
+                int(target_block_bytes // max(recsize * n_parts, 1)),
+            ),
+        )
+        bs_key = "spark.sql.inMemoryColumnarStorage.batchSize"
+        old_bs = spark.conf.get(bs_key, None)
+        old_ab = spark.conf.get(ab_key, None)
+        spark.conf.set(bs_key, "4")
+        spark.conf.set(ab_key, str(run_rows))
+        try:
+            enc = part.mapInPandas(
+                encode, schema="pid long, start long, n long, data binary"
+            ).persist(StorageLevel.DISK_ONLY)
+            totals = {
+                r["pid"]: r["cnt"]
+                for r in enc.groupBy("pid")
+                .agg(F.sum("n").alias("cnt"))
+                .collect()  # materializes enc: the parallel encode job
+            }
+        finally:
+            for key, old in ((bs_key, old_bs), (ab_key, old_ab)):
+                if old is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, old)
+        offsets, acc = {}, 0
+        for pid in sorted(totals):
+            offsets[pid] = acc
+            acc += int(totals[pid])
+        n_runs = max(len(totals), 1)
+        drain = enc.coalesce(max(1, min(8, n_runs)))
+        written = 0
         with open(path, "wb") as f:
             f.write(header)
-            last = -np.inf
-            for row in enc.toLocalIterator(prefetchPartitions=False):
-                if row["ord"] < last:
-                    raise RuntimeError(
-                        "record blocks arrived out of order — range "
-                        "partitioning violated"
-                    )
-                last = row["ord"]
+            hdr = len(header)
+            for row in drain.toLocalIterator(prefetchPartitions=True):
+                start = offsets[int(row["pid"])] + int(row["start"])
+                f.seek(hdr + start * recsize)
                 f.write(row["data"])
+                written += int(row["n"])
+        if written != numrecs:
+            raise RuntimeError(
+                f"positional export wrote {written} records, "
+                f"expected {numrecs} — position runs must cover "
+                "every record exactly once"
+            )
     finally:
         df2.unpersist()
+        if "enc" in locals():
+            enc.unpersist()
 
 
 def _fill_chunk_block(
