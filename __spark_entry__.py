@@ -1816,6 +1816,7 @@ def oracle_sql() -> dict[str, str]:
                coalesce(a.real_ts,
                         make_timestamp(epoch_us(a.last_ts) + (a.bucket - a.last_bkt) * {STEP_US}),
                         CASE WHEN f.fr_bkt IS NOT NULL AND a.bucket < f.fr_bkt
+                              AND epoch_us(f.fr_ts) - (f.fr_bkt - a.bucket) * {STEP_US} >= {DAY_LO_US}
                              THEN make_timestamp(epoch_us(f.fr_ts) - (f.fr_bkt - a.bucket) * {STEP_US})
                         END,
                         make_timestamp({DAY_LO_US} + a.bucket * {STEP_US})) AS ts,

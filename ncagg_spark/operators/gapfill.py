@@ -58,6 +58,7 @@ def gap_fill(
     bucket_col: str = BUCKET_COL,
     keep_bucket: bool = False,
     block_size: int | None = None,
+    backward_floor_us: int | None = None,
 ) -> DataFrame:
     """Left-join deduped data onto the full slot grid; emit fill rows for
     empty slots. Returns one row per slot in [0, n_buckets), with
@@ -141,11 +142,16 @@ def gap_fill(
         # LEADING fill (no real record precedes): the reference
         # back-computes the fill start from the NEXT real node
         # (ncagg/aggregator.py:176-191: start_from = next_start -
-        # (size+1)*dt_nom, bumped so the first fill stays >= the bound)
-        # — i.e. leading fills carry the FIRST real record's phase. One
-        # 1-row aggregate over the (already deduped) input, broadcast
-        # back; the bump rule is automatic here because slots never
-        # extend below the grid origin.
+        # (size+1)*dt_nom, bumped so the first fill stays >= the
+        # bound) — i.e. leading fills carry the FIRST real record's
+        # phase. One 1-row aggregate over the (already deduped) input,
+        # broadcast back. The reference's BUMP rule matters with
+        # nearest-slot bucketing (phase 0.5): a slot-b record can sit
+        # up to half a step BEFORE origin + b*step, so the slot-0
+        # back-computed stamp can dip below the aggregation bound —
+        # any backward stamp under ``backward_floor_us`` (default: the
+        # grid origin) falls through to the grid point instead,
+        # exactly the reference's "start_from bumped up" case.
         first_real = df.agg(
             F.min(F.col(bucket_col)).alias("__fr_bkt"),
             F.min_by(F.col(index_col), F.col(bucket_col)).alias(
@@ -153,14 +159,15 @@ def gap_fill(
             ),
         )
         joined = joined.crossJoin(F.broadcast(first_real))
+        floor_us = origin_us if backward_floor_us is None else backward_floor_us
+        backward_us = epoch_us(F.col("__fr_ts")) - (
+            F.col("__fr_bkt") - F.col(bucket_col)
+        ) * F.lit(step_us)
         backward = F.when(
             F.col("__fr_bkt").isNotNull()
-            & (F.col(bucket_col) < F.col("__fr_bkt")),
-            F.timestamp_micros(
-                epoch_us(F.col("__fr_ts"))
-                - (F.col("__fr_bkt") - F.col(bucket_col))
-                * F.lit(step_us)
-            ),
+            & (F.col(bucket_col) < F.col("__fr_bkt"))
+            & (backward_us >= F.lit(floor_us)),
+            F.timestamp_micros(backward_us),
         )
         ts_out = F.coalesce(real_ts, anchored, backward, grid_ts)
 

@@ -105,6 +105,9 @@ def regularize(
             step_us=cfg.step_us,
             n_buckets=n_buckets,
             anchor=anchor,
+            # the reference's bump floor is the aggregation BOUND, not
+            # the (possibly data-phase-shifted) grid origin
+            backward_floor_us=lo_us,
         )
 
     if cfg.take_dim_indices:

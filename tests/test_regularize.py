@@ -331,3 +331,26 @@ def test_grid_phase_data_empty_input_uses_bound_grid(spark):
 def test_grid_phase_validation():
     with pytest.raises(ValueError, match="grid_phase"):
         _cfg(grid_phase="nope")
+
+
+def test_leading_fill_bump_rule_clamps_below_bound(spark):
+    """The reference's bump case (aggregator.py:185-191): with
+    nearest-slot bucketing a slot-b record can sit up to half a step
+    BEFORE origin + b*step, so the slot-0 back-computed stamp would dip
+    below the aggregation bound — it must fall back to the grid point
+    (the reference drops that below-bound fill; the grid model keeps
+    the slot but stamps it at the bound)."""
+    # record at slot 1's center - 0.4s = T0 + 0.6s (nearest slot 1)
+    rows = [(T0_US + 600_000, 1.0)]
+    cfg = _cfg(hi=T0_US + 3 * 1_000_000, bucket_phase=0.5)
+    out = (
+        regularize(spark, _df(spark, rows), cfg, anchor="previous")
+        .orderBy("ts")
+        .collect()
+    )
+    us = _micros(out)
+    # slot 0 backward stamp would be T0 - 0.4s < bound -> grid point
+    assert us[0] == T0_US
+    assert us[1] == T0_US + 600_000  # the real record
+    assert us[2] == T0_US + 1_600_000  # forward-anchored fill
+    assert all(u >= T0_US for u in us)
