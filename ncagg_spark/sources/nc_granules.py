@@ -979,9 +979,14 @@ def write_nc_aggregate_streamed(
         df, cf_units, dict(var_attributes or {})
     )
     # multiple consumers read df2 (spec pass, partition sampling,
-    # encode) — materialize it once; executor storage spills to disk,
-    # the DRIVER memory contract is untouched
-    df2 = df2.persist()
+    # encode) — materialize it once. DISK_ONLY deliberately: a
+    # MEMORY_AND_DISK copy squats in the unified memory store exactly
+    # while N concurrent encode tasks need execution memory for their
+    # sorts (measured: flaky heap OOM at driver.memory=1g); the
+    # re-read is one sequential pass over file-sized bytes
+    from pyspark import StorageLevel as _SL
+
+    df2 = df2.persist(_SL.DISK_ONLY)
     try:
         numrecs, specs = _streamed_col_specs(df2)
 
@@ -1163,6 +1168,11 @@ def write_nc_aggregate_streamed(
         for pid in sorted(totals):
             offsets[pid] = acc
             acc += int(totals[pid])
+        # the raw cache served its consumers (spec pass + encode);
+        # free the memory store BEFORE the drain — toLocalIterator's
+        # multi-MB task-result blocks are MEMORY_ONLY, and a full
+        # store evicts them mid-flight (TaskResultLost on a tight heap)
+        df2.unpersist()
         n_runs = max(len(totals), 1)
         drain = enc.coalesce(max(1, min(8, n_runs)))
         written = 0
