@@ -1078,7 +1078,19 @@ class Hdf5File:
                             f"mismatch in chunk at {offs}"
                         )
                 else:
-                    raise Hdf5Error(f"filter {fid} unsupported")
+                    known = {
+                        4: "szip (patent-encumbered codec)",
+                        5: "nbit",
+                        6: "scale-offset",
+                    }
+                    what = known.get(fid, f"id {fid}")
+                    raise Hdf5Error(
+                        f"filter {what} unsupported — this reader "
+                        "covers the netCDF-4 classic-model pipeline "
+                        "(deflate/shuffle/fletcher32); re-write the "
+                        "file without the filter (e.g. nccopy) to "
+                        "ingest it"
+                    )
             carr = from_raw(raw, int(np.prod(chunk))).reshape(chunk)
             sl = tuple(
                 slice(o, min(o + c, s))
