@@ -457,7 +457,11 @@ def kmeans_centroids(
     ``assign_cells`` (broadcast unit centroids, argmax of constant-folded
     dots — no Python in the hot path), and the update step is a
     posexplode → groupBy(cell, pos) partial-aggregated sum, collecting
-    only n_cells × dim numbers to the driver. Init picks the n_cells
+    only n_cells × dim numbers to the driver. The driver-side Lloyd
+    loop runs ``max_iter`` SEQUENTIAL Spark jobs — each one fully
+    parallel, but on a busy shared cluster the per-job scheduling
+    latency multiplies by ``max_iter``; keep it small (or train on a
+    sample) when queue wait dominates. Init picks the n_cells
     vectors with the smallest hash of their id — deterministic and
     uniformly spread without a data-dependent pass. ``init="xxhash"``
     uses Spark's seeded xxhash64; ``init="mult"`` uses a Knuth
