@@ -1117,6 +1117,36 @@ def write_nc_aggregate_streamed(
         from pyspark import StorageLevel
 
         spark = df2.sparkSession
+        total_bytes = numrecs * recsize
+        if total_bytes <= target_block_bytes:
+            # SMALL-EXPORT fast path: everything fits one block, so the
+            # persist/totals/drain machinery is pure job overhead — one
+            # partition, one job, runs arrive in order, write directly
+            small = (
+                df2.repartitionByRange(1, F.col(index_col))
+                .sortWithinPartitions(index_col)
+                .withColumn("__pid", F.spark_partition_id())
+                .mapInPandas(
+                    encode,
+                    schema="pid long, start long, n long, data binary",
+                )
+            )
+            written = 0
+            with open(path, "wb") as f:
+                f.write(header)
+                hdr = len(header)
+                for row in small.toLocalIterator(
+                    prefetchPartitions=False
+                ):
+                    f.seek(hdr + int(row["start"]) * recsize)
+                    f.write(row["data"])
+                    written += int(row["n"])
+            if written != numrecs:
+                raise RuntimeError(
+                    f"positional export wrote {written} records, "
+                    f"expected {numrecs}"
+                )
+            return
         n_parts = max(spark.sparkContext.defaultParallelism, 1)
         part = (
             df2.repartitionByRange(n_parts, F.col(index_col))
