@@ -1239,6 +1239,21 @@ def _fill_chunk_block(
     paths are byte-contract-frozen (big-endian, vsize padding), and the
     value-equality tests pin all three against each other.
     """
+    if kind == "array2":
+        # nested (2-D per record) column -> (height, w1, w2) chunk
+        # block; widths/dtype decided by the shared spec pass, padding
+        # via the same vectorized path the classic encoder uses
+        w1, w2 = width
+        block = np.full(
+            (height, w1, w2),
+            np.nan if base.kind == "f" else 0,
+            dtype=base,
+        )
+        block[n:] = 0
+        block[:n] = _nested_to_matrix(
+            pd.Series(list(values)), (w1, w2), base
+        )
+        return block
     if kind == "array":
         block = np.full(
             (height, width), np.nan if base.kind == "f" else 0, dtype=base
@@ -1331,15 +1346,16 @@ def _write_nc4_streamed(
     df2 = df2.persist()
     try:
         numrecs, specs = _streamed_col_specs(df2)
-        if any(kind == "array2" for _, kind, _, _ in specs):
-            raise NotImplementedError(
-                "streamed netCDF-4 export of nested (2-D per record) array "
-                "columns is not implemented; use fmt='classic' (streamed, "
-                "supports them) or write_nc_aggregate(fmt='netcdf4') "
-                "(in-memory, supports them)"
-            )
+
+        def _elems(kind, width):
+            if kind == "scalar":
+                return 1
+            if kind == "array2":
+                return width[0] * width[1]
+            return width
+
         row_bytes = sum(
-            np.dtype(dt).itemsize * (width if kind != "scalar" else 1)
+            np.dtype(dt).itemsize * _elems(kind, width)
             for _, kind, dt, width in specs
         )
         # widest single variable's bytes-per-record: the default chunk must
@@ -1347,7 +1363,7 @@ def _write_nc4_streamed(
         # the default chunk multi-GiB (the _cap_chunk hazard)
         max_var_row_bytes = max(
             (
-                np.dtype(dt).itemsize * (width if kind != "scalar" else 1)
+                np.dtype(dt).itemsize * _elems(kind, width)
                 for _, kind, dt, width in specs
             ),
             default=1,
@@ -1366,7 +1382,13 @@ def _write_nc4_streamed(
         meta: dict[str, tuple[str, np.dtype, tuple, tuple, list[str]]] = {}
         for name, kind, dt, width in specs:
             base = np.dtype(dt)
-            if kind == "array":
+            if kind == "array2":
+                w1, w2 = width
+                d1, d2 = f"{name}_dim1", f"{name}_dim2"
+                dims.append((d1, w1))
+                dims.append((d2, w2))
+                inner, vdims = (w1, w2), [record_dim, d1, d2]
+            elif kind == "array":
                 dn = f"{name}_dim1"
                 dims.append((dn, width))
                 inner, vdims = (width,), [record_dim, dn]

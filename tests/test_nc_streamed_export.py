@@ -403,18 +403,44 @@ def test_nested_array_deeper_nesting_raises(spark, tmp_path):
         )
 
 
-def test_nested_array_nc4_streamed_raises_with_alternative(spark, tmp_path):
+def test_nested_array_nc4_streamed_value_equal_to_inmem(spark, tmp_path):
+    """Streamed netCDF-4 export of nested (2-D per record) array
+    columns (r7 — closed the r6 NotImplementedError): value-equal to
+    the in-memory nc4 writer, including ragged rows padded NaN and the
+    3-D dims."""
+    import datetime
+
     from pyspark.sql import functions as F
 
+    from ncagg_spark.sources.hdf5 import read_hdf5
     from ncagg_spark.sources.nc_granules import (
         write_nc_aggregate_streamed,
     )
 
+    t0 = 1_704_153_600_000_000
+    rows = [
+        (t0, [[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]]),
+        (t0 + 1_000_000, [[7.0, 8.0]]),  # ragged -> NaN padding
+        (t0 + 2_000_000, [[9.0, 10.0, 11.0], [12.0, 13.0, 14.0]]),
+    ]
     df = spark.createDataFrame(
-        [(1_704_153_600_000_000, [[1.0, 2.0]])],
-        "us long, m array<array<double>>",
+        rows, "us long, m array<array<double>>"
     ).select(F.timestamp_micros("us").alias("ts"), "m")
-    with pytest.raises(NotImplementedError, match="fmt='classic'"):
-        write_nc_aggregate_streamed(
-            df, str(tmp_path / "x.nc4"), fmt="netcdf4", index_col="ts"
-        )
+    p_str = str(tmp_path / "s.nc4")
+    p_mem = str(tmp_path / "m.nc4")
+    write_nc_aggregate_streamed(
+        df, p_str, fmt="netcdf4", index_col="ts", compression=4
+    )
+    write_nc_aggregate(
+        df, p_mem, fmt="netcdf4", index_col="ts", compression=4
+    )
+    hs = read_hdf5(open(p_str, "rb").read())
+    hm = read_hdf5(open(p_mem, "rb").read())
+    a, b = hs.read("m"), hm.read("m")
+    assert a.shape == b.shape == (3, 2, 3)
+    np.testing.assert_array_equal(
+        np.isnan(a), np.isnan(b)
+    )
+    np.testing.assert_array_equal(a[~np.isnan(a)], b[~np.isnan(b)])
+    assert a[1, 0, :2].tolist() == [7.0, 8.0]
+    assert np.isnan(a[1, 0, 2]) and np.isnan(a[1, 1]).all()
