@@ -1597,10 +1597,11 @@ def queries() -> dict[str, _T]:
     truth, no hand-maintained ordering."""
     reg = [(n, f, w) for n, f, w in _REGISTRY if f is not None]
     d = {n: f for n, f, w in reg if w}
-    assert len(d) <= DRIVER_WINDOW, (
-        f"{len(d)} in-window queries exceed the driver's "
-        f"{DRIVER_WINDOW}-slot check window — rotate one to the tail"
-    )
+    if len(d) > DRIVER_WINDOW:  # not assert: survives python -O
+        raise ValueError(
+            f"{len(d)} in-window queries exceed the driver's "
+            f"{DRIVER_WINDOW}-slot check window — rotate one to the tail"
+        )
     d.update({n: f for n, f, w in reg if not w})
     return d
 

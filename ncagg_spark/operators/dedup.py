@@ -82,8 +82,19 @@ def dedup_cadence(
     map-typed callers).
     """
     if any(_has_map_type(f.dataType) for f in df.schema.fields):
+        # residual tiebreak: every remaining ORDERABLE column joins the
+        # window orderBy, so rows tied on (index, tiebreak) are still
+        # kept deterministically — matching the aggregate form's
+        # full-row struct tiebreak (ADVICE r7; only the map columns
+        # themselves stay outside the order, Spark cannot sort them)
+        explicit = {bucket_col, index_col, *(tiebreak or [])}
+        residual = [
+            f.name
+            for f in df.schema.fields
+            if f.name not in explicit and not _has_map_type(f.dataType)
+        ]
         w = Window.partitionBy(bucket_col).orderBy(
-            index_col, *(tiebreak or [])
+            index_col, *(tiebreak or []), *residual
         )
         return (
             df.withColumn("__rn", F.row_number().over(w))

@@ -1110,10 +1110,11 @@ def write_nc_aggregate_streamed(
         #      ids ascend with the key range, so offsets are a cumsum
         #      over pid; no second scan of the raw data, no window;
         #   3. the driver drains the cached runs in ARBITRARY order via
-        #      a handful of coalesced cache-fetch jobs and seek-writes
+        #      block-sized cache-fetch partitions and seek-writes
         #      each at header + (offset[pid]+local_start)*recsize.
-        #      Peak driver memory = one run (maxRecordsPerBatch *
-        #      recsize), NOT the dataset.
+        #      Peak driver memory = one drain partition
+        #      (~target_block_bytes, x2 with prefetch), NOT the
+        #      dataset.
         from pyspark import StorageLevel
 
         spark = df2.sparkSession
@@ -1147,7 +1148,19 @@ def write_nc_aggregate_streamed(
                     f"expected {numrecs}"
                 )
             return
-        n_parts = max(spark.sparkContext.defaultParallelism, 1)
+        # Partition count serves two masters: encode parallelism (at
+        # least one task per core) and DRAIN memory (toLocalIterator
+        # materializes a whole partition on the driver, x2 with
+        # prefetch) — so a partition must never exceed one block.
+        # For files past cores*block the count scales with the file,
+        # keeping peak driver residency ~target_block_bytes regardless
+        # of aggregate size (ADVICE r7: the fixed <=8-way coalesce made
+        # it ~fileBytes/8).
+        n_cores = max(spark.sparkContext.defaultParallelism, 1)
+        n_blocks = max(
+            1, -(-total_bytes // max(target_block_bytes, 1))
+        )  # ceil
+        n_parts = max(n_cores, n_blocks)
         part = (
             df2.repartitionByRange(n_parts, F.col(index_col))
             .sortWithinPartitions(index_col)
@@ -1170,7 +1183,7 @@ def write_nc_aggregate_streamed(
             256,
             min(
                 10_000,
-                int(target_block_bytes // max(recsize * n_parts, 1)),
+                int(target_block_bytes // max(recsize * n_cores, 1)),
             ),
         )
         bs_key = "spark.sql.inMemoryColumnarStorage.batchSize"
@@ -1203,8 +1216,14 @@ def write_nc_aggregate_streamed(
         # multi-MB task-result blocks are MEMORY_ONLY, and a full
         # store evicts them mid-flight (TaskResultLost on a tight heap)
         df2.unpersist()
+        # Drain in ~one-block partitions: coalesce merges the tiny
+        # partitions of a small export up to ~target_block_bytes each
+        # (fewer cache-fetch jobs), while a large export keeps its
+        # n_blocks partitions — either way the largest driver-resident
+        # partition stays ~one block (x2 with prefetch), never
+        # fileBytes/8 (ADVICE r7).
         n_runs = max(len(totals), 1)
-        drain = enc.coalesce(max(1, min(8, n_runs)))
+        drain = enc.coalesce(max(1, min(n_blocks, n_runs)))
         written = 0
         with open(path, "wb") as f:
             f.write(header)

@@ -92,8 +92,11 @@ def make_gap_detector(
                             "key": key[0],
                             "gap_start": pd.Timestamp(last_us * 1000),
                             "gap_end": pd.Timestamp(u * 1000),
+                            # floor(x+0.5) to match the batch gap_fill
+                            # slot rule (round() is half-to-even)
                             "missing_slots": max(
-                                1, round((u - last_us) / step_us) - 1
+                                1,
+                                int((u - last_us) / step_us + 0.5) - 1,
                             ),
                         }
                     )
@@ -163,7 +166,12 @@ def make_gap_filler(
         out_fill: list[bool] = []
         for u in us:
             if last_us is not None and u - last_us > dt_max_us:
-                n = max(1, round((u - last_us) / step_us) - 1)
+                # floor(x + 0.5), NOT Python round(): round() is
+                # banker's (half-to-even) while the batch gap_fill and
+                # the stream_gap_fill DuckDB oracle both use
+                # floor(x+0.5) — at an exact half-step gap the two
+                # would disagree by one fill row (ADVICE r7)
+                n = max(1, int((u - last_us) / step_us + 0.5) - 1)
                 n = min(n, max_fill_per_gap)
                 fills = range(
                     last_us + step_us, last_us + (n + 1) * step_us, step_us
