@@ -1543,7 +1543,11 @@ _REGISTRY: list[tuple[str, _T, bool]] = [
     ("rel_q1_pricing", q_rel_q1_pricing, True),
     ("rel_q3_topk", q_rel_q3_topk, True),
     ("rel_q5_nation_volume", q_rel_q5_nation_volume, True),
-    ("rel_rollup", q_rel_rollup, True),
+    # r8: stream_late_drop rotated IN (VERDICT r7 #7 — late-data drop
+    # was the one streaming behavior the driver never directly gated);
+    # rel_rollup rotated to the tail (twins rel_cube /
+    # rel_grouping_sets keep the rollup family oracle-checked there)
+    ("stream_late_drop", q_stream_late_drop, True),
     ("rel_intersect_except", q_rel_intersect_except, True),
     ("rel_exists_subquery", q_rel_exists_subquery, True),
     # -- documents (LLM-pipeline text ops) --
@@ -1571,7 +1575,7 @@ _REGISTRY: list[tuple[str, _T, bool]] = [
     ("doc_simhash", q_doc_simhash, False),  # twin: doc_simhash_near_dup
     ("rel_window_topk", q_rel_window_topk, False),  # twin: emb_brute_topk
     ("rel_anti_join", q_rel_anti_join, False),  # twin: doc_near_dedup
-    ("stream_late_drop", q_stream_late_drop, False),  # twin: stream_day_merge
+    ("rel_rollup", q_rel_rollup, False),  # twins: rel_cube, rel_grouping_sets
     # r5-retired variants, restored to the checked tail in r7 — their
     # fns + oracles never left; listing them here puts them back under
     # tools/check_oracle.py's full gate at zero new code
