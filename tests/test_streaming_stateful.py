@@ -218,3 +218,90 @@ def test_gap_detector_state_spans_batches(spark, tmp_path):
     assert (g["gap_end"] - g["gap_start"]).total_seconds() == 7.0
     # with timeout="none" no open trailing rows can appear
     assert not [g for g in got if g["gap_end"] is None]
+
+
+@pytest.mark.slow
+def test_gap_filler_kill_restart_no_double_emission(spark, tmp_path):
+    """Crash recovery for the stateful operator (VERDICT r7 #3): kill a
+    running fill_gaps_online query mid-stream, restart from the
+    checkpoint, and assert the final frame is EXACTLY the batch answer —
+    no gap row double-emitted, none lost — at whatever batch boundary
+    the kill happened to land on (the file-sink log + state checkpoint
+    must make the answer kill-point-invariant)."""
+    import time
+
+    from ncagg_spark.streaming.stateful import fill_gaps_online
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # three mtime-ordered granules: A 0..2 | A @6 (fills 3,4,5) |
+    # A @9 (fills 7,8)
+    _write(spark, inp, [("A", T0_US + i * 1_000_000) for i in range(3)])
+    _write(spark, inp, [("A", T0_US + 6_000_000)])
+    _write(spark, inp, [("A", T0_US + 9_000_000)])
+
+    def start(available_now):
+        stream = stream_granules(
+            spark, inp, SCHEMA, max_files_per_trigger=1
+        )
+        reg = fill_gaps_online(
+            stream,
+            key_col="event_type",
+            step_us=1_000_000,
+            dt_max_s=1.2,
+            timeout="none",
+        )
+        w = (
+            reg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+        )
+        if available_now:
+            w = w.trigger(availableNow=True)
+        return w.start()
+
+    # run 1: kill as soon as at least one micro-batch has committed —
+    # a mid-stream stop with durable state + sink-log entries behind it
+    q = start(available_now=False)
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if any(
+            p["numInputRows"] > 0 for p in (q.recentProgress or [])
+        ):
+            break
+        time.sleep(0.2)
+    else:
+        q.stop()
+        raise AssertionError("no micro-batch committed within 120s")
+    q.stop()
+    q.awaitTermination(60)
+
+    # run 2: restart from the checkpoint, drain whatever remains
+    q2 = start(available_now=True)
+    q2.awaitTermination(120)
+    assert not q2.isActive
+
+    got = spark.read.parquet(out).orderBy("ts").collect()
+    rows = [
+        (
+            r["key"],
+            (int(r["ts"].timestamp() * 1_000_000) - T0_US) // 1_000_000,
+            bool(r["is_fill"]),
+        )
+        for r in got
+    ]
+    assert len(rows) == len(set(rows)), "gap row double-emitted"
+    assert sorted(rows) == [
+        ("A", 0, False),
+        ("A", 1, False),
+        ("A", 2, False),
+        ("A", 3, True),
+        ("A", 4, True),
+        ("A", 5, True),
+        ("A", 6, False),
+        ("A", 7, True),
+        ("A", 8, True),
+        ("A", 9, False),
+    ]
