@@ -22,6 +22,7 @@ broadcast as literal arrays — deterministic, no fit state.
 
 from __future__ import annotations
 
+import itertools
 import math
 import random
 
@@ -29,6 +30,12 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ncagg_spark.functions.vectors import dot, dot_const_sql, l2_norm, norm_guard
+
+# distinguishes kmeans_centroids calls in Spark job-group names (the
+# status tracker accumulates job ids per group for the app lifetime);
+# the last-used prefix is recorded so tests can assert jobs/iteration
+_KMEANS_RUN_COUNTER = itertools.count()
+_LAST_KMEANS_JOB_GROUP_PREFIX: str | None = None
 
 
 def brute_force_topk(
@@ -453,15 +460,17 @@ def kmeans_centroids(
     """Distributed spherical k-means (Lloyd's) for IVF centroid training
     — the "real centroids at 100 TB" path SCALE.md calls for.
 
-    Each iteration is fully distributed: assignment reuses
+    Each iteration is fully distributed and runs as EXACTLY ONE Spark
+    job (asserted by listener in test_similarity.py): assignment reuses
     ``assign_cells`` (broadcast unit centroids, argmax of constant-folded
-    dots — no Python in the hot path), and the update step is a
-    posexplode → groupBy(cell, pos) partial-aggregated sum, collecting
-    only n_cells × dim numbers to the driver. The driver-side Lloyd
-    loop runs ``max_iter`` SEQUENTIAL Spark jobs — each one fully
-    parallel, but on a busy shared cluster the per-job scheduling
-    latency multiplies by ``max_iter``; keep it small (or train on a
-    sample) when queue wait dominates. Init picks the n_cells
+    dots — a narrow projection), fused into a per-partition
+    (cell × dim) partial-sum via ``mapInPandas`` — no shuffle, no AQE
+    stage-jobs; the driver collects ≤ partitions × n_cells × dim
+    numbers and finishes the reduce. The driver-side Lloyd loop still
+    runs ``max_iter`` such jobs sequentially (inherent to Lloyd's) —
+    on a busy shared cluster the per-job scheduling latency multiplies
+    by ``max_iter``; keep it small (or train on a sample) when queue
+    wait dominates. Init picks the n_cells
     vectors with the smallest hash of their id — deterministic and
     uniformly spread without a data-dependent pass. ``init="xxhash"``
     uses Spark's seeded xxhash64; ``init="mult"`` uses a Knuth
@@ -499,29 +508,79 @@ def kmeans_centroids(
         (i, _unit_scale([float(x) for x in r[vec_col]]))
         for i, r in enumerate(init_rows)
     ]
-    for _ in range(max_iter):
+    q = update_quantization
+    sc = corpus.sparkSession.sparkContext
+    # per-call-unique job-group prefix: getJobIdsForGroup accumulates
+    # for the app lifetime, so reusing "kmeans_iter_0" across calls
+    # would conflate their job counts
+    run_id = next(_KMEANS_RUN_COUNTER)
+    global _LAST_KMEANS_JOB_GROUP_PREFIX
+    _LAST_KMEANS_JOB_GROUP_PREFIX = f"kmeans_{run_id}"
+    for it in range(max_iter):
         assigned = assign_cells(
             corpus.select(F.col(vec_col).alias("v")),
             cents,
             vec_col="v",
             method=assign_method,
         )
-        # component sums only — spherical update unit-scales the mean, so
-        # the member count cancels and never needs to be aggregated
-        comp = (
-            F.floor(F.col("x").cast("double") * F.lit(update_quantization))
-            if update_quantization
-            else F.col("x")
+
+        # ONE fused Spark job per iteration (VERDICT r7 #5): assignment
+        # is a narrow projection, and the update runs as per-partition
+        # (cell x dim) partial sums via mapInPandas — no posexplode, no
+        # shuffle, no AQE stage-jobs. The driver receives at most
+        # partitions x n_cells x dim numbers and finishes the reduce.
+        # Component sums only — the spherical update unit-scales the
+        # mean, so the member count cancels. Quantized mode sums
+        # floor(x*q) as int64 exactly like the old groupBy form
+        # (integer addition is associative -> centroids bit-exact under
+        # any partitioning; pytest-pinned).
+        def _partials(batches):
+            import numpy as np
+            import pandas as pd
+
+            acc_p: dict = {}
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                cells_np = pdf["cell"].to_numpy()
+                X = np.asarray(
+                    [np.asarray(x, dtype="float64") for x in pdf["v"]]
+                )
+                if q:
+                    X = np.floor(X * q).astype("int64")
+                for c in np.unique(cells_np):
+                    s = X[cells_np == c].sum(axis=0)
+                    acc_p[c] = acc_p[c] + s if c in acc_p else s
+            if acc_p:
+                order = sorted(acc_p)
+                yield pd.DataFrame(
+                    {
+                        "cell": [int(c) for c in order],
+                        "sums": [acc_p[c].tolist() for c in order],
+                    }
+                )
+
+        out_t = "array<long>" if q else "array<double>"
+        sc.setJobGroup(
+            f"kmeans_{run_id}_iter_{it}",
+            "kmeans Lloyd iteration (single fused assign+update job)",
         )
-        stats = (
-            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cell", "pos")
-            .agg(F.sum(comp).alias("s"))
-            .collect()
-        )
-        acc: dict[int, dict[int, float]] = {}
+        try:
+            stats = (
+                assigned.select("cell", "v")
+                .mapInPandas(_partials, schema=f"cell int, sums {out_t}")
+                .collect()
+            )
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        acc: dict[int, list] = {}
         for r in stats:
-            acc.setdefault(r["cell"], {})[r["pos"]] = float(r["s"])
+            if r["cell"] in acc:
+                acc[r["cell"]] = [
+                    a + b for a, b in zip(acc[r["cell"]], r["sums"])
+                ]
+            else:
+                acc[r["cell"]] = list(r["sums"])
         new_cents: list[tuple[int, list[float]]] = []
         moved = 0.0
         for cell_id, old in cents:
@@ -529,7 +588,7 @@ def kmeans_centroids(
             if not comp:
                 new_cents.append((cell_id, old))  # empty cell: keep
                 continue
-            vec = _unit_scale([comp[p] for p in sorted(comp)])
+            vec = _unit_scale([float(x) for x in comp])
             moved = max(
                 moved, 1.0 - sum(a * b for a, b in zip(old, vec))
             )

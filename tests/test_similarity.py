@@ -218,3 +218,37 @@ def test_ivf_prebuilt_index_matches_inline(spark, vectors):
         df, queries, k=3, centroids=cents, corpus_cells=cells
     ).collect()
     assert sorted(map(tuple, inline)) == sorted(map(tuple, pre))
+
+
+def test_kmeans_one_spark_job_per_iteration(spark, tmp_path):
+    """Each Lloyd iteration must run as exactly ONE Spark job (VERDICT
+    r7 #5): assignment fused into the per-partition partial-sum update,
+    no shuffle/AQE stage-jobs. Input is a parquet scan — the production
+    shape (an input plan carrying its own shuffle would add ITS
+    materialization job to the first iteration, which is not the
+    loop's doing). Job count checked via the per-iteration job group
+    the loop sets."""
+    from ncagg_spark.pipeline.similarity import kmeans_centroids
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.gauss(0.0, 1.0) for _ in range(DIM)]) for i in range(N)
+    ]
+    src = str(tmp_path / "emb")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(8).write.parquet(src)
+    df = spark.read.parquet(src)
+    kmeans_centroids(
+        df, 4, max_iter=3, tol=0.0, init="mult",
+        update_quantization=10**6,
+    )
+    from ncagg_spark.pipeline import similarity as simmod
+
+    prefix = simmod._LAST_KMEANS_JOB_GROUP_PREFIX
+    tracker = spark.sparkContext.statusTracker()
+    for it in range(3):
+        ids = tracker.getJobIdsForGroup(f"{prefix}_iter_{it}")
+        assert len(ids) == 1, (
+            f"iteration {it} ran {len(ids)} Spark jobs, expected 1"
+        )
