@@ -16,6 +16,7 @@ pipeline.text for the shared builders):
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1397,9 +1398,27 @@ def q_emb_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with the sqrt(N) cell rule (round 8): n_cells =
+    ceil(sqrt(N)) so per-cell candidate lists grow as sqrt(N) instead
+    of linearly, n_probe = ceil(n_cells/4) so the probed fraction (and
+    hence recall on this clusterless synthetic data) is
+    scale-invariant. Assignment and probe ranking use the quantized-
+    integer BLAS path (assign_cells method="quantized") — exact
+    integers in any summation order, so the DuckDB oracle replicates
+    the whole approximation bit-for-bit at every scale; final cosine
+    scoring stays the exact relational form."""
     em = _t(spark, sf_dir, "embeddings")
+    n_cells = max(1, math.ceil(math.sqrt(em.count())))
+    n_probe = max(1, math.ceil(n_cells / 4))
     queries = em.filter(F.col("vec_id") < 10)
-    return ivf_topk(em, queries, k=5, n_cells=16, n_probe=4)
+    return ivf_topk(
+        em,
+        queries,
+        k=5,
+        n_cells=n_cells,
+        n_probe=n_probe,
+        assign_method="quantized",
+    )
 
 
 PQ_M = 8  # subspaces (dim 64 -> 8 floats each)
@@ -2669,28 +2688,43 @@ def oracle_sql() -> dict[str, str]:
         ) WHERE rank <= 5
     """
 
-    # IVF is fully derivable in SQL: centroids are the 16 lowest-id
-    # vectors, unit-scaled (norm math identical in both engines); cell
-    # assignment = argmax of plain dots (ties -> larger cell, matching
-    # Spark's array_max struct ordering); probes = top-4 cells per query
-    # (ties -> smaller cell, matching array_sort's stable original order).
-    dot_c = (
+    # IVF is fully derivable in SQL: centroids are the ceil(sqrt(N))
+    # lowest-id vectors, unit-scaled (norm math identical in both
+    # engines); cell assignment = argmax of quantized dots (ties ->
+    # larger cell); probes = top-n_probe cells per query (ties ->
+    # smaller cell, matching the stable argsort order).
+    # quantized-integer dot (round 8): floor(x*1e6)*floor(c*1e6) summed —
+    # exact integers below 2^53, so Spark's BLAS matmul and DuckDB's
+    # serial list_sum agree bit-for-bit at any scale (the same
+    # associativity trick as the kmeans oracle). n_cells/n_probe follow
+    # the engine's ceil(sqrt(N)) / ceil(n_cells/4) rule via subqueries.
+    qdot_c = (
         "list_sum(list_transform(list_zip({v}, c.cunit), "
-        "x -> x[1]::DOUBLE * x[2]))"
+        "x -> floor(x[1]::DOUBLE * 1000000.0) "
+        "* floor(x[2]::DOUBLE * 1000000.0)))"
     )
-    cents_sql = """
-        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
-               list_transform(embedding,
-                   x -> x::DOUBLE / sqrt(list_sum(list_transform(embedding,
-                        v -> v::DOUBLE * v::DOUBLE)))) AS cunit
-        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
-    """
     sqls["emb_ivf_topk"] = f"""
-        WITH cents AS ({cents_sql}),
+        WITH nn AS (
+            SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS n_cells,
+                   CAST(ceil(ceil(sqrt(count(*))) / 4.0) AS BIGINT)
+                       AS n_probe
+            FROM embeddings
+        ),
+        cents AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                   list_transform(embedding,
+                       x -> x::DOUBLE / sqrt(list_sum(list_transform(
+                            embedding, v -> v::DOUBLE * v::DOUBLE))))
+                       AS cunit
+            FROM (SELECT vec_id, embedding,
+                         row_number() OVER (ORDER BY vec_id) AS rn
+                  FROM embeddings)
+            WHERE rn <= (SELECT n_cells FROM nn)
+        ),
         assign AS (
             SELECT e.vec_id, e.embedding, c.cell,
                    row_number() OVER (PARTITION BY e.vec_id
-                       ORDER BY {dot_c.format(v='e.embedding')} DESC,
+                       ORDER BY {qdot_c.format(v='e.embedding')} DESC,
                                 c.cell DESC) AS rn
             FROM embeddings e CROSS JOIN cents c
         ),
@@ -2701,7 +2735,7 @@ def oracle_sql() -> dict[str, str]:
         probes AS (
             SELECT e.vec_id, e.embedding, c.cell,
                    row_number() OVER (PARTITION BY e.vec_id
-                       ORDER BY {dot_c.format(v='e.embedding')} DESC,
+                       ORDER BY {qdot_c.format(v='e.embedding')} DESC,
                                 c.cell ASC) AS rn
             FROM embeddings e CROSS JOIN cents c
             WHERE e.vec_id < 10
@@ -2713,7 +2747,8 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY round({_sql_cosine('q.embedding', 'c.embedding')}, 6) DESC,
                                 c.neighbor_id ASC) AS rank
             FROM (SELECT DISTINCT vec_id, embedding, cell
-                  FROM probes WHERE rn <= 4) q
+                  FROM probes
+                  WHERE rn <= (SELECT n_probe FROM nn)) q
             JOIN corpus c ON c.cell = q.cell AND c.neighbor_id <> q.vec_id
         ) WHERE rank <= 5
     """

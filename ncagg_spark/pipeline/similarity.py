@@ -401,7 +401,52 @@ def assign_cells(
     (e.g. 256 cells at 100 TB). Not bit-order-identical to the sql sums
     (BLAS reassociates), which only matters to oracle replication, not
     to assignment quality.
+
+    ``method="quantized"`` (round 8): BLAS speed AND exact cross-engine
+    replicability — the same trick as kmeans_centroids' quantized
+    update, applied to assignment. Both sides are quantized to integers
+    first (xq = floor(x·Q), cq = floor(c_unit·Q), Q = 1e6) and the dot
+    runs as a float64 matmul of integer-valued doubles: every product
+    and partial sum stays below 2^53 (requires dim·Q²·max|x| < 2^53 —
+    64·1e12·1 here), so BLAS reassociation cannot round and the scores
+    are EXACT integers in any summation order. Any SQL engine
+    replicates them bit-for-bit as
+    ``sum(floor(x*1e6) * floor(c*1e6))``; argmax ties break to the
+    larger cell like the other methods. Assignment differs from the
+    exact argmax only when quantization (1e-6 relative) flips a
+    near-tie — a different but self-consistent, exactly-replicable
+    rule.
     """
+    if method == "quantized":
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        Q = 1_000_000.0
+        cents_s = sorted(centroids, key=lambda cv: int(cv[0]))
+        ids = np.array([int(c) for c, _ in cents_s], dtype="int64")
+        Cq = np.floor(
+            np.array(
+                [_unit_scale(v) for _, v in cents_s], dtype="float64"
+            )
+            * Q
+        ).T  # dim x cells, integer-valued
+
+        def _assign_q(v: pd.Series) -> pd.Series:
+            X = np.floor(
+                np.asarray(
+                    [np.asarray(x, dtype="float64") for x in v]
+                )
+                * Q
+            )
+            scores = X @ Cq  # exact: integer-valued float64 < 2^53
+            rev = scores[:, ::-1].argmax(axis=1)
+            idx = scores.shape[1] - 1 - rev  # ties -> larger cell
+            return pd.Series(ids[idx].astype("int32"))
+
+        _assign_q.__annotations__ = {"v": pd.Series, "return": pd.Series}
+        udf = F.pandas_udf(T.IntegerType())(_assign_q)
+        return df.withColumn(out_col, udf(F.col(vec_col)))
     if method == "arrow":
         import numpy as np
         import pandas as pd
@@ -653,23 +698,62 @@ def ivf_topk(
         )
     # query probes: rank centroids per query, keep n_probe. Same norm
     # eliminations as assign_cells — ranking by dot against unit centroids.
-    # One SQL expression end-to-end (sort comparator: score desc, ties
-    # keep centroid order — array_sort is stable).
-    entries = ",".join(
-        f"named_struct('s', {dot_const_sql(vec_col, _unit_scale(vec))},"
-        f" 'c', CAST({int(cell_id)} AS INT))"
-        for cell_id, vec in cents
-    )
-    probe_cells = (
-        f"slice(array_sort(array({entries}), (a, b) -> "
-        "CASE WHEN a.s > b.s THEN -1 WHEN a.s < b.s THEN 1 ELSE 0 END), "
-        f"1, {int(n_probe)})"
-    )
+    if assign_method == "quantized":
+        # quantized-integer probe ranking (exact, SQL-replicable like
+        # the quantized assignment; ties -> smaller cell). Also avoids
+        # the O(n_cells x dim)-literal SQL expression below, which at
+        # sqrt(N) cell counts becomes a megabyte-scale plan.
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        Qf = 1_000_000.0
+        cents_s = sorted(cents, key=lambda cv: int(cv[0]))
+        pids = np.array([int(c) for c, _ in cents_s], dtype="int64")
+        Cq = np.floor(
+            np.array(
+                [_unit_scale(v) for _, v in cents_s], dtype="float64"
+            )
+            * Qf
+        ).T
+        npr = int(n_probe)
+
+        def _probes(v: pd.Series) -> pd.Series:
+            X = np.floor(
+                np.asarray(
+                    [np.asarray(x, dtype="float64") for x in v]
+                )
+                * Qf
+            )
+            scores = X @ Cq  # exact integers (see assign_cells)
+            # stable argsort of -scores: ties keep ascending cell order
+            order = np.argsort(-scores, axis=1, kind="stable")[:, :npr]
+            return pd.Series(list(pids[order].astype("int32")))
+
+        _probes.__annotations__ = {"v": pd.Series, "return": pd.Series}
+        probe_udf = F.pandas_udf(T.ArrayType(T.IntegerType()))(_probes)
+        probe_col = F.explode(probe_udf(F.col(vec_col))).alias("cell")
+    else:
+        # One SQL expression end-to-end (sort comparator: score desc,
+        # ties keep centroid order — array_sort is stable).
+        entries = ",".join(
+            f"named_struct('s', {dot_const_sql(vec_col, _unit_scale(vec))},"
+            f" 'c', CAST({int(cell_id)} AS INT))"
+            for cell_id, vec in cents
+        )
+        probe_cells = (
+            f"slice(array_sort(array({entries}), (a, b) -> "
+            "CASE WHEN a.s > b.s THEN -1 WHEN a.s < b.s THEN 1 ELSE 0 END), "
+            f"1, {int(n_probe)})"
+        )
+        probe_col = F.explode(
+            F.expr(f"transform({probe_cells}, p -> p.c)")
+        ).alias("cell")
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         norm_guard(l2_norm(vec_col)).alias("q_norm"),
-        F.explode(F.expr(f"transform({probe_cells}, p -> p.c)")).alias("cell"),
+        probe_col,
     )
     scored = (
         F.broadcast(q)

@@ -184,3 +184,29 @@ def test_srp_probe_bucket_list_properties(spark):
         assert len(r["all_probes"]) == 9  # n_planes + 1 cap
         for flip in r["probes"][1:]:
             assert bin(flip ^ r["base"]).count("1") == 1
+
+
+def test_ivf_sqrt_n_quantized_recall_floor(ann):
+    """The registry config (round 8): ceil(sqrt(N)) cells,
+    ceil(n_cells/4) probes, quantized-integer assignment. The probed
+    fraction is scale-invariant, so recall must hold the old fixed
+    (16,4) config's floor — measured 0.59 vs 0.51 at sf0.01."""
+    import math
+
+    corpus, queries, exact, n = ann
+    n_corpus = corpus.count()
+    n_cells = max(1, math.ceil(math.sqrt(n_corpus)))
+    n_probe = max(1, math.ceil(n_cells / 4))
+    r = _recall(
+        ivf_topk(
+            corpus,
+            queries,
+            k=K,
+            n_cells=n_cells,
+            n_probe=n_probe,
+            assign_method="quantized",
+        ),
+        exact,
+        n,
+    )
+    assert r >= 0.50, f"ivf(sqrt-N quantized) recall@{K}={r}"

@@ -252,3 +252,37 @@ def test_kmeans_one_spark_job_per_iteration(spark, tmp_path):
         assert len(ids) == 1, (
             f"iteration {it} ran {len(ids)} Spark jobs, expected 1"
         )
+
+
+def test_assign_cells_quantized_matches_sql_and_is_stable(spark):
+    """Quantized assignment must (a) agree with the exact sql method
+    wherever quantization (1e-6 relative) cannot flip the argmax —
+    i.e. on generic random data — and (b) be bit-stable under
+    repartitioning (integer scores, no BLAS rounding)."""
+    from ncagg_spark.pipeline.similarity import assign_cells
+
+    rng = random.Random(13)
+    rows = [
+        (i, [rng.gauss(0.0, 1.0) for _ in range(DIM)]) for i in range(N)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    cents = [(c, [rng.gauss(0.0, 1.0) for _ in range(DIM)]) for c in range(7)]
+
+    sql_cells = {
+        r["vec_id"]: r["cell"]
+        for r in assign_cells(df, cents, vec_col="v", method="sql").collect()
+    }
+    qa = {
+        r["vec_id"]: r["cell"]
+        for r in assign_cells(
+            df, cents, vec_col="v", method="quantized"
+        ).collect()
+    }
+    qb = {
+        r["vec_id"]: r["cell"]
+        for r in assign_cells(
+            df.repartition(16), cents, vec_col="v", method="quantized"
+        ).collect()
+    }
+    assert qa == qb  # deterministic under partitioning
+    assert qa == sql_cells  # generic data: no near-ties to flip
