@@ -32,6 +32,49 @@ def _first_nc_file(spec: str) -> str:
     return first_nc_file(spec)
 
 
+# Inputs at or below this many bytes take the small-build fast path in
+# aggregate_nc (single-file output written by one in-order task, no
+# range-sampling job) — the read-side mirror of the export writer's
+# small-file path. 32 MiB ~ one shuffle block: anything smaller gains
+# nothing from parallel output.
+SMALL_INPUT_BYTES = 32 << 20
+
+
+def _local_input_bytes(
+    paths: Sequence[str], cap: int = 4096
+) -> int | None:
+    """Total size of the input set when it is cheaply knowable —
+    local plain files, globs, or directories, up to ``cap`` entries.
+    Returns None (caller keeps the parallel path) for anything else."""
+    import glob as _glob
+    import os
+
+    total, n = 0, 0
+    stack = list(paths)
+    while stack:
+        p = stack.pop()
+        if not isinstance(p, str) or "://" in p:
+            return None
+        if any(ch in p for ch in "*?["):
+            hits = _glob.glob(p)
+            if not hits:
+                return None
+            stack.extend(hits)
+            continue
+        if os.path.isdir(p):
+            stack.extend(
+                os.path.join(p, e) for e in os.listdir(p)
+            )
+            continue
+        if not os.path.isfile(p):
+            return None
+        total += os.path.getsize(p)
+        n += 1
+        if n > cap:
+            return None
+    return total
+
+
 def aggregate(
     spark: SparkSession,
     files: str | Sequence[str],
@@ -121,6 +164,17 @@ def aggregate_nc(
 
     if isinstance(files, str):
         files = [files]
+    # Small-build fast path (the read-side mirror of the export
+    # writer's small-file path): when the whole input fits one shuffle
+    # block, a parallel range-partitioned output is pure job overhead —
+    # one in-order task writes the single file the reference's contract
+    # expects, and the range-sampling job disappears. Only applied when
+    # the caller left num_files unset; the measured floor past this is
+    # Spark's plan+schedule latency (~1 s), documented in SCALE.md.
+    if num_files is None:
+        est = _local_input_bytes(files)
+        if est is not None and est <= SMALL_INPUT_BYTES:
+            num_files = 1
     index_sources = [
         config.index_by,
         *config.copy_from_alt.get(config.index_by, []),

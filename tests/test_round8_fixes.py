@@ -144,3 +144,64 @@ def test_streamed_export_block_sized_drain_byte_identical(
         (tmp_path / "mem.nc").read_bytes()
         == (tmp_path / "str.nc").read_bytes()
     )
+
+
+def test_aggregate_nc_small_input_auto_single_file(spark, tmp_path):
+    """Small-build fast path (VERDICT r7 #6): inputs at or below
+    SMALL_INPUT_BYTES auto-select a single-file in-order output (no
+    range-sampling job) unless the caller pinned num_files; results
+    are identical to the explicit multi-file path."""
+    import glob
+    import os
+
+    from ncagg_spark.api import _local_input_bytes, aggregate_nc
+    from ncagg_spark.config import AggregationConfig
+
+    files = sorted(
+        glob.glob(
+            "/root/reference/test/exis/EXISL1bSFXR_5min/data/*.nc"
+        )
+    )
+    if not files:
+        import pytest
+
+        pytest.skip("reference EXIS granules unavailable")
+    est = _local_input_bytes(files)
+    assert est is not None and est < (32 << 20)
+
+    cfg = AggregationConfig(
+        index_by="time",
+        cadence_hz=1.0,
+        min_bound=datetime.datetime(
+            2017, 3, 5, 0, 30, tzinfo=datetime.timezone.utc
+        ).timestamp(),
+        max_bound=datetime.datetime(
+            2017, 3, 5, 0, 35, tzinfo=datetime.timezone.utc
+        ).timestamp(),
+        bucket_phase=0.5,
+        grid_phase="data",
+    )
+    out_auto = str(tmp_path / "auto")
+    out_multi = str(tmp_path / "multi")
+    aggregate_nc(spark, files, out_auto, cfg)
+    aggregate_nc(spark, files, out_multi, cfg, num_files=4)
+
+    parts = [
+        f for f in os.listdir(out_auto) if f.endswith(".parquet")
+    ]
+    assert len(parts) == 1  # fast path took effect
+    a = spark.read.parquet(out_auto).orderBy("time")
+    b = spark.read.parquet(out_multi).orderBy("time")
+    assert a.collect() == b.collect()
+
+
+def test_local_input_bytes_refuses_remote_and_missing(tmp_path):
+    from ncagg_spark.api import _local_input_bytes
+
+    p = tmp_path / "x.nc"
+    p.write_bytes(b"abc")
+    assert _local_input_bytes([str(p)]) == 3
+    assert _local_input_bytes([str(tmp_path)]) == 3  # directory walk
+    assert _local_input_bytes(["s3://bucket/k.nc"]) is None
+    assert _local_input_bytes([str(tmp_path / "missing.nc")]) is None
+    assert _local_input_bytes([str(tmp_path / "*.none")]) is None
