@@ -68,6 +68,18 @@ BENCH_QUERIES = [
     "emb_ivf_topk",
 ]
 
+# The heaviest non-headline queries (VERDICT r7 #8) — timed only when
+# SPARK_GRAFT_BENCH_EXTENDED=1 (the sf10 scale-regression run) so the
+# headline total stays comparable across rounds. Recorded under
+# "extended" in the JSON, never summed into "value".
+EXTENDED_QUERIES = [
+    "doc_clean_corpus",
+    "doc_dup_clusters",
+    "doc_near_dedup",
+    "emb_pq_topk",
+    "doc_dup_spans",
+]
+
 LOAD_CERTIFY_MAX = 0.5
 
 
@@ -139,6 +151,24 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    extended: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_EXTENDED"):
+        for name in EXTENDED_QUERIES:
+            fn = qs[name]
+            samples = []
+            for _ in range(repeats):
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                samples.append(time.time() - t0)
+            extended[name] = round(statistics.median(samples), 3)
+            print(
+                f"# [extended] {name}: median {extended[name]:.3f}s "
+                f"over {repeats}",
+                file=sys.stderr,
+            )
+
     load_end = _load_1m()
     total = round(sum(timings.values()), 3)
     if not certified:
@@ -161,6 +191,7 @@ def main() -> None:
                 "load_1m_start": round(load_start, 3),
                 "load_1m_end": round(load_end, 3),
                 "certified": certified,
+                **({"extended": extended} if extended else {}),
             }
         )
     )
