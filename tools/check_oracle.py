@@ -140,8 +140,41 @@ def value_diff(spark_rows, spark_cols, duck_rows, duck_cols):
     return problems
 
 
-def check_one(name, sdf, con, oracle):
-    """Returns (status, messages). status in PASS | ROWS_ONLY | FAIL."""
+def _run_oracle_budgeted(con, oracle, budget_sec):
+    """Execute the oracle with a wall-clock budget: a watchdog thread
+    calls con.interrupt() at the deadline, so a DuckDB oracle that
+    cannot finish at this scale surfaces as a measured BUDGET exclusion
+    (with its cost), not a hang. budget_sec=None runs unbudgeted."""
+    if budget_sec is None:
+        return oracle(con) if callable(oracle) else con.execute(oracle).df()
+    import threading
+
+    fired = threading.Event()
+
+    def _kill():
+        fired.set()
+        try:
+            con.interrupt()
+        except Exception:
+            pass
+
+    timer = threading.Timer(budget_sec, _kill)
+    timer.start()
+    try:
+        return oracle(con) if callable(oracle) else con.execute(oracle).df()
+    except Exception:
+        if fired.is_set():
+            raise TimeoutError(
+                f"oracle exceeded the {budget_sec:.0f}s budget"
+            )
+        raise
+    finally:
+        timer.cancel()
+
+
+def check_one(name, sdf, con, oracle, budget_sec=None):
+    """Returns (status, messages).
+    status in PASS | ROWS_ONLY | BUDGET | FAIL."""
     msgs = []
     nested = _has_nested(sdf)
     if nested:
@@ -163,7 +196,9 @@ def check_one(name, sdf, con, oracle):
     try:
         # oracle is either an SQL string or a callable(con) -> pandas
         # frame (the iterative temp-table oracles under --iter-cc)
-        dpdf = oracle(con) if callable(oracle) else con.execute(oracle).df()
+        dpdf = _run_oracle_budgeted(con, oracle, budget_sec)
+    except TimeoutError as e:
+        return "BUDGET", [f"{e}; engine result: {len(spdf)} rows, canon ok"]
     except Exception as e:
         return "FAIL", [f"duckdb error: {e}"]
     if sorted(spdf.columns) != sorted(dpdf.columns):
@@ -201,6 +236,10 @@ def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     vanilla = "--vanilla" in flags
     iter_cc = "--iter-cc" in flags
+    budget = None
+    for a in flags:
+        if a.startswith("--oracle-budget="):
+            budget = float(a.split("=", 1)[1])
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -249,13 +288,17 @@ def main():
             print(f"FAIL {name}: spark build error: {e}")
             n_fail += 1
             continue
-        status, msgs = check_one(name, sdf, con, oracles.get(name))
+        status, msgs = check_one(
+            name, sdf, con, oracles.get(name), budget_sec=budget
+        )
         dt = time.time() - t0
         if status == "FAIL":
             print(f"FAIL {name} [{dt:.1f}s]")
             for m in msgs:
                 print("   ", m)
             n_fail += 1
+        elif status == "BUDGET":
+            print(f"BDGT {name}: {'; '.join(msgs)} [{dt:.1f}s]")
         elif status == "ROWS_ONLY":
             print(f"----  {name}: rows-only: {'; '.join(msgs)} [{dt:.1f}s]")
         else:
