@@ -259,7 +259,16 @@ def main():
     else:
         from ncagg_spark.session import get_spark
 
-        spark = get_spark(app_name="oracle-check")
+        # scale-mode runs (an --oracle-budget is set) collect multi-GiB
+        # result sets for the comparison itself — that is gate-harness
+        # cost, not engine cost; lift the driver collect cap so a
+        # legitimately large sf10 result doesn't read as a FAIL
+        extra = (
+            {"spark.driver.maxResultSize": "8g"}
+            if budget is not None
+            else None
+        )
+        spark = get_spark(app_name="oracle-check", extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
