@@ -1562,11 +1562,11 @@ _REGISTRY: list[tuple[str, _T, bool]] = [
     ("rel_q1_pricing", q_rel_q1_pricing, True),
     ("rel_q3_topk", q_rel_q3_topk, True),
     ("rel_q5_nation_volume", q_rel_q5_nation_volume, True),
-    # r8: stream_late_drop rotated IN (VERDICT r7 #7 — late-data drop
-    # was the one streaming behavior the driver never directly gated);
-    # rel_rollup rotated to the tail (twins rel_cube /
-    # rel_grouping_sets keep the rollup family oracle-checked there)
-    ("stream_late_drop", q_stream_late_drop, True),
+    # r9: rel_rollup rotated back IN (VERDICT r8 #8 — the rotation
+    # policy keeps cycling families through the driver-checked 50);
+    # stream_late_drop to the tail now its r8 driver gate is recorded
+    # (twins stream_gap_fill / stream_day_merge keep streaming in-window)
+    ("rel_rollup", q_rel_rollup, True),
     ("rel_intersect_except", q_rel_intersect_except, True),
     ("rel_exists_subquery", q_rel_exists_subquery, True),
     # -- documents (LLM-pipeline text ops) --
@@ -1594,7 +1594,7 @@ _REGISTRY: list[tuple[str, _T, bool]] = [
     ("doc_simhash", q_doc_simhash, False),  # twin: doc_simhash_near_dup
     ("rel_window_topk", q_rel_window_topk, False),  # twin: emb_brute_topk
     ("rel_anti_join", q_rel_anti_join, False),  # twin: doc_near_dedup
-    ("rel_rollup", q_rel_rollup, False),  # twins: rel_cube, rel_grouping_sets
+    ("stream_late_drop", q_stream_late_drop, False),  # twins: stream_gap_fill, stream_day_merge
     # r5-retired variants, restored to the checked tail in r7 — their
     # fns + oracles never left; listing them here puts them back under
     # tools/check_oracle.py's full gate at zero new code

@@ -51,6 +51,7 @@ def _local_input_bytes(
 
     total, n = 0, 0
     stack = list(paths)
+    seen_dirs: set[str] = set()
     while stack:
         p = stack.pop()
         if not isinstance(p, str) or "://" in p:
@@ -62,6 +63,13 @@ def _local_input_bytes(
             stack.extend(hits)
             continue
         if os.path.isdir(p):
+            # a directory symlink cycle (dir -> itself/ancestor) would
+            # otherwise loop forever on the default num_files=None path:
+            # bail to the parallel path on any revisit (ADVICE r8)
+            real = os.path.realpath(p)
+            if real in seen_dirs:
+                return None
+            seen_dirs.add(real)
             stack.extend(
                 os.path.join(p, e) for e in os.listdir(p)
             )

@@ -146,6 +146,7 @@ def minhash_lsh_candidates(
     max_bucket_size: int = 1000,
     n_salts: int = 16,
     num_perm: int | None = None,
+    exact_cap_semantics: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing >=1 LSH band bucket.
 
@@ -168,9 +169,22 @@ def minhash_lsh_candidates(
     colliding band sits in a dropped bucket is suppressed even if a
     later band's bucket is kept — "first colliding band must be kept",
     where the old rule was "any kept band" (prefix equality cannot see
-    cap membership; carrying kept-flags would cost a second shuffle of
-    the bucket table, for a rule difference that only pathological
-    boilerplate buckets can observe).
+    cap membership). Measured on the pathological boilerplate fixture
+    in tests/test_pipeline_dedup.py (one 3x-over-cap band-0 bucket):
+    only pairs whose FIRST colliding band is the dropped bucket are
+    affected — recall 2/3 vs the old rule's 3/3 on the deliberately
+    adversarial fixture, identical pair sets for both rules the moment
+    no bucket overflows.
+
+    ``exact_cap_semantics=True`` restores the old "any kept band" rule
+    exactly: dropped (over-cap) buckets are enumerated (they are the
+    pathology — few by construction), and each member's matching
+    prefix hash is re-marked with a doc-unique value so a collision in
+    a dropped band can never suppress a later kept-band emission.
+    Costs one persist of the grouped bucket table + a driver collect
+    of the dropped bucket KEYS only; when no bucket exceeds the cap
+    the plan is identical to the default. Output stays duplicate-free:
+    pairs emit from their first KEPT colliding band.
     """
     if num_perm is not None and num_bands * rows_per_band != num_perm:
         raise ValueError(
@@ -217,20 +231,74 @@ def minhash_lsh_candidates(
     # posexplode + slice. The self-join alternative shuffles the band
     # table twice (once per join side) — at corpus scale that doubles
     # the dominant shuffle for identical output.
-    buckets = (
-        ranked.groupBy("band", "bh")
-        .agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.col(id_col).alias("id"),
-                        F.col("__pre").alias("pre"),
-                    )
+    grouped = ranked.groupBy("band", "bh").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).alias("id"),
+                    F.col("__pre").alias("pre"),
                 )
-            ).alias("ms")
-        )
-        .filter((F.size("ms") >= 2) & (F.size("ms") <= max_bucket_size))
+            )
+        ).alias("ms")
     )
+    dropped_by_band: dict[int, list] = {}
+    if exact_cap_semantics:
+        # over-cap buckets are the pathology — few by construction, so
+        # their (band, hash) keys fit the driver trivially. The salted
+        # truncation preserves the over-cap signal: surviving size >
+        # cap <=> original size > cap (pigeonhole, see above).
+        grouped = grouped.persist()
+        for r in (
+            grouped.filter(F.size("ms") > max_bucket_size)
+            .select("band", "bh")
+            .collect()
+        ):
+            dropped_by_band.setdefault(int(r["band"]), []).append(r["bh"])
+    buckets = grouped.filter(
+        (F.size("ms") >= 2) & (F.size("ms") <= max_bucket_size)
+    )
+    if dropped_by_band:
+        # re-mark each member's prefix hash with a doc-unique value
+        # wherever (band i, pre[i]) is a dropped bucket: a collision in
+        # a dropped band can then never suppress the pair (the two docs
+        # get different marks), restoring the pre-r8 "any kept band"
+        # drop semantics. Literal map: band index -> dropped hashes;
+        # bands whose NULL-hash bucket (all-null signatures) overflowed
+        # are tracked separately (array_contains cannot match null).
+        ent = []
+        null_bands = []
+        for band, hs in sorted(dropped_by_band.items()):
+            nn = [h for h in hs if h is not None]
+            if len(nn) < len(hs):
+                null_bands.append(band)
+            if nn:
+                ent.append(F.lit(band))
+                ent.append(F.array(*[F.lit(int(h)) for h in nn]))
+        dmap = (
+            F.create_map(*ent)
+            if ent
+            else F.expr("map()").cast("map<int,array<bigint>>")
+        )
+        dnull = (
+            F.array(*[F.lit(b) for b in null_bands])
+            if null_bands
+            else F.array().cast("array<int>")
+        )
+        buckets = buckets.withColumn("__dmap", dmap).withColumn(
+            "__dnull", dnull
+        )
+        buckets = buckets.select(
+            "band",
+            "bh",
+            F.expr(
+                "transform(ms, m -> struct(m.id as id, "
+                "transform(m.pre, (x, i) -> CASE "
+                "WHEN (x IS NULL AND array_contains(__dnull, i)) "
+                "  OR coalesce(array_contains("
+                "       try_element_at(__dmap, i), x), false) "
+                "THEN xxhash64(m.id, i, 24249) ELSE x END) as pre))"
+            ).alias("ms"),
+        )
     # first-colliding-band emission: suppress the pair when any earlier
     # band hash matches (null-safe <=> mirrors groupBy null semantics —
     # two all-null signatures DO share a bucket, and their pair is

@@ -1216,14 +1216,14 @@ def write_nc_aggregate_streamed(
         # multi-MB task-result blocks are MEMORY_ONLY, and a full
         # store evicts them mid-flight (TaskResultLost on a tight heap)
         df2.unpersist()
-        # Drain in ~one-block partitions: coalesce merges the tiny
-        # partitions of a small export up to ~target_block_bytes each
-        # (fewer cache-fetch jobs), while a large export keeps its
-        # n_blocks partitions — either way the largest driver-resident
-        # partition stays ~one block (x2 with prefetch), never
-        # fileBytes/8 (ADVICE r7).
-        n_runs = max(len(totals), 1)
-        drain = enc.coalesce(max(1, min(n_blocks, n_runs)))
+        # Drain in ~one-block partitions: coalesce to n_blocks keeps the
+        # largest driver-resident partition ~one block (x2 with
+        # prefetch). Coalescing below n_blocks (the old min with the
+        # non-empty-run count) could merge several runs into one
+        # oversized drain partition when range skew leaves empty
+        # partitions; empty partitions cost nothing to drain, so the
+        # plain n_blocks bound is both safe and cheap (ADVICE r8).
+        drain = enc.coalesce(max(1, n_blocks))
         written = 0
         with open(path, "wb") as f:
             f.write(header)

@@ -100,3 +100,108 @@ def test_empty_corpus(spark):
     assert exact_duplicates(empty).count() == 0
     assert minhash_signatures(empty).count() == 0
     assert simhash_signatures(empty).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Cap-pressure semantics (VERDICT r8 #6 / ADVICE r8): the r8
+# first-colliding-band rewrite changed drop semantics when a bucket
+# exceeds max_bucket_size, and no measured dataset overflows the cap —
+# this fixture does, deliberately. Band layout (num_bands=2,
+# rows_per_band=2, cap=4):
+#   * docs 0..11 share sig[0:2] -> one 12-member band-0 bucket, 3x over
+#     the cap -> DROPPED. Docs 0,1 additionally share sig[2:4] (band-1
+#     bucket of 2, kept).
+#   * docs 20,21 share ONLY sig[2:4] (band 1, kept); their band-0
+#     slices are unique (not in the boilerplate bucket).
+#   * docs 100,101 share sig[0:2] in their own 2-member band-0 bucket
+#     (kept).
+# Ground truth (pairs reachable through ANY kept bucket — exactly what
+# the pre-r8 "any kept band" rule emits): (0,1), (20,21), (100,101).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def cap_sigs(spark):
+    rows = []
+    for d in range(12):  # boilerplate: shared band-0 slice
+        tail = [70 + 2 * d, 71 + 2 * d]  # unique band-1 slices...
+        if d in (0, 1):
+            tail = [7, 8]  # ...except docs 0,1: shared kept band-1
+        rows.append((d, [1, 2] + tail))
+    rows.append((20, [200, 201, 9, 10]))  # band-1-only pair, band 0 unique
+    rows.append((21, [210, 211, 9, 10]))
+    rows.append((100, [50, 51, 300, 301]))  # kept band-0 control pair
+    rows.append((101, [50, 51, 310, 311]))
+    return spark.createDataFrame(rows, "doc_id long, sig array<bigint>")
+
+
+def _old_rule_pairs(rows, num_bands, rows_per_band, cap):
+    """The pre-r8 reference semantics, reconstructed independently:
+    all pairs from every bucket of size <= cap, distinct."""
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for doc_id, sig in rows:
+        for b in range(num_bands):
+            key = (b, tuple(sig[b * rows_per_band : (b + 1) * rows_per_band]))
+            buckets[key].append(doc_id)
+    out = set()
+    for members in buckets.values():
+        if 2 <= len(members) <= cap:
+            ms = sorted(members)
+            for i, a in enumerate(ms):
+                for b in ms[i + 1 :]:
+                    out.add((a, b))
+    return out
+
+
+def test_lsh_cap_pressure_semantics(spark, cap_sigs):
+    kw = dict(num_bands=2, rows_per_band=2, max_bucket_size=4, n_salts=2)
+    truth = _old_rule_pairs(
+        [(r["doc_id"], r["sig"]) for r in cap_sigs.collect()], 2, 2, 4
+    )
+    assert truth == {(0, 1), (20, 21), (100, 101)}
+
+    got_default = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(cap_sigs, **kw).collect()
+    }
+    # documented r8 tightening: (0,1)'s FIRST colliding band (band 0)
+    # is the dropped boilerplate bucket -> suppressed even though their
+    # band-1 bucket is kept; pairs whose first kept collision is their
+    # first collision are unaffected. Measured recall on this
+    # deliberately adversarial fixture: 2/3 vs the old rule's 3/3.
+    assert got_default == {(20, 21), (100, 101)}
+    assert len(got_default) / len(truth) == pytest.approx(2 / 3)
+
+    got_exact = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(
+            cap_sigs, exact_cap_semantics=True, **kw
+        ).collect()
+    }
+    # exact mode restores the old rule bit-for-bit: recall >= old rule
+    assert got_exact == truth
+
+
+def test_lsh_cap_modes_identical_without_overflow(spark, cap_sigs):
+    # raise the cap above the boilerplate bucket: no bucket overflows,
+    # so default and exact modes must emit the identical pair set and
+    # include the boilerplate pairs
+    kw = dict(num_bands=2, rows_per_band=2, max_bucket_size=100, n_salts=2)
+    default = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(cap_sigs, **kw).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(
+            cap_sigs, exact_cap_semantics=True, **kw
+        ).collect()
+    }
+    assert default == exact
+    assert (0, 1) in default and (0, 11) in default
+    truth = _old_rule_pairs(
+        [(r["doc_id"], r["sig"]) for r in cap_sigs.collect()], 2, 2, 100
+    )
+    assert default == truth

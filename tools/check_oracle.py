@@ -140,6 +140,239 @@ def value_diff(spark_rows, spark_cols, duck_rows, duck_cols):
     return problems
 
 
+# ---------------------------------------------------------------------------
+# Aggregate canon (VERDICT r8 #1): an order-independent scalar fingerprint
+# (row count + sum + xor of per-row 60-bit hashes) computed INSIDE each
+# engine over an identical cross-engine row rendering — no driver collect,
+# so result sets far beyond spark.driver.maxResultSize / pandas memory can
+# still be value-compared. The rendering rules:
+#
+#   * integers / booleans / decimals -> engine CAST to string (identical)
+#   * strings -> md5(col) (kills separator-collision and newline issues;
+#     both engines hash the UTF-8 bytes)
+#   * doubles -> the exact IEEE-754 bit pattern as a signed int64 string:
+#     Spark via reflect('java.lang.Double','doubleToLongBits',col) (JVM,
+#     NaN canonicalized, -0.0 kept distinct), DuckDB via a registered
+#     struct-pack Python UDF with the same NaN canonicalization. String
+#     renderings are NOT cross-engine safe for doubles: Java 17's
+#     Double.toString predates the JDK-19 Ryu rewrite and prints
+#     non-shortest digits on ~0.3% of doubles (5e-324 -> '4.9E-324' vs
+#     Python/C '5e-324'), and Java's %.17e pads the shortest repr with
+#     zeros while C prints the correctly-rounded exact expansion.
+#   * floats -> widened to double first on both sides
+#   * date/timestamp -> strftime/date_format to 'YYYY-MM-DD[ HH:MM:SS.ffffff]'
+#     (session TZ is UTC on the Spark side, matching DuckDB's naive render)
+#   * NULL -> chr(1) sentinel (concat_ws silently SKIPS nulls — a
+#     (null,'a') row must not collide with ('a',null))
+#
+# Per row: h = int64(first 15 hex chars of md5(concat_ws(chr(31), cols in
+# sorted-name order))); per result set: (count(*), sum(h) exact, bit_xor(h)).
+# Agreement with the driver-faithful pandas canon is pinned at sf0.01 by
+# --pin-agg (both canons computed, verdicts must match on every query).
+# ---------------------------------------------------------------------------
+
+
+def _double_bits(x) -> int | None:
+    """``Double.doubleToLongBits``: the IEEE-754 bit pattern as a signed
+    int64, every NaN canonicalized to 0x7FF8000000000000, -0.0 distinct
+    from 0.0 (matching the pandas canon, which renders '-0.0')."""
+    if x is None:
+        return None
+    import struct
+
+    if x != x:
+        return 0x7FF8000000000000
+    return struct.unpack("<q", struct.pack("<d", x))[0]
+
+
+def register_duck_canon_udfs(con):
+    from duckdb.typing import BIGINT, DOUBLE
+
+    # create_function refuses to run inside an active transaction (one
+    # is often left open by a prior fetch on this connection), so probe
+    # the catalog instead of trying and catching
+    # fetchall, not fetchone: fetchone leaves the streaming result (and
+    # its transaction) open, and create_function refuses to run then
+    n = con.execute(
+        "SELECT count(*) FROM duckdb_functions() "
+        "WHERE function_name = 'double_bits'"
+    ).fetchall()[0][0]
+    if not n:
+        con.create_function("double_bits", _double_bits, [DOUBLE], BIGINT)
+
+
+_SENTINEL = "chr(1)"  # rendered-NULL marker, same byte in both engines
+_SEP = "chr(31)"
+
+
+def _spark_render_exprs(sdf) -> list[str]:
+    from pyspark.sql import types as T
+
+    exprs = []
+    for name in sorted(sdf.columns):
+        dt = sdf.schema[name].dataType
+        q = f"`{name}`"
+        if isinstance(
+            dt,
+            (
+                T.LongType,
+                T.IntegerType,
+                T.ShortType,
+                T.ByteType,
+                T.BooleanType,
+                T.DecimalType,
+            ),
+        ):
+            e = f"cast({q} as string)"
+        elif isinstance(dt, (T.DoubleType, T.FloatType)):
+            # reflect NPEs on a null boxed arg — guard explicitly
+            e = (
+                f"case when {q} is null then null else "
+                f"reflect('java.lang.Double', 'doubleToLongBits', "
+                f"cast({q} as double)) end"
+            )
+        elif isinstance(dt, T.StringType):
+            e = f"md5({q})"
+        elif isinstance(dt, T.DateType):
+            e = f"date_format({q}, 'yyyy-MM-dd')"
+        elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            e = f"date_format({q}, 'yyyy-MM-dd HH:mm:ss.SSSSSS')"
+        else:
+            raise NotImplementedError(
+                f"aggregate canon: unsupported Spark type {dt} on '{name}'"
+            )
+        exprs.append(f"coalesce({e}, {_SENTINEL})")
+    return exprs
+
+
+def _duck_render_exprs(cols_types: list[tuple[str, str]]) -> list[str]:
+    exprs = []
+    for name, typ in sorted(cols_types):
+        t = typ.upper()
+        q = f'"{name}"'
+        if (
+            t in ("BIGINT", "INTEGER", "SMALLINT", "TINYINT", "HUGEINT",
+                  "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT", "BOOLEAN")
+            or t.startswith("DECIMAL")
+        ):
+            e = f"CAST({q} AS VARCHAR)"
+        elif t in ("DOUBLE", "FLOAT", "REAL"):
+            e = f"CAST(double_bits(CAST({q} AS DOUBLE)) AS VARCHAR)"
+        elif t == "VARCHAR":
+            e = f"md5({q})"
+        elif t == "DATE":
+            e = f"strftime({q}, '%Y-%m-%d')"
+        elif t == "TIMESTAMP":
+            e = f"strftime({q}, '%Y-%m-%d %H:%M:%S.%f')"
+        else:
+            raise NotImplementedError(
+                f"aggregate canon: unsupported DuckDB type {typ} on '{name}'"
+            )
+        exprs.append(f"COALESCE({e}, {_SENTINEL})")
+    return exprs
+
+
+def spark_canon_agg(sdf):
+    """(count, hash_sum, hash_xor) computed entirely inside Spark."""
+    rendered = _spark_render_exprs(sdf)
+    h = (
+        f"cast(conv(substr(md5(concat_ws({_SEP}, "
+        f"{', '.join(rendered)})), 1, 15), 16, 10) as bigint)"
+    )
+    row = (
+        sdf.selectExpr(f"{h} as h")
+        .selectExpr(
+            "count(*) as c",
+            "sum(cast(h as decimal(38,0))) as s",
+            "bit_xor(h) as x",
+        )
+        .collect()[0]
+    )
+    return (
+        int(row["c"]),
+        None if row["s"] is None else int(row["s"]),
+        None if row["x"] is None else int(row["x"]),
+    )
+
+
+def duck_canon_agg(con, sql, budget_sec=None):
+    """Same fingerprint computed entirely inside DuckDB over the oracle,
+    plus the oracle's sorted column names (for the schema check)."""
+    register_duck_canon_udfs(con)
+    cols_types = [
+        (r[0], r[1])
+        for r in con.execute(f"DESCRIBE {sql}").fetchall()
+    ]
+    rendered = _duck_render_exprs(cols_types)
+    h = (
+        f"CAST(('0x' || substr(md5(concat_ws({_SEP}, "
+        f"{', '.join(rendered)})), 1, 15)) AS BIGINT)"
+    )
+    final = (
+        f"SELECT count(*) AS c, sum(CAST(h AS HUGEINT)) AS s, "
+        f"bit_xor(h) AS x FROM (SELECT {h} AS h FROM ({sql}) __q) __h"
+    )
+    # fetchall, not .df() (pandas renders HUGEINT through float64 and
+    # silently rounds the 70-bit hash sum) and not fetchone (which
+    # leaves the streaming result's transaction open on the shared
+    # connection)
+    row = _run_oracle_budgeted(
+        con, lambda c_: c_.execute(final).fetchall()[0], budget_sec
+    )
+    c, s, x = row
+    names = sorted(n for n, _ in cols_types)
+    return (
+        int(c),
+        None if s is None else int(s),
+        None if x is None else int(x),
+    ), names
+
+
+def check_one_agg(name, sdf, con, oracle, budget_sec=None):
+    """Aggregate-canon comparison (status semantics match check_one).
+    Callable oracles (--iter-cc temp-table label propagation) return a
+    pandas frame: its fingerprint is computed with the same rendering via
+    a DuckDB relation over the frame — still no Spark-side collect."""
+    nested = _has_nested(sdf)
+    if nested:
+        return "FAIL", [
+            f"output schema has nested column(s) {nested}: the driver's "
+            "pandas canonicalizer cannot sort/hash list cells — explode"
+        ]
+    try:
+        s_fp = spark_canon_agg(sdf)
+    except Exception as e:
+        return "FAIL", [f"spark agg-canon error: {e}"]
+    if oracle is None:
+        return "ROWS_ONLY", [f"{s_fp[0]} rows; agg canon ok"]
+    try:
+        if callable(oracle):
+            dpdf = _run_oracle_budgeted(con, oracle, budget_sec)
+            con.register("__iter_result", dpdf)
+            try:
+                d_fp, d_names = duck_canon_agg(
+                    con, "SELECT * FROM __iter_result", None
+                )
+            finally:
+                con.unregister("__iter_result")
+        else:
+            d_fp, d_names = duck_canon_agg(con, oracle, budget_sec)
+    except TimeoutError as e:
+        return "BUDGET", [f"{e}; engine fingerprint: {s_fp}"]
+    except Exception as e:
+        return "FAIL", [f"duckdb agg-canon error: {e}"]
+    if sorted(sdf.columns) != d_names:
+        return "FAIL", [
+            f"columns differ: spark={sorted(sdf.columns)} duck={d_names}"
+        ]
+    if s_fp != d_fp:
+        return "FAIL", [
+            f"aggregate fingerprint MISMATCH: spark(c,s,x)={s_fp} "
+            f"duck(c,s,x)={d_fp}"
+        ]
+    return "PASS", [f"{s_fp[0]} rows, agg-canon"]
+
+
 def _run_oracle_budgeted(con, oracle, budget_sec):
     """Execute the oracle with a wall-clock budget: a watchdog thread
     calls con.interrupt() at the deadline, so a DuckDB oracle that
@@ -150,8 +383,15 @@ def _run_oracle_budgeted(con, oracle, budget_sec):
     import threading
 
     fired = threading.Event()
+    done = threading.Event()
 
     def _kill():
+        # the timer can fire in the window between the oracle finishing
+        # and timer.cancel(); interrupting then would kill the NEXT
+        # query's oracle on the shared connection (ADVICE r8) — the
+        # `done` gate closes that race
+        if done.is_set():
+            return
         fired.set()
         try:
             con.interrupt()
@@ -161,8 +401,11 @@ def _run_oracle_budgeted(con, oracle, budget_sec):
     timer = threading.Timer(budget_sec, _kill)
     timer.start()
     try:
-        return oracle(con) if callable(oracle) else con.execute(oracle).df()
+        out = oracle(con) if callable(oracle) else con.execute(oracle).df()
+        done.set()
+        return out
     except Exception:
+        done.set()
         if fired.is_set():
             raise TimeoutError(
                 f"oracle exceeded the {budget_sec:.0f}s budget"
@@ -236,6 +479,8 @@ def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     vanilla = "--vanilla" in flags
     iter_cc = "--iter-cc" in flags
+    agg_canon = "--agg-canon" in flags
+    pin_agg = "--pin-agg" in flags
     budget = None
     for a in flags:
         if a.startswith("--oracle-budget="):
@@ -297,9 +542,33 @@ def main():
             print(f"FAIL {name}: spark build error: {e}")
             n_fail += 1
             continue
-        status, msgs = check_one(
-            name, sdf, con, oracles.get(name), budget_sec=budget
-        )
+        if agg_canon:
+            status, msgs = check_one_agg(
+                name, sdf, con, oracles.get(name), budget_sec=budget
+            )
+        else:
+            status, msgs = check_one(
+                name, sdf, con, oracles.get(name), budget_sec=budget
+            )
+        if pin_agg and status in ("PASS", "FAIL"):
+            # sf0.01 pin (VERDICT r8 #1): the aggregate canon must reach
+            # the same verdict as the driver-faithful pandas canon on
+            # every query before it is trusted as the scale-gate primary
+            try:
+                sdf2 = fn(spark, sf_dir)
+                a_status, a_msgs = check_one_agg(
+                    name, sdf2, con, oracles.get(name), budget_sec=budget
+                )
+            except Exception as e:
+                a_status, a_msgs = "FAIL", [f"agg-canon crashed: {e}"]
+            if a_status != status:
+                p_status, status = status, "FAIL"
+                msgs = msgs + [
+                    f"PIN DISAGREEMENT: pandas canon={p_status} but "
+                    f"agg canon={a_status}: {'; '.join(a_msgs)}"
+                ]
+            else:
+                msgs = msgs + [f"agg-canon verdict agrees ({a_status})"]
         dt = time.time() - t0
         if status == "FAIL":
             print(f"FAIL {name} [{dt:.1f}s]")

@@ -15,9 +15,17 @@ Per-table treatment (replica r in 0..k-1):
     fixed-window regularization actually scales (more input per slot,
     same output grid).
   * documents: doc_id shifted; replica > 0 texts get a deterministic
-    ' rep<r>' suffix so cross-replica EXACT duplicates don't collapse
-    the corpus, while each replica keeps the driver's full dup/near-dup
-    structure.
+    TOKEN-LEVEL perturbation (VERDICT r8 #2): each token whose
+    hash(token, r) lands in a per-replica ~50% vocabulary subset is
+    tagged with a '~<r>' suffix. Content-based (not position-based)
+    tagging means two near-dup docs transform identically token-for-
+    token regardless of insert/delete alignment shifts — every replica
+    keeps the driver's full dup/near-dup structure EXACTLY — while a
+    cross-replica 20-token shared span survives only with probability
+    (1/2 * 1/2)^20 ~= 1e-12 and cross-replica shingle Jaccard collapses
+    to ~0. The old ' rep<r>' tail suffix left replicas near-duplicates
+    of each other, so at k=100 the span gate legitimately drained the
+    whole corpus and doc_clean_corpus's sf10 pass was vacuous (0 rows).
   * embeddings: vec_id shifted; coordinate 0 perturbed by r * 1e-4 so
     replicas aren't bitwise-identical vectors (which would make every
     query's top-k a tie pile-up) but geometry is preserved.
@@ -124,14 +132,24 @@ def main():
         f"SELECT max(doc_id) + 1 FROM read_parquet('{src}/documents.parquet')"
     ).fetchone()[0]
     con.execute(
-        f"""COPY (SELECT doc_id + r * {d_stride} AS doc_id,
-                 CASE WHEN r = 0 THEN text
-                      ELSE text || ' rep' || CAST(r AS VARCHAR) END AS text,
-                 lang, source,
-                 CASE WHEN r = 0 THEN n_chars
-                      ELSE n_chars + 4 + length(CAST(r AS VARCHAR))
-                 END AS n_chars
-          FROM read_parquet('{src}/documents.parquet'), {rep})
+        f"""COPY (
+          WITH perturbed AS (
+            SELECT doc_id + r * {d_stride} AS doc_id,
+                   CASE WHEN r = 0 THEN text
+                        ELSE list_aggregate(
+                          list_transform(
+                            string_split(text, ' '),
+                            t -> CASE WHEN hash(t || chr(31)
+                                             || CAST(r AS VARCHAR)) % 2 = 0
+                                 THEN t || '~' || CAST(r AS VARCHAR)
+                                 ELSE t END),
+                          'string_agg', ' ')
+                   END AS text,
+                   lang, source
+            FROM read_parquet('{src}/documents.parquet'), {rep})
+          SELECT doc_id, text, lang, source,
+                 length(text) AS n_chars
+          FROM perturbed)
           TO '{out}/documents.parquet' (FORMAT PARQUET)"""
     )
     print("documents done")
