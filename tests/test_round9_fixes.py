@@ -181,3 +181,45 @@ def test_oracle_watchdog_does_not_interrupt_next_query():
         "SELECT count(*) c FROM range(2000000)"
     ).df()
     assert out2["c"][0] == 2000000
+
+
+def test_min_label_propagation_matches_union_find():
+    """The vectorized CC verifier (used at sf10 graph sizes) must agree
+    with the per-edge union-find on random graphs of varying density."""
+    import random
+
+    import numpy as np
+
+    from tools.verify_cc import min_label_propagation, union_find_min_labels
+
+    rng = random.Random(7)
+    for trial in range(6):
+        n = rng.choice([10, 100, 1000])
+        m = rng.choice([n // 2, n, 3 * n])
+        # sparse ids (not 0..n-1) to exercise the id<->index mapping
+        nodes = rng.sample(range(10 * n), n)
+        pairs = np.array(
+            [
+                sorted((rng.choice(nodes), rng.choice(nodes)))
+                for _ in range(m)
+            ],
+            dtype=np.int64,
+        )
+        pairs = pairs[pairs[:, 0] != pairs[:, 1]]
+        if not len(pairs):
+            continue
+        assert min_label_propagation(pairs) == union_find_min_labels(pairs)
+
+
+def test_min_label_propagation_chain_and_star():
+    import numpy as np
+
+    from tools.verify_cc import min_label_propagation
+
+    # long chain: worst case for naive propagation (needs pointer jumps)
+    chain = np.array([[i, i + 1] for i in range(100, 200)], dtype=np.int64)
+    labels = min_label_propagation(chain)
+    assert set(labels.values()) == {100}
+    star = np.array([[500, k] for k in range(501, 520)], dtype=np.int64)
+    labels = min_label_propagation(star)
+    assert set(labels.values()) == {500}

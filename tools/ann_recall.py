@@ -9,8 +9,14 @@ and emits a markdown table for SCALE.md plus one JSON line for
 machine diffing.
 
 Usage:
-    python tools/ann_recall.py [sf_dir] [k]
+    python tools/ann_recall.py [sf_dir] [k] [--sqrtn]
 defaults: $SPARK_GRAFT_SF_DIR or /root/testdata/sf0.1, k=10.
+
+--sqrtn (VERDICT r8 #7): skip the parameter sweeps and measure ONLY the
+production sqrt(N)-rule IVF (n_cells=ceil(sqrt(N)), n_probe=
+ceil(n_cells/4), quantized assignment — exactly q_emb_ivf_topk's
+config) against the exact matmul baseline — the form that is feasible
+at sf1.0/sf10, where the full sweep is not.
 """
 
 from __future__ import annotations
@@ -45,10 +51,12 @@ def recall_at_k(approx, exact) -> float:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
-        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
-    )
-    k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    sf_dir = (
+        [a for a in sys.argv[1:] if not a.startswith("--")] or [None]
+    )[0] or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sqrtn_only = "--sqrtn" in sys.argv[1:]
+    k = int(args[1]) if len(args) > 1 else 10
     spark = get_spark(app_name="ann-recall")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -79,6 +87,39 @@ def main() -> None:
             }
         )
         print(f"  {method:12s} {params:28s} recall@{k}={r:.4f}")
+
+    if sqrtn_only:
+        import math
+
+        n_cells = max(1, math.ceil(math.sqrt(n)))
+        n_probe = max(1, math.ceil(n_cells / 4))
+        print(
+            f"sqrt(N) IVF (production q_emb_ivf_topk rule): "
+            f"n_cells={n_cells} n_probe={n_probe}"
+        )
+        run(
+            "ivf_sqrtn",
+            f"n_cells={n_cells} n_probe={n_probe} quantized",
+            ivf_topk(
+                corpus,
+                queries,
+                k=k,
+                n_cells=n_cells,
+                n_probe=n_probe,
+                assign_method="quantized",
+            ),
+        )
+        print()
+        print(f"| sf_dir | N | n_cells | n_probe | recall@{k} |")
+        print("|---|---|---|---|---|")
+        r = rows[0]
+        print(f"| {sf_dir} | {n} | {n_cells} | {n_probe} | {r['recall']:.4f} |")
+        print(
+            json.dumps(
+                {"sf_dir": sf_dir, "k": k, "n_queries": nq, "rows": rows}
+            )
+        )
+        return
 
     print("SRP-LSH (bucket = sign pattern; multi-probe flips closest planes):")
     for n_planes in (2, 4, 6, 8):

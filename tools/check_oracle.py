@@ -474,6 +474,20 @@ def check_one(name, sdf, con, oracle, budget_sec=None):
     return "PASS", [f"{len(spdf)} rows"]
 
 
+# Seeded-subset predicates for scale-mode sampled verification (VERDICT
+# r8 #5): at sf10 these queries' FULL DuckDB oracles exceed any budget
+# (27M-pair Jaccard joins, 500k-doc rolling-hash windows), but the same
+# oracle restricted to a deterministic ~1% doc subset finishes — the
+# predicate is applied identically to the engine result (filter on the
+# OUTPUT columns) and pushed into the oracle (DuckDB pushes it through
+# the per-key aggregation into the base scans). The unsampled twins stay
+# fully hash-verified at sf1.0.
+SAMPLE_PREDS = {
+    "doc_ngram_jaccard": "id_a % 100 = 7",
+    "doc_winnow_fp": "doc_id % 100 = 7",
+}
+
+
 def main():
     flags = {a for a in sys.argv[1:] if a.startswith("--")}
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
@@ -481,6 +495,7 @@ def main():
     iter_cc = "--iter-cc" in flags
     agg_canon = "--agg-canon" in flags
     pin_agg = "--pin-agg" in flags
+    sample = "--sample" in flags
     budget = None
     for a in flags:
         if a.startswith("--oracle-budget="):
@@ -542,6 +557,15 @@ def main():
             print(f"FAIL {name}: spark build error: {e}")
             n_fail += 1
             continue
+        sampled = None
+        if sample and name in SAMPLE_PREDS:
+            sampled = SAMPLE_PREDS[name]
+            sdf = sdf.filter(sampled)
+            if isinstance(oracles.get(name), str):
+                oracles[name] = (
+                    f"SELECT * FROM ({oracles[name]}) __smp "
+                    f"WHERE {sampled}"
+                )
         if agg_canon:
             status, msgs = check_one_agg(
                 name, sdf, con, oracles.get(name), budget_sec=budget
@@ -570,6 +594,8 @@ def main():
             else:
                 msgs = msgs + [f"agg-canon verdict agrees ({a_status})"]
         dt = time.time() - t0
+        if sampled:
+            msgs = msgs + [f"sampled-verify ({sampled})"]
         if status == "FAIL":
             print(f"FAIL {name} [{dt:.1f}s]")
             for m in msgs:

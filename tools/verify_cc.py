@@ -51,6 +51,31 @@ def union_find_min_labels(pairs: np.ndarray) -> dict:
     return {int(ids[i]): int(ids[find(i)]) for i in range(len(ids))}
 
 
+def min_label_propagation(pairs: np.ndarray) -> dict:
+    """node -> min node id in its component — vectorized numpy
+    min-label propagation with pointer jumping, O(E) per round and
+    O(log n) rounds. Same answer as ``union_find_min_labels`` (pinned
+    in tests/test_round9_fixes.py) but viable at the sf10 graph size
+    (~124M edges), where the per-edge Python union-find loop is not."""
+    ids, inv = np.unique(pairs, return_inverse=True)
+    inv = inv.reshape(-1, 2)
+    ia, ib = inv[:, 0], inv[:, 1]
+    labels = np.arange(len(ids), dtype=np.int64)
+    while True:
+        before = labels.copy()
+        m = np.minimum(labels[ia], labels[ib])
+        np.minimum.at(labels, ia, m)
+        np.minimum.at(labels, ib, m)
+        while True:  # pointer jumping: labels hold indices
+            nl = labels[labels]
+            if np.array_equal(nl, labels):
+                break
+            labels = nl
+        if np.array_equal(labels, before):
+            break
+    return {int(ids[i]): int(ids[labels[i]]) for i in range(len(ids))}
+
+
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale/sf1.0"
     import __spark_entry__ as entry
@@ -66,7 +91,11 @@ def main() -> None:
     pairs = pdf.to_numpy(dtype=np.int64).reshape(-1, 2)
     print(f"pairs: {len(pairs):,}")
 
-    labels = union_find_min_labels(pairs)
+    labels = (
+        min_label_propagation(pairs)
+        if len(pairs) > 2_000_000
+        else union_find_min_labels(pairs)
+    )
 
     got = {
         int(r["doc_id"]): int(r["cluster_id"])
