@@ -188,11 +188,10 @@ def _double_bits(x) -> int | None:
 def register_duck_canon_udfs(con):
     from duckdb.typing import BIGINT, DOUBLE
 
-    # create_function refuses to run inside an active transaction (one
-    # is often left open by a prior fetch on this connection), so probe
-    # the catalog instead of trying and catching
-    # fetchall, not fetchone: fetchone leaves the streaming result (and
-    # its transaction) open, and create_function refuses to run then
+    # create_function refuses to run inside an active transaction (a
+    # prior fetchone can leave one open on this connection), so probe
+    # the catalog (with fetchall, which closes its result) rather than
+    # trying and catching
     n = con.execute(
         "SELECT count(*) FROM duckdb_functions() "
         "WHERE function_name = 'double_bits'"
