@@ -181,10 +181,12 @@ def minhash_lsh_candidates(
     pathology — few by construction), and each member's matching
     prefix hash is re-marked with a doc-unique value so a collision in
     a dropped band can never suppress a later kept-band emission.
-    Costs one persist of the grouped bucket table + a driver collect
-    of the dropped bucket KEYS only; when no bucket exceeds the cap
-    the plan is identical to the default. Output stays duplicate-free:
-    pairs emit from their first KEPT colliding band.
+    Costs one extra evaluation of the grouped aggregation (an eager
+    driver collect of the dropped bucket KEYS only — nothing is
+    persisted, so nothing leaks in long-lived applications); the
+    emitted pair expression is unchanged when no bucket exceeds the
+    cap. Output stays duplicate-free: pairs emit from their first
+    KEPT colliding band.
     """
     if num_perm is not None and num_bands * rows_per_band != num_perm:
         raise ValueError(
@@ -246,8 +248,13 @@ def minhash_lsh_candidates(
         # over-cap buckets are the pathology — few by construction, so
         # their (band, hash) keys fit the driver trivially. The salted
         # truncation preserves the over-cap signal: surviving size >
-        # cap <=> original size > cap (pigeonhole, see above).
-        grouped = grouped.persist()
+        # cap <=> original size > cap (pigeonhole, see above). This
+        # eager collect evaluates the grouped aggregation once on its
+        # own; the returned (lazy) pairs plan re-evaluates it — the
+        # documented 2x-shuffle cost of exact mode. Deliberately NOT
+        # persisted: a cached copy would outlive the call and leak in
+        # long-lived applications, and exact mode is the pathological-
+        # corpus opt-in, not the hot path.
         for r in (
             grouped.filter(F.size("ms") > max_bucket_size)
             .select("band", "bh")

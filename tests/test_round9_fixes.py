@@ -172,11 +172,11 @@ def test_oracle_watchdog_does_not_interrupt_next_query():
     from check_oracle import _run_oracle_budgeted
 
     con = duckdb.connect()
-    out = _run_oracle_budgeted(con, "SELECT 1 AS x", 0.05)
+    out = _run_oracle_budgeted(con, "SELECT 1 AS x", 0.5)
     assert out["x"][0] == 1
     import time
 
-    time.sleep(0.1)  # let the stale timer fire (pre-fix it interrupts)
+    time.sleep(0.6)  # let the stale timer fire (pre-fix it interrupts)
     out2 = con.execute(
         "SELECT count(*) c FROM range(2000000)"
     ).df()

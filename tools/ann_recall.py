@@ -51,10 +51,10 @@ def recall_at_k(approx, exact) -> float:
 
 
 def main() -> None:
-    sf_dir = (
-        [a for a in sys.argv[1:] if not a.startswith("--")] or [None]
-    )[0] or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = (args[0] if args else None) or os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
     sqrtn_only = "--sqrtn" in sys.argv[1:]
     k = int(args[1]) if len(args) > 1 else 10
     spark = get_spark(app_name="ann-recall")

@@ -327,6 +327,28 @@ def duck_canon_agg(con, sql, budget_sec=None):
     ), names
 
 
+def _duck_type_for_spark(dt) -> str:
+    """DuckDB cast target matching a Spark output type — used to undo
+    the pandas type promotion on the callable-oracle path."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        return "BIGINT"
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return "DOUBLE"
+    if isinstance(dt, T.BooleanType):
+        return "BOOLEAN"
+    if isinstance(dt, T.StringType):
+        return "VARCHAR"
+    if isinstance(dt, T.DateType):
+        return "DATE"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "TIMESTAMP"
+    if isinstance(dt, T.DecimalType):
+        return f"DECIMAL({dt.precision},{dt.scale})"
+    raise NotImplementedError(f"no DuckDB cast target for Spark {dt}")
+
+
 def check_one_agg(name, sdf, con, oracle, budget_sec=None):
     """Aggregate-canon comparison (status semantics match check_one).
     Callable oracles (--iter-cc temp-table label propagation) return a
@@ -349,8 +371,17 @@ def check_one_agg(name, sdf, con, oracle, budget_sec=None):
             dpdf = _run_oracle_budgeted(con, oracle, budget_sec)
             con.register("__iter_result", dpdf)
             try:
+                # the pandas round-trip corrupts nullable integer
+                # columns to float64 (int64-with-NaN promotion), which
+                # would render via double_bits instead of the integer
+                # cast — re-cast each column to the DuckDB type that
+                # matches the SPARK side before fingerprinting
+                casted = ", ".join(
+                    f'CAST("{c}" AS {_duck_type_for_spark(sdf.schema[c].dataType)}) AS "{c}"'
+                    for c in sdf.columns
+                )
                 d_fp, d_names = duck_canon_agg(
-                    con, "SELECT * FROM __iter_result", None
+                    con, f"SELECT {casted} FROM __iter_result", None
                 )
             finally:
                 con.unregister("__iter_result")
@@ -387,8 +418,10 @@ def _run_oracle_budgeted(con, oracle, budget_sec):
     def _kill():
         # the timer can fire in the window between the oracle finishing
         # and timer.cancel(); interrupting then would kill the NEXT
-        # query's oracle on the shared connection (ADVICE r8) — the
-        # `done` gate closes that race
+        # query's oracle on the shared connection (ADVICE r8). The
+        # `done` gate closes the common case; the fence below clears
+        # the remaining few-bytecode window (timer firing between the
+        # result assignment and done.set()).
         if done.is_set():
             return
         fired.set()
@@ -412,6 +445,13 @@ def _run_oracle_budgeted(con, oracle, budget_sec):
         raise
     finally:
         timer.cancel()
+        # fence: if the timer fired in the post-completion window, a
+        # stale interrupt flag may be pending on the connection — absorb
+        # it with a throwaway statement so the NEXT oracle starts clean
+        try:
+            con.execute("SELECT 44").fetchall()
+        except Exception:
+            pass
 
 
 def check_one(name, sdf, con, oracle, budget_sec=None):
@@ -579,6 +619,11 @@ def main():
             # every query before it is trusted as the scale-gate primary
             try:
                 sdf2 = fn(spark, sf_dir)
+                if sampled:
+                    # the oracles dict was already rewrapped with the
+                    # sample predicate — the pin's engine side must
+                    # carry the identical filter or it false-FAILs
+                    sdf2 = sdf2.filter(sampled)
                 a_status, a_msgs = check_one_agg(
                     name, sdf2, con, oracles.get(name), budget_sec=budget
                 )

@@ -22,8 +22,12 @@ Per-table treatment (replica r in 0..k-1):
     token regardless of insert/delete alignment shifts — every replica
     keeps the driver's full dup/near-dup structure EXACTLY — while a
     cross-replica 20-token shared span survives only with probability
-    (1/2 * 1/2)^20 ~= 1e-12 and cross-replica shingle Jaccard collapses
-    to ~0. The old ' rep<r>' tail suffix left replicas near-duplicates
+    (1/4)^20 ~= 1e-12 between two TAGGED replicas (both must leave all
+    20 tokens untagged) and (1/2)^20 ~= 1e-6 against the untagged
+    replica 0 — at sf10 a residual O(100) replica-0 span matches
+    survive out of ~10^8 windows, i.e. a ~1e-4 fraction of docs; the
+    corpus no longer drains. Cross-replica shingle Jaccard collapses
+    to ~0 in both cases (a 5-token shingle survives with p 0.03-0.17). The old ' rep<r>' tail suffix left replicas near-duplicates
     of each other, so at k=100 the span gate legitimately drained the
     whole corpus and doc_clean_corpus's sf10 pass was vacuous (0 rows).
   * embeddings: vec_id shifted; coordinate 0 perturbed by r * 1e-4 so
