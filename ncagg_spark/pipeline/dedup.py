@@ -269,9 +269,17 @@ def minhash_lsh_candidates(
         # wherever (band i, pre[i]) is a dropped bucket: a collision in
         # a dropped band can then never suppress the pair (the two docs
         # get different marks), restoring the pre-r8 "any kept band"
-        # drop semantics. Literal map: band index -> dropped hashes;
-        # bands whose NULL-hash bucket (all-null signatures) overflowed
-        # are tracked separately (array_contains cannot match null).
+        # drop semantics. The mark xxhash64(id, band, 24249) is treated
+        # as doc-unique: two members of the same dropped bucket whose
+        # marks collide (P ~= 2^-64 per pair) would wrongly suppress
+        # their pair — accepted, far below the MinHash estimator's own
+        # error. Literal map: band index -> dropped hashes; bands whose
+        # NULL-hash bucket overflowed are tracked separately
+        # (array_contains cannot match null). NOTE: band_hashes builds
+        # every band hash as hash64(concat_ws(...)), which is never
+        # NULL, so for signatures produced by THIS pipeline the null
+        # branch is unreachable — it exists only for externally
+        # supplied band-hash tables (not a supported input today).
         ent = []
         null_bands = []
         for band, hs in sorted(dropped_by_band.items()):

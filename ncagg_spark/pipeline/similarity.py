@@ -515,7 +515,16 @@ def kmeans_centroids(
     runs ``max_iter`` such jobs sequentially (inherent to Lloyd's) —
     on a busy shared cluster the per-job scheduling latency multiplies
     by ``max_iter``; keep it small (or train on a sample) when queue
-    wait dominates. Init picks the n_cells
+    wait dominates.
+
+    Driver-traffic ceiling (stated, not just implied): each iteration
+    collects up to partitions x n_cells x dim numbers and the final
+    centroid list is n_cells x dim floats held driver-side — at the
+    sqrt(N) cell rule and 10^9 docs x 768 dims that is ~31k cells x
+    768 ~= 190 MB per round, fine for a driver but NOT unbounded; past
+    ~10^10 docs either cap n_cells below sqrt(N) or train on a sample
+    (the standard practice — codebooks need ~1000 x n_cells examples,
+    not the corpus). Init picks the n_cells
     vectors with the smallest hash of their id — deterministic and
     uniformly spread without a data-dependent pass. ``init="xxhash"``
     uses Spark's seeded xxhash64; ``init="mult"`` uses a Knuth

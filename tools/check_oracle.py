@@ -445,6 +445,13 @@ def _run_oracle_budgeted(con, oracle, budget_sec):
         raise
     finally:
         timer.cancel()
+        # join before the fence (ADVICE r9): cancel() cannot stop a
+        # _kill already past its done.is_set() check, and if that thread
+        # is descheduled until after the fence completes, the stale
+        # con.interrupt() would land on the NEXT oracle. _kill's body is
+        # a few bytecodes, so the join is bounded; after it, any
+        # in-flight interrupt has landed and the fence absorbs it.
+        timer.join()
         # fence: if the timer fired in the post-completion window, a
         # stale interrupt flag may be pending on the connection — absorb
         # it with a throwaway statement so the NEXT oracle starts clean
@@ -600,9 +607,23 @@ def main():
         if sample and name in SAMPLE_PREDS:
             sampled = SAMPLE_PREDS[name]
             sdf = sdf.filter(sampled)
-            if isinstance(oracles.get(name), str):
+            ora = oracles.get(name)
+            if not (ora is None or isinstance(ora, str)):
+                # a callable oracle (e.g. a future ITER_CC_ORACLES
+                # overlap) cannot be rewrapped with the predicate: the
+                # Spark side would be filtered but the oracle not,
+                # surfacing as a confusing fingerprint mismatch. Fail
+                # fast instead (ADVICE r9).
+                print(
+                    f"FAIL {name}: --sample predicate set but oracle is "
+                    f"callable ({type(ora).__name__}) — cannot push the "
+                    "sample filter into a callable oracle"
+                )
+                n_fail += 1
+                continue
+            if isinstance(ora, str):
                 oracles[name] = (
-                    f"SELECT * FROM ({oracles[name]}) __smp "
+                    f"SELECT * FROM ({ora}) __smp "
                     f"WHERE {sampled}"
                 )
         if agg_canon:
