@@ -1442,6 +1442,36 @@ def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composition (IVFADC, round 10 — VERDICT r9 #4): the
+    sqrt(N)-cell coarse quantizer of emb_ivf_topk (quantized-integer
+    assignment/probe ranking — exact in any summation order, so the
+    oracle replicates it bit-for-bit) routes the anchor-codebook ADC of
+    emb_pq_topk to only the probed ~n_probe/n_cells of the codes, then
+    the exact cosine rerank restores exact ordering. The composition is
+    THE standard big-corpus index: vs the flat ADC scan the scored
+    fraction drops by ~sqrt(N) under the sqrt(N) cell rule
+    (pipeline/pq.py:ivf_pq_topk_relational; production Arrow path =
+    build_ivf_pq_index + ivf_pq_topk)."""
+    from ncagg_spark.pipeline.pq import ivf_pq_topk_relational
+
+    em = _t(spark, sf_dir, "embeddings")
+    n_cells = max(1, math.ceil(math.sqrt(em.count())))
+    n_probe = max(1, math.ceil(n_cells / 4))
+    queries = em.filter(F.col("vec_id") < 10)
+    return ivf_pq_topk_relational(
+        em,
+        queries,
+        dim=64,
+        m=PQ_M,
+        n_codes=PQ_CODES,
+        n_cells=n_cells,
+        n_probe=n_probe,
+        k=PQ_K,
+        expand=PQ_EXPAND,
+    )
+
+
 KM_CELLS = 8
 KM_ITERS = 2
 KM_QUANT = 1_000_000
@@ -1536,15 +1566,14 @@ _REGISTRY: list[tuple[str, _T, bool]] = [
     ("doc_decontaminate", q_doc_decontaminate, True),
     ("emb_ivf_kmeans_topk", q_emb_ivf_kmeans_topk, True),
     ("emb_srp_topk", q_emb_srp_topk, True),
+    ("emb_ivfpq_topk", q_emb_ivfpq_topk, True),  # r10: IVFADC composition
     ("emb_ivf_topk", q_emb_ivf_topk, True),
     ("mm_hash_features", q_mm_hash_features, True),
     ("mm_features", q_mm_features, True),
     ("agg_multidim", q_agg_multidim, True),
     # -- ncagg core (events) --
     ("agg_regularize_day", q_agg_regularize_day, True),
-    ("agg_regularize_anchored", q_agg_regularize_anchored, True),
     ("agg_dedup_cadence", q_agg_dedup_cadence, True),
-    ("agg_dedup_phase", q_agg_dedup_phase, True),
     ("agg_nc_ingest", q_agg_nc_ingest, True),
     ("stream_day_merge", q_stream_day_merge, True),
     ("agg_bounds_filter", q_agg_bounds_filter, True),
@@ -1562,11 +1591,13 @@ _REGISTRY: list[tuple[str, _T, bool]] = [
     ("rel_q1_pricing", q_rel_q1_pricing, True),
     ("rel_q3_topk", q_rel_q3_topk, True),
     ("rel_q5_nation_volume", q_rel_q5_nation_volume, True),
-    # r9: rel_rollup rotated back IN (VERDICT r8 #8 — the rotation
-    # policy keeps cycling families through the driver-checked 50);
-    # stream_late_drop to the tail now its r8 driver gate is recorded
-    # (twins stream_gap_fill / stream_day_merge keep streaming in-window)
+    # r10: rel_cube rotated back IN (VERDICT r9 #8) and emb_ivfpq_topk
+    # (new) joins the window; agg_regularize_anchored (twin
+    # agg_regularize_day — same grid/gapfill operator, G1-G7) and
+    # agg_dedup_phase (twin agg_dedup_cadence — same overlap-chop
+    # operator, G5/G6) rotate to the tail after 8 straight green rounds
     ("rel_rollup", q_rel_rollup, True),
+    ("rel_cube", q_rel_cube, True),
     ("rel_intersect_except", q_rel_intersect_except, True),
     ("rel_exists_subquery", q_rel_exists_subquery, True),
     # -- documents (LLM-pipeline text ops) --
@@ -1590,6 +1621,8 @@ _REGISTRY: list[tuple[str, _T, bool]] = [
     ("emb_brute_topk", q_emb_brute_topk, True),
     ("emb_pq_topk", q_emb_pq_topk, True),
     # -- tail (past the driver window; check_oracle gates them all) --
+    ("agg_regularize_anchored", q_agg_regularize_anchored, False),  # twin: agg_regularize_day
+    ("agg_dedup_phase", q_agg_dedup_phase, False),  # twin: agg_dedup_cadence
     ("evt_asof_next_error", q_evt_asof_next_error, False),  # twin: evt_asof_purchase
     ("doc_simhash", q_doc_simhash, False),  # twin: doc_simhash_near_dup
     ("rel_window_topk", q_rel_window_topk, False),  # twin: emb_brute_topk
@@ -1601,7 +1634,6 @@ _REGISTRY: list[tuple[str, _T, bool]] = [
     ("agg_flatten_overlay", q_agg_flatten_overlay, False),
     ("doc_exact_duplicates", q_doc_exact_duplicates, False),
     ("doc_winnow_fp", q_doc_winnow_fp, False),
-    ("rel_cube", q_rel_cube, False),
     ("rel_distinct_count", q_rel_distinct_count, False),
     ("rel_grouping_sets", q_rel_grouping_sets, False),
     ("rel_moving_avg", q_rel_moving_avg, False),
@@ -2924,6 +2956,94 @@ def oracle_sql() -> dict[str, str]:
             JOIN enc e ON e.neighbor_id <> q.vec_id
             CROSS JOIN books b
             WHERE q.vec_id < 10
+        ),
+        cand AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                           ORDER BY dist2 ASC, neighbor_id ASC) AS rn
+                FROM adc
+            ) WHERE rn <= {PQ_K * PQ_EXPAND}
+        )
+        SELECT query_id, neighbor_id, rank, cosine FROM (
+            SELECT cand.query_id, cand.neighbor_id,
+                   round({_pq_cos}, 6) AS cosine,
+                   row_number() OVER (PARTITION BY cand.query_id
+                       ORDER BY round({_pq_cos}, 6) DESC,
+                                cand.neighbor_id ASC) AS rank
+            FROM cand
+            JOIN embeddings q ON q.vec_id = cand.query_id
+            JOIN embeddings c ON c.vec_id = cand.neighbor_id
+        ) WHERE rank <= {PQ_K}
+    """
+
+    # emb_ivfpq_topk (round 10): IVFADC = the emb_ivf_topk coarse
+    # quantizer (sqrt(N) cells, quantized-integer assignment ties ->
+    # larger cell / probe ties -> smaller cell) composed with the
+    # emb_pq_topk anchor-codebook ADC, scoring ONLY candidates whose
+    # cell the query probes (e.cell = q.cell — each vector lives in
+    # exactly one cell, so no dedup), then the exact cosine rerank of
+    # the PQ_K*PQ_EXPAND survivors. Every fragment below is copied
+    # verbatim from those two green oracles; only the adc join keys
+    # changed.
+    sqls["emb_ivfpq_topk"] = f"""
+        WITH nn AS (
+            SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS n_cells,
+                   CAST(ceil(ceil(sqrt(count(*))) / 4.0) AS BIGINT)
+                       AS n_probe
+            FROM embeddings
+        ),
+        cents AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                   list_transform(embedding,
+                       x -> x::DOUBLE / sqrt(list_sum(list_transform(
+                            embedding, v -> v::DOUBLE * v::DOUBLE))))
+                       AS cunit
+            FROM (SELECT vec_id, embedding,
+                         row_number() OVER (ORDER BY vec_id) AS rn
+                  FROM embeddings)
+            WHERE rn <= (SELECT n_cells FROM nn)
+        ),
+        assign AS (
+            SELECT e.vec_id, e.embedding, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {qdot_c.format(v='e.embedding')} DESC,
+                                c.cell DESC) AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ),
+        corpus AS (
+            SELECT vec_id AS neighbor_id, embedding, cell
+            FROM assign WHERE rn = 1
+        ),
+        samp AS (
+            SELECT vec_id, embedding,
+                   (vec_id * 2654435761) % 4294967296 AS hkey
+            FROM embeddings
+            ORDER BY hkey ASC, vec_id ASC LIMIT {PQ_CODES}
+        ),
+        books AS (
+            SELECT list(embedding ORDER BY hkey ASC, vec_id ASC) AS bk
+            FROM samp
+        ),
+        enc AS (
+            SELECT c.neighbor_id, c.cell, {', '.join(pq_codes)}
+            FROM corpus c CROSS JOIN books b
+        ),
+        probes AS (
+            SELECT e.vec_id, e.embedding, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {qdot_c.format(v='e.embedding')} DESC,
+                                c.cell ASC) AS rn
+            FROM embeddings e CROSS JOIN cents c
+            WHERE e.vec_id < 10
+        ),
+        adc AS (
+            SELECT q.vec_id AS query_id, e.neighbor_id,
+                   ({pq_adc}) AS dist2
+            FROM (SELECT DISTINCT vec_id, embedding, cell
+                  FROM probes
+                  WHERE rn <= (SELECT n_probe FROM nn)) q
+            JOIN enc e ON e.cell = q.cell AND e.neighbor_id <> q.vec_id
+            CROSS JOIN books b
         ),
         cand AS (
             SELECT query_id, neighbor_id FROM (

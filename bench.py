@@ -77,6 +77,10 @@ EXTENDED_QUERIES = [
     "doc_dup_clusters",
     "doc_near_dedup",
     "emb_pq_topk",
+    # r10: the IVFADC composition, timed next to the flat ADC scan above
+    # — the sf10 run is the direct evidence that probing ~1/4 of sqrt(N)
+    # cells cuts the exp-0.69 flat scan (VERDICT r9 #4)
+    "emb_ivfpq_topk",
     "doc_dup_spans",
 ]
 

@@ -240,6 +240,137 @@ def pq_topk(
     )
 
 
+def _anchor_codebooks(
+    corpus: DataFrame, n_codes: int, id_col: str, vec_col: str
+) -> list[list[float]]:
+    """Anchor codebooks for the oracle-parity PQ forms: codebook[s][c] =
+    subvector s of the c-th anchor, anchors being the ``n_codes`` corpus
+    rows with smallest multiplicative id-hash (Knuth 2654435761 mod 2^32
+    — deterministic, uniformly spread, one sort-limit). Pure DATA, no
+    trained floats, so any SQL engine re-derives them exactly."""
+    key = (F.col(id_col) * F.lit(2654435761)) % F.lit(4294967296)
+    anchors = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(key.asc(), F.col(id_col).asc())
+        .limit(n_codes)
+        .collect()
+    )
+    books = [[float(x) for x in r[1]] for r in anchors]
+    if len(books) < n_codes:
+        raise ValueError(f"corpus has {len(books)} rows < n_codes={n_codes}")
+    return books
+
+
+def _sqdist_const_sql(col_sql: str, values: list[float]) -> str:
+    """Left-to-right squared-L2 fold against a constant array — the form
+    an ANSI engine replicates bit-for-bit."""
+    from ncagg_spark.functions.vectors import _array_sql
+
+    return (
+        f"aggregate(zip_with({col_sql}, {_array_sql(values)}, "
+        "(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _encode_relational(
+    df: DataFrame,
+    books: list[list[float]],
+    *,
+    m: int,
+    sub: int,
+    vec_col: str,
+) -> DataFrame:
+    """Append ``__code_0..__code_{m-1}`` columns: first-argmin over the
+    n_codes left-to-right squared L2 distances per subspace
+    (array_position(min) == DuckDB list_position(list_min) — both
+    first-match). Pure Catalyst expressions; the vec column is kept."""
+    n_codes = len(books)
+    for s in range(m):
+        sl = f"slice(`{vec_col}`, {s * sub + 1}, {sub})"
+        dists = (
+            "array("
+            + ",".join(
+                _sqdist_const_sql(sl, books[c][s * sub : (s + 1) * sub])
+                for c in range(n_codes)
+            )
+            + ")"
+        )
+        df = df.withColumn(
+            f"__code_{s}",
+            F.expr(f"array_position({dists}, array_min({dists})) - 1"),
+        )
+    return df
+
+
+def _adc_expr(
+    books: list[list[float]], *, m: int, sub: int, qvec_col: str
+) -> str:
+    """ADC distance: d0 + d1 + ... + d_{m-1}, each d_s a left-to-right
+    subspace distance of the query slice against
+    element_at(codebook_s, __code_s + 1) — fixed association order that
+    both engines share."""
+    from ncagg_spark.functions.vectors import _array_sql
+
+    n_codes = len(books)
+    terms = []
+    for s in range(m):
+        book_lit = (
+            "array("
+            + ",".join(
+                _array_sql(books[c][s * sub : (s + 1) * sub])
+                for c in range(n_codes)
+            )
+            + ")"
+        )
+        terms.append(
+            "aggregate(zip_with("
+            f"slice(`{qvec_col}`, {s * sub + 1}, {sub}), "
+            f"element_at({book_lit}, CAST(__code_{s} + 1 AS INT)), "
+            "(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+            "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    return " + ".join(terms)
+
+
+def _exact_rerank(
+    corpus: DataFrame,
+    cands: DataFrame,
+    *,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact cosine re-rank of a (query_id, neighbor_id, __qvec)
+    candidate set against the raw corpus vectors — the scan that touches
+    full vectors is proportional to the candidate count, not the corpus
+    (the candidate side broadcasts)."""
+    from ncagg_spark.functions.vectors import dot, l2_norm, norm_guard
+
+    cvecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__nvec"),
+    )
+    scored = cvecs.join(F.broadcast(cands), on="neighbor_id").withColumn(
+        "cosine",
+        F.round(
+            dot("__qvec", "__nvec")
+            / (norm_guard(l2_norm("__qvec")) * norm_guard(l2_norm("__nvec"))),
+            6,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def pq_topk_relational(
     corpus: DataFrame,
     queries: DataFrame,
@@ -283,58 +414,23 @@ def pq_topk_relational(
     vectors are touched in the rerank. Production throughput path =
     pq_train/pq_encode/pq_topk (Arrow matmul, SCALE.md ANN section).
     """
-    from ncagg_spark.functions.vectors import (
-        _array_sql,
-        dot,
-        l2_norm,
-        norm_guard,
-    )
-
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
     query_id_col = query_id_col or id_col
-
-    key = (F.col(id_col) * F.lit(2654435761)) % F.lit(4294967296)
-    anchors = (
-        corpus.select(F.col(id_col), F.col(vec_col))
-        .orderBy(key.asc(), F.col(id_col).asc())
-        .limit(n_codes)
-        .collect()
-    )
-    books = [[float(x) for x in r[1]] for r in anchors]
-    if len(books) < n_codes:
-        raise ValueError(
-            f"corpus has {len(books)} rows < n_codes={n_codes}"
-        )
-
-    def sqdist_const(col_sql: str, values: list[float]) -> str:
-        return (
-            f"aggregate(zip_with({col_sql}, {_array_sql(values)}, "
-            "(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
-            "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
-            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-        )
+    books = _anchor_codebooks(corpus, n_codes, id_col, vec_col)
 
     # -- encode: one int code per subspace, first-argmin tiebreak --
-    enc = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
-    )
-    for s in range(m):
-        sl = f"slice(__cvec, {s * sub + 1}, {sub})"
-        dists = (
-            "array("
-            + ",".join(
-                sqdist_const(sl, books[c][s * sub : (s + 1) * sub])
-                for c in range(n_codes)
-            )
-            + ")"
-        )
-        enc = enc.withColumn(
-            f"__code_{s}",
-            F.expr(f"array_position({dists}, array_min({dists})) - 1"),
-        )
-    enc = enc.drop("__cvec")
+    enc = _encode_relational(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cvec"),
+        ),
+        books,
+        m=m,
+        sub=sub,
+        vec_col="__cvec",
+    ).drop("__cvec")
 
     # -- ADC scoring against the broadcast query side --
     q = queries.select(
@@ -342,26 +438,9 @@ def pq_topk_relational(
     )
     joined = enc.join(
         F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).withColumn(
+        "__dist2", F.expr(_adc_expr(books, m=m, sub=sub, qvec_col="__qvec"))
     )
-    terms = []
-    for s in range(m):
-        book_lit = (
-            "array("
-            + ",".join(
-                _array_sql(books[c][s * sub : (s + 1) * sub])
-                for c in range(n_codes)
-            )
-            + ")"
-        )
-        terms.append(
-            "aggregate(zip_with("
-            f"slice(__qvec, {s * sub + 1}, {sub}), "
-            f"element_at({book_lit}, CAST(__code_{s} + 1 AS INT)), "
-            "(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
-            "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
-            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-        )
-    joined = joined.withColumn("__dist2", F.expr(" + ".join(terms)))
     w_adc = Window.partitionBy("query_id").orderBy(
         F.col("__dist2").asc(), F.col("neighbor_id").asc()
     )
@@ -372,26 +451,7 @@ def pq_topk_relational(
     )
 
     # -- exact cosine rerank of the candidate set --
-    cvecs = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__nvec"),
-    )
-    scored = cvecs.join(F.broadcast(cands), on="neighbor_id").withColumn(
-        "cosine",
-        F.round(
-            dot("__qvec", "__nvec")
-            / (norm_guard(l2_norm("__qvec")) * norm_guard(l2_norm("__nvec"))),
-            6,
-        ),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine")
-    )
+    return _exact_rerank(corpus, cands, k=k, id_col=id_col, vec_col=vec_col)
 
 
 def pq_topk_rerank(
@@ -438,6 +498,333 @@ def pq_topk_rerank(
         F.col(vec_col).alias("q_vec"),
         norm_guard(l2_norm(vec_col)).alias("q_norm"),
     )
+    scored = cand_vecs.join(F.broadcast(q), on="query_id").withColumn(
+        "cosine",
+        F.round(
+            dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")), 6
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF + PQ composition (round 10, VERDICT r9 #4): the standard big-corpus
+# index (Jégou et al. 2011 "IVFADC") — a coarse quantizer routes each
+# vector to one of n_cells inverted lists; a query probes only its
+# n_probe nearest cells and ADC-scores the compressed codes WITHIN those
+# cells; an exact cosine re-rank of the k*expand survivors restores
+# exact ordering. vs the flat ADC scan (pq_topk / pq_topk_relational,
+# measured exp 0.69 and 49 s at sf10) the scored fraction drops to
+# ~n_probe/n_cells — with the sqrt(N) cell rule that is a sqrt(N)
+# speedup growing with the corpus, which is exactly why it is THE
+# composition used at 100-TB embedding counts.
+# ---------------------------------------------------------------------------
+
+
+def ivf_pq_topk_relational(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    dim: int = 64,
+    m: int = 8,
+    n_codes: int = 16,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    k: int = 5,
+    expand: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Oracle-parity IVF+PQ: every float op replicable bit-for-bit by an
+    ANSI engine, composed from the two already-oracle-gated halves:
+
+      * coarse quantizer = ``assign_cells(method="quantized")`` over
+        sample centroids (the emb_ivf_topk design: floor(x*1e6) integer
+        dots — exact in any summation order; ties -> larger cell) and
+        ``quantized_probe_col`` for the query side (ties -> smaller
+        cell);
+      * fine quantizer = the anchor-codebook PQ of
+        ``pq_topk_relational`` (codebooks are DATA — subvectors of the
+        n_codes smallest-multiplicative-hash rows; first-argmin encode;
+        fixed-association ADC);
+      * the ADC join keys on ``cell`` — each candidate is scored only
+        when its cell is probed by the query (neighbors live in exactly
+        ONE cell, so no dedup is needed);
+      * exact cosine re-rank of the k*expand ADC survivors.
+
+    Scale: the corpus-side work is one narrow projection (cell + m
+    codes), the probe join broadcasts queries x n_probe rows, and ADC
+    touches ~n_probe/n_cells of the codes. Production throughput path =
+    ``build_ivf_pq_index`` + ``ivf_pq_topk`` (Arrow batch math).
+    """
+    from ncagg_spark.pipeline.similarity import (
+        assign_cells,
+        quantized_probe_col,
+        sample_centroids,
+    )
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    query_id_col = query_id_col or id_col
+    cents = centroids or sample_centroids(
+        corpus, n_cells, id_col=id_col, vec_col=vec_col
+    )
+    books = _anchor_codebooks(corpus, n_codes, id_col, vec_col)
+
+    # -- corpus -> (cell, codes): ONE narrow projection, no shuffle --
+    celled = assign_cells(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cvec"),
+        ),
+        cents,
+        vec_col="__cvec",
+        out_col="cell",
+        method="quantized",
+    )
+    enc = _encode_relational(
+        celled, books, m=m, sub=sub, vec_col="__cvec"
+    ).drop("__cvec")
+
+    # -- query probes: n_probe nearest cells, exploded --
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(
+            quantized_probe_col(cents, n_probe, vec_col)
+        ).alias("cell"),
+    )
+
+    # -- ADC within probed cells only --
+    joined = (
+        enc.join(F.broadcast(q), on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "__dist2",
+            F.expr(_adc_expr(books, m=m, sub=sub, qvec_col="__qvec")),
+        )
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("__dist2").asc(), F.col("neighbor_id").asc()
+    )
+    cands = (
+        joined.withColumn("__rn", F.row_number().over(w_adc))
+        .filter(F.col("__rn") <= k * expand)
+        .select("query_id", "neighbor_id", "__qvec")
+    )
+    return _exact_rerank(corpus, cands, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def build_ivf_pq_index(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build the compressed IVFADC index: (id, cell, codes) in ONE Arrow
+    pass over the corpus — cell = BLAS argmax against unit centroids
+    (ties -> larger cell, matching assign_cells), codes = per-subspace
+    L2 argmin against the trained codebooks (pq_encode math, on the
+    unit-normalized vector). No join, no shuffle; at real scale persist
+    the result partitioned BY CELL so a probe filter prunes partitions
+    at the scan."""
+    from ncagg_spark.pipeline.similarity import _unit_scale
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    cents_s = sorted(centroids, key=lambda cv: int(cv[0]))
+    cell_ids = np.array([int(c) for c, _ in cents_s], dtype="int64")
+    Cu = np.array(
+        [_unit_scale(v) for _, v in cents_s], dtype="float64"
+    ).T  # dim x cells
+    CB = [np.asarray(b, dtype="float64") for b in codebooks]
+    CBn = [np.sum(c * c, axis=1) for c in CB]
+    id_type = {
+        f.name: f.dataType.simpleString() for f in corpus.schema.fields
+    }[id_col]
+
+    def build(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            raw = np.asarray(
+                [np.asarray(x, dtype="float64") for x in pdf["__vec"]]
+            )
+            scores = raw @ Cu  # row norm divides all cells equally
+            rev = scores[:, ::-1].argmax(axis=1)
+            cells = cell_ids[scores.shape[1] - 1 - rev]  # ties -> larger
+            X = _unit_rows(raw)
+            codes = np.empty((len(X), m), dtype="int32")
+            for s in range(m):
+                Xs = X[:, s * sub : (s + 1) * sub]
+                codes[:, s] = (2 * (Xs @ CB[s].T) - CBn[s][None, :]).argmax(
+                    axis=1
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf["__id"],
+                    "cell": cells.astype("int32"),
+                    "codes": [row.tolist() for row in codes],
+                }
+            )
+
+    return corpus.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+    ).mapInPandas(
+        build, schema=f"`{id_col}` {id_type}, cell int, codes array<int>"
+    )
+
+
+def ivf_pq_topk(
+    index: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    expand: int = 4,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Production IVFADC search over a ``build_ivf_pq_index`` table:
+    probe each query's n_probe nearest cells, ADC-score codes ONLY in
+    probed cells (a ``cell IN (...)`` filter — partition-prunable when
+    the index is stored partitioned by cell), exact cosine re-rank of
+    the k*expand survivors against the raw vectors.
+
+    The per-batch math is the pq_topk ADC (LUT fancy-indexing) with a
+    probe mask: dist2[i, q] = inf unless cells[i] is probed by q — one
+    boolean matrix lookup, fully vectorized. Shuffle carries only
+    partitions x queries x (k*expand) candidate rows.
+    """
+    import builtins
+
+    from ncagg_spark.pipeline.similarity import _unit_scale
+
+    query_id_col = query_id_col or id_col
+    n_type = {
+        f.name: f.dataType.simpleString() for f in index.schema.fields
+    }[id_col]
+    q_type = {
+        f.name: f.dataType.simpleString() for f in queries.schema.fields
+    }[query_id_col]
+    out_schema = (
+        f"query_id {q_type}, neighbor_id {n_type}, approx_cosine double"
+    )
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    if not q_rows:
+        return index.sparkSession.createDataFrame(
+            [], f"query_id {q_type}, neighbor_id {n_type}, rank int, "
+            "cosine double"
+        )
+    qids = np.asarray([r[0] for r in q_rows])
+    Qraw = np.array([list(r[1]) for r in q_rows], dtype="float64")
+    Q = _unit_rows(Qraw)
+
+    # -- probe ranking: n_probe nearest cells per query (BLAS) --
+    cents_s = sorted(centroids, key=lambda cv: int(cv[0]))
+    cell_ids = np.array([int(c) for c, _ in cents_s], dtype="int64")
+    Cu = np.array([_unit_scale(v) for _, v in cents_s], dtype="float64").T
+    npr = builtins.min(int(n_probe), len(cents_s))
+    order = np.argsort(-(Qraw @ Cu), axis=1, kind="stable")[:, :npr]
+    probed = cell_ids[order]  # nq x n_probe
+    union_cells = sorted({int(c) for row in probed for c in row})
+    # probe mask over the union-cell axis: mask[cell_idx, qi]
+    cell_pos = {c: i for i, c in enumerate(union_cells)}
+    mask = np.zeros((len(union_cells), len(qids)), dtype=bool)
+    for qi, row in enumerate(probed):
+        for c in row:
+            mask[cell_pos[int(c)], qi] = True
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    CB = [np.asarray(b, dtype="float64") for b in codebooks]
+    LUT = []
+    for s in range(m):
+        Qs = Q[:, s * sub : (s + 1) * sub]
+        LUT.append(
+            np.sum(Qs * Qs, axis=1)[:, None]
+            - 2 * (Qs @ CB[s].T)
+            + np.sum(CB[s] * CB[s], axis=1)[None, :]
+        )
+    kk = int(k) * int(expand)
+    union_arr = np.asarray(union_cells, dtype="int64")
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nids = pdf[id_col].to_numpy()
+            cells = pdf["cell"].to_numpy().astype("int64")
+            codes = np.asarray(
+                [np.asarray(c, dtype="int64") for c in pdf["codes"]]
+            )
+            dist2 = np.zeros((len(codes), len(qids)), dtype="float64")
+            for s in range(m):
+                dist2 += LUT[s][:, codes[:, s]].T
+            # probe mask: candidates outside a query's probed cells are
+            # invisible to it (cells here are already IN the union —
+            # the pre-filter below guarantees searchsorted hits)
+            idx = np.searchsorted(union_arr, cells)
+            dist2[~mask[idx, :]] = np.inf
+            dist2[nids[:, None] == qids[None, :]] = np.inf
+            take = builtins.min(kk, dist2.shape[0])
+            part = np.argpartition(dist2, take - 1, axis=0)[:take]
+            qi, ni, cs = [], [], []
+            for j in range(dist2.shape[1]):
+                rows = part[:, j]
+                qi.extend([qids[j]] * len(rows))
+                ni.extend(nids[rows])
+                cs.extend(1.0 - dist2[rows, j] / 2.0)
+            out = pd.DataFrame(
+                {"query_id": qi, "neighbor_id": ni, "approx_cosine": cs}
+            )
+            yield out[np.isfinite(out["approx_cosine"])]
+
+    # cell IN (union) — pushed to the scan; with the index stored
+    # partitioned by cell this prunes whole partitions, making search
+    # cost proportional to the probed fraction, not the corpus
+    scanned = index.filter(
+        F.col("cell").isin([int(c) for c in union_cells])
+    )
+    partial = scanned.mapInPandas(score, schema=out_schema)
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cosine").desc(), F.col("neighbor_id").asc()
+    )
+    cands = (
+        partial.withColumn("__rn", F.row_number().over(w_adc))
+        .filter(F.col("__rn") <= kk)
+        .select("query_id", "neighbor_id")
+    )
+
+    # -- exact cosine re-rank against raw vectors (candidate-bounded) --
+    from ncagg_spark.functions.vectors import dot, l2_norm, norm_guard
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_guard(l2_norm(vec_col)).alias("q_norm"),
+    )
+    cand_vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm_guard(l2_norm(vec_col)).alias("c_norm"),
+    ).join(F.broadcast(cands), on="neighbor_id")
     scored = cand_vecs.join(F.broadcast(q), on="query_id").withColumn(
         "cosine",
         F.round(

@@ -653,6 +653,49 @@ def kmeans_centroids(
     return cents
 
 
+def quantized_probe_col(
+    cents: list[tuple[int, list[float]]], n_probe: int, vec_col: str
+) -> Column:
+    """Per-row array of the ``n_probe`` nearest cell ids under the
+    quantized-integer dot — the probe-ranking twin of
+    ``assign_cells(method="quantized")`` (same floor(x*1e6) quantization,
+    exact integer scores in any summation order, so any SQL engine
+    replicates the ranking bit-for-bit; ties -> smaller cell). Shared by
+    ``ivf_topk`` and the IVF+PQ composition (pipeline/pq.py). Also avoids
+    the O(n_cells x dim)-literal SQL expression of the "sql" probe path,
+    which at sqrt(N) cell counts becomes a megabyte-scale plan."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    Qf = 1_000_000.0
+    cents_s = sorted(cents, key=lambda cv: int(cv[0]))
+    pids = np.array([int(c) for c, _ in cents_s], dtype="int64")
+    Cq = np.floor(
+        np.array(
+            [_unit_scale(v) for _, v in cents_s], dtype="float64"
+        )
+        * Qf
+    ).T
+    npr = int(n_probe)
+
+    def _probes(v: pd.Series) -> pd.Series:
+        X = np.floor(
+            np.asarray(
+                [np.asarray(x, dtype="float64") for x in v]
+            )
+            * Qf
+        )
+        scores = X @ Cq  # exact integers (see assign_cells)
+        # stable argsort of -scores: ties keep ascending cell order
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :npr]
+        return pd.Series(list(pids[order].astype("int32")))
+
+    _probes.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    probe_udf = F.pandas_udf(T.ArrayType(T.IntegerType()))(_probes)
+    return probe_udf(F.col(vec_col))
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -709,39 +752,10 @@ def ivf_topk(
     # eliminations as assign_cells — ranking by dot against unit centroids.
     if assign_method == "quantized":
         # quantized-integer probe ranking (exact, SQL-replicable like
-        # the quantized assignment; ties -> smaller cell). Also avoids
-        # the O(n_cells x dim)-literal SQL expression below, which at
-        # sqrt(N) cell counts becomes a megabyte-scale plan.
-        import numpy as np
-        import pandas as pd
-        from pyspark.sql import types as T
-
-        Qf = 1_000_000.0
-        cents_s = sorted(cents, key=lambda cv: int(cv[0]))
-        pids = np.array([int(c) for c, _ in cents_s], dtype="int64")
-        Cq = np.floor(
-            np.array(
-                [_unit_scale(v) for _, v in cents_s], dtype="float64"
-            )
-            * Qf
-        ).T
-        npr = int(n_probe)
-
-        def _probes(v: pd.Series) -> pd.Series:
-            X = np.floor(
-                np.asarray(
-                    [np.asarray(x, dtype="float64") for x in v]
-                )
-                * Qf
-            )
-            scores = X @ Cq  # exact integers (see assign_cells)
-            # stable argsort of -scores: ties keep ascending cell order
-            order = np.argsort(-scores, axis=1, kind="stable")[:, :npr]
-            return pd.Series(list(pids[order].astype("int32")))
-
-        _probes.__annotations__ = {"v": pd.Series, "return": pd.Series}
-        probe_udf = F.pandas_udf(T.ArrayType(T.IntegerType()))(_probes)
-        probe_col = F.explode(probe_udf(F.col(vec_col))).alias("cell")
+        # the quantized assignment; ties -> smaller cell)
+        probe_col = F.explode(
+            quantized_probe_col(cents, n_probe, vec_col)
+        ).alias("cell")
     else:
         # One SQL expression end-to-end (sort comparator: score desc,
         # ties keep centroid order — array_sort is stable).

@@ -156,3 +156,105 @@ def test_pq_relational_matches_production_semantics(clustered):
         k=5, expand=10,
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_ivf_pq_relational_recall_and_determinism(clustered):
+    """IVFADC oracle-parity form: exactly k rows per query, exact
+    reranked cosines, recall >= the flat-PQ bar on clustered data, and
+    bit-identical results under repartitioning."""
+    rows, df = clustered
+    queries = df.filter("vec_id < 10")
+    from ncagg_spark.pipeline.pq import ivf_pq_topk_relational
+
+    got = ivf_pq_topk_relational(
+        df, queries, dim=DIM, m=4, n_codes=16, n_cells=16, n_probe=6,
+        k=5, expand=10,
+    ).collect()
+    assert len(got) == 50
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert all(len(v) == 5 for v in per_q.values())
+
+    exact = brute_force_topk(df, queries, k=5).collect()
+    es = {}
+    for r in exact:
+        es.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hit = sum(1 for r in got if r["neighbor_id"] in es[r["query_id"]])
+    # clustered corpus + 6/16 cells probed: the query's own cluster is
+    # always probed, so recall should be near-exact after the re-rank
+    assert hit / len(got) >= 0.8, f"recall {hit/len(got):.2f}"
+    exact_map = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact
+    }
+    for r in got:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_map:
+            assert r["cosine"] == exact_map[key]
+
+    again = ivf_pq_topk_relational(
+        df.repartition(16, "vec_id"), queries, dim=DIM, m=4, n_codes=16,
+        n_cells=16, n_probe=6, k=5, expand=10,
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_ivf_pq_production_index_and_search(clustered):
+    """The Arrow production path: one-pass index build (cell + codes),
+    probe-masked ADC, exact re-rank. Deterministic under repartitioning;
+    recall floor vs brute force; scan provably restricted to probed
+    cells."""
+    rows, df = clustered
+    queries = df.filter("vec_id < 10")
+    from ncagg_spark.pipeline.pq import build_ivf_pq_index, ivf_pq_topk
+    from ncagg_spark.pipeline.similarity import kmeans_centroids
+
+    cents = kmeans_centroids(df, 16, vec_col="embedding", max_iter=3)
+    books = pq_train(df, dim=DIM, m=8, n_codes=64)
+    index = build_ivf_pq_index(df, cents, books)
+    got_idx = index.orderBy("vec_id").collect()
+    assert len(got_idx) == N
+    assert all(len(r["codes"]) == 8 for r in got_idx)
+    again_idx = (
+        build_ivf_pq_index(df.repartition(8), cents, books)
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert [tuple(r) for r in got_idx] == [tuple(r) for r in again_idx]
+
+    res = ivf_pq_topk(
+        index, cents, books, df, queries, k=5, expand=6, n_probe=6
+    ).collect()
+    assert len(res) == 50
+    exact = brute_force_topk(df, queries, k=5).collect()
+    es = {}
+    for r in exact:
+        es.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hit = sum(1 for r in res if r["neighbor_id"] in es[r["query_id"]])
+    assert hit / len(res) >= 0.8, f"recall {hit/len(res):.2f}"
+    # re-ranked cosines are EXACT for true neighbors
+    exact_map = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact
+    }
+    for r in res:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_map:
+            assert r["cosine"] == exact_map[key]
+
+    # the ADC scan is restricted to probed cells: with n_probe = all
+    # cells the result must dominate, with n_probe=1 it may not — but
+    # every returned neighbor must live in a cell probed by its query
+    cell_of = {r["vec_id"]: r["cell"] for r in got_idx}
+    import numpy as np
+
+    from ncagg_spark.pipeline.similarity import _unit_scale
+
+    Cu = np.array(
+        [_unit_scale(v) for _, v in sorted(cents, key=lambda c: c[0])]
+    ).T
+    cids = np.array([c for c, _ in sorted(cents, key=lambda c: c[0])])
+    qvecs = {r["vec_id"]: list(r["embedding"]) for r in queries.collect()}
+    for r in res:
+        qv = np.asarray(qvecs[r["query_id"]], dtype="float64")
+        order = np.argsort(-(qv @ Cu), kind="stable")[:6]
+        assert cell_of[r["neighbor_id"]] in set(cids[order])
