@@ -9,7 +9,7 @@ and emits a markdown table for SCALE.md plus one JSON line for
 machine diffing.
 
 Usage:
-    python tools/ann_recall.py [sf_dir] [k] [--sqrtn]
+    python tools/ann_recall.py [sf_dir] [k] [--sqrtn] [--planted]
 defaults: $SPARK_GRAFT_SF_DIR or /root/testdata/sf0.1, k=10.
 
 --sqrtn (VERDICT r8 #7): skip the parameter sweeps and measure ONLY the
@@ -17,6 +17,18 @@ production sqrt(N)-rule IVF (n_cells=ceil(sqrt(N)), n_probe=
 ceil(n_cells/4), quantized assignment — exactly q_emb_ivf_topk's
 config) against the exact matmul baseline — the form that is feasible
 at sf1.0/sf10, where the full sweep is not.
+
+--planted (VERDICT r9 #3): un-flatter the recall evidence. The corpus's
+own replica structure inflates recall (replicas of a query vector are
+its true neighbors AND quantize into the query's own cell), so this
+mode draws queries INDEPENDENT of it: 50 random unit vectors (seeded),
+each with k planted neighbors at controlled cosines 0.90..0.98
+(v = cos*q + sqrt(1-cos^2)*u, u a random unit orthogonal to q — exact
+cosine by construction). Background cosines in dim 64 concentrate at
+|cos| <~ 0.4, so the planted rows are the unambiguous true top-k; the
+exact baseline is still computed (never assumed). Measures the
+production sqrt(N)-IVF, multi-probe SRP, and the IVFADC composition
+against that baseline.
 """
 
 from __future__ import annotations
@@ -50,23 +62,73 @@ def recall_at_k(approx, exact) -> float:
     return hits / exact.count()
 
 
+def planted_corpus(spark, corpus, dim: int, k: int, *, seed: int = 7,
+                   n_queries: int = N_QUERIES):
+    """Augment the corpus with k planted neighbors per query at exact,
+    controlled cosines; queries get fresh ids (never in the corpus).
+    Returns (augmented_corpus, queries, planted_ids_by_query)."""
+    import math
+
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    max_id = int(corpus.agg(F.max("vec_id")).first()[0])
+    Q = rng.standard_normal((n_queries, dim))
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    rows, planted_by_q = [], {}
+    for qi in range(n_queries):
+        q = Q[qi]
+        ids = []
+        for j in range(k):
+            cos = 0.90 + 0.08 * (j / max(k - 1, 1))  # 0.90 .. 0.98
+            u = rng.standard_normal(dim)
+            u -= (u @ q) * q
+            u /= np.linalg.norm(u)
+            v = cos * q + math.sqrt(1.0 - cos * cos) * u
+            vid = max_id + 1 + qi * k + j
+            ids.append(vid)
+            rows.append((vid, [float(x) for x in v], -1))
+        planted_by_q[max_id + 10_000_000 + qi] = ids
+    schema = "vec_id long, embedding array<float>, label int"
+    aug = corpus.select("vec_id", "embedding", "label").unionByName(
+        spark.createDataFrame(rows, schema)
+    )
+    queries = spark.createDataFrame(
+        [
+            (max_id + 10_000_000 + qi, [float(x) for x in Q[qi]], -2)
+            for qi in range(n_queries)
+        ],
+        schema,
+    )
+    return aug, queries, planted_by_q
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = (args[0] if args else None) or os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
     sqrtn_only = "--sqrtn" in sys.argv[1:]
+    planted = "--planted" in sys.argv[1:]
     k = int(args[1]) if len(args) > 1 else 10
     spark = get_spark(app_name="ann-recall")
     spark.sparkContext.setLogLevel("ERROR")
 
-    corpus = load_table(spark, f"{sf_dir}/embeddings.parquet").persist()
-    n = corpus.count()
-    stride = max(n // N_QUERIES, 1)
-    queries = corpus.filter(F.col("vec_id") % stride == 0).persist()
-    nq = queries.count()
+    corpus = load_table(spark, f"{sf_dir}/embeddings.parquet")
     dim = len(corpus.select("embedding").first()[0])
-    print(f"sf_dir={sf_dir} corpus={n} queries={nq} dim={dim} k={k}")
+    if planted:
+        corpus, queries, _ = planted_corpus(spark, corpus, dim, k)
+    corpus = corpus.persist()
+    n = corpus.count()
+    if not planted:
+        stride = max(n // N_QUERIES, 1)
+        queries = corpus.filter(F.col("vec_id") % stride == 0)
+    queries = queries.persist()
+    nq = queries.count()
+    print(
+        f"sf_dir={sf_dir} corpus={n} queries={nq} dim={dim} k={k}"
+        f"{' PLANTED (replica-independent)' if planted else ''}"
+    )
 
     t0 = time.time()
     exact = brute_force_topk_matmul(corpus, queries, k=k).persist()
@@ -88,7 +150,7 @@ def main() -> None:
         )
         print(f"  {method:12s} {params:28s} recall@{k}={r:.4f}")
 
-    if sqrtn_only:
+    if sqrtn_only or planted:
         import math
 
         n_cells = max(1, math.ceil(math.sqrt(n)))
@@ -109,14 +171,54 @@ def main() -> None:
                 assign_method="quantized",
             ),
         )
+        if planted:
+            # the two other production approximations, on the same
+            # replica-independent baseline
+            for probes in (2, 4, 8):
+                run(
+                    "srp_lsh",
+                    f"n_planes=8 probes={probes}",
+                    srp_lsh_topk(
+                        corpus, queries, k=k, n_planes=8, dim=dim,
+                        probes=probes,
+                    ),
+                )
+            from ncagg_spark.pipeline.pq import (
+                build_ivf_pq_index,
+                ivf_pq_topk,
+            )
+            from ncagg_spark.pipeline.similarity import sample_centroids
+
+            cents = sample_centroids(corpus, n_cells)
+            books = pq_train(corpus, dim=dim, m=8, n_codes=64)
+            index = build_ivf_pq_index(corpus, cents, books).persist()
+            index.count()
+            run(
+                "ivfpq",
+                f"n_cells={n_cells} n_probe={n_probe} m=8x64 expand=4",
+                ivf_pq_topk(
+                    index, cents, books, corpus, queries,
+                    k=k, expand=4, n_probe=n_probe,
+                ),
+            )
+            index.unpersist()
         print()
-        print(f"| sf_dir | N | n_cells | n_probe | recall@{k} |")
+        print(f"| sf_dir | N | method | params | recall@{k} |")
         print("|---|---|---|---|---|")
-        r = rows[0]
-        print(f"| {sf_dir} | {n} | {n_cells} | {n_probe} | {r['recall']:.4f} |")
+        for r in rows:
+            print(
+                f"| {sf_dir} | {n} | {r['method']} | {r['params']} "
+                f"| {r['recall']:.4f} |"
+            )
         print(
             json.dumps(
-                {"sf_dir": sf_dir, "k": k, "n_queries": nq, "rows": rows}
+                {
+                    "sf_dir": sf_dir,
+                    "k": k,
+                    "n_queries": nq,
+                    "planted": planted,
+                    "rows": rows,
+                }
             )
         )
         return
