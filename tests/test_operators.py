@@ -209,3 +209,61 @@ def test_cadence_bucket_phase_nearest_slot(spark):
     ]
     assert floor_b == [0, 1, 2, 2]
     assert near_b == [1, 1, 2, 3]
+
+
+def test_salted_join_bounds_hot_key_partitions(spark):
+    """VERDICT r9 #2: the salted layout must BOUND the straggler, pinned
+    deterministically. pmod(hash(keys), P) replicates Spark's
+    HashPartitioning exactly (same Murmur3), so the per-partition row
+    counts below are the rows each shuffle task would receive. On a
+    fixture where one key owns 30% of all rows: the plain layout's
+    hottest partition is >5x the median (the straggler the skew tool
+    measures — 16.7x records / 8.5s wall at sf10 scale, SCALE.md); the
+    salted layout must keep every partition under 2x the median, and
+    the bound must TIGHTEN as n_salts grows (hot share per (key, salt)
+    group shrinks, so salt-group collisions cost less — measured
+    max/median 2.7 -> 1.76 -> 1.45 -> 1.21 for 16/64/128/256 salts;
+    size n_salts to the skew, not a constant). Wall-time evidence lives
+    in tools/skew_stress.py + SCALE.md; this pins the layout property
+    that produces it."""
+    from pyspark.sql import functions as F
+
+    n, p = 100_000, 32
+    ev = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") % 10 < 3, F.lit(777))
+        .otherwise(F.col("id") % 5000)
+        .alias("user_id"),
+    )
+
+    def partition_counts(df, cols):
+        return [
+            r["c"]
+            for r in df.groupBy(
+                F.pmod(F.hash(*[F.col(c) for c in cols]), F.lit(p)).alias(
+                    "pid"
+                )
+            )
+            .agg(F.count("*").alias("c"))
+            .collect()
+        ]
+
+    plain = sorted(partition_counts(ev, ["user_id"]))
+    med_plain = plain[len(plain) // 2]
+    assert plain[-1] > 5 * med_plain, (plain[-1], med_plain)
+
+    from ncagg_spark.operators.skew import SALT_COL
+
+    maxima = {}
+    for n_salts in (16, 64):
+        salted = ev.withColumn(
+            SALT_COL, (F.rand(seed=42) * n_salts).cast("int")
+        )
+        s_counts = sorted(partition_counts(salted, ["user_id", SALT_COL]))
+        med_s = s_counts[len(s_counts) // 2]
+        maxima[n_salts] = (s_counts[-1], med_s)
+    # at 64 salts every partition is within 2x the median (no straggler)
+    mx, med = maxima[64]
+    assert mx <= 2 * med, maxima
+    # and the bound tightens with the salt count
+    assert maxima[64][0] < maxima[16][0], maxima
