@@ -81,3 +81,47 @@ def test_flagship_pushes_time_range(plans):
     pushed = plan.split("PushedFilters", 1)[1].splitlines()[0]
     assert "GreaterThanOrEqual(ts" in pushed
     assert "LessThan(ts" in pushed
+
+
+SF1 = "/root/repo/.scale/sf1.0"
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not __import__("os").path.exists(f"{SF1}/events.parquet"),
+    reason="sf1.0 scale data not generated (tools/gen_scale.py)",
+)
+def test_sf1_final_plan_shapes_of_top5_expensive_queries(spark):
+    """VERDICT r9 #1: the 100-TB claim rests on the shapes AQE picks
+    with real stats, not the sf0.001 static guesses. Pin the AQE FINAL
+    plans (isFinalPlan=true — each query EXECUTED through the noop sink
+    at sf1.0) of the 5 most expensive sf10 queries:
+
+      * doc_lsh_pairs      — exactly 3 shuffles (banded+capped LSH; a
+                             4th would mean the distinct crept back);
+      * rel_q5_nation_volume — 1 shuffle + all 4 dimension joins still
+                             BROADCAST (at sf10 too, PLANS_sf1.md);
+      * doc_minhash_sig    — 1 shuffle (explode-heavy but linear);
+      * emb_brute_topk     — 1 shuffle + the bounded broadcast side;
+      * emb_pq_topk        — 2 shuffles / 2 broadcasts (ADC + rerank).
+
+    Full-registry audit: PLANS_sf1.md (`tools/audit_plans.py --scale`) —
+    sf1.0 final == sf0.001 static for all 69 queries; at sf10 AQE flips
+    rel_q3_topk / rel_exists_subquery to SMJ because those sides are
+    genuinely past the 64m broadcast threshold (the correct choice)."""
+    from tools.audit_plans import plan_facts
+
+    qs = entry_mod.queries()
+    expect = {
+        "doc_lsh_pairs": {"shuffles": 3, "cartesian": False},
+        "rel_q5_nation_volume": {"shuffles": 1, "bcast": 4},
+        "doc_minhash_sig": {"shuffles": 1},
+        "emb_brute_topk": {"shuffles": 1, "bcast": 1},
+        "emb_pq_topk": {"shuffles": 2, "bcast": 2},
+    }
+    for name, exp in expect.items():
+        facts = plan_facts(qs[name](spark, SF1), execute=True)
+        assert facts["final"], f"{name}: not an AQE final plan"
+        assert facts["rowpy"] == 0, f"{name}: row-wise Python at sf1.0"
+        for k, v in exp.items():
+            assert facts[k] == v, (name, k, facts[k], "expected", v)

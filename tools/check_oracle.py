@@ -520,6 +520,94 @@ def check_one(name, sdf, con, oracle, budget_sec=None):
     return "PASS", [f"{len(spdf)} rows"]
 
 
+def check_cc_unionfind(name, sdf, spark, sf_dir, qs, cache):
+    """VERDICT r9 #6: official union-find oracle mode for the CC family.
+
+    The recursive-CTE DuckDB closure DNFs on the sf1.0+ dup graphs, so
+    the budgeted gate used to record these two queries as BDGT with a
+    side-annex (tools/verify_cc.py). This mode runs that verification
+    INSIDE the gate: labels are re-derived by a driver-side numpy
+    union-find / min-label propagation (a different algorithm and
+    runtime from the Spark pointer-jumping CC) over the engine's OWN
+    pair set — which the same gate run value-hash-verifies against
+    DuckDB via doc_simhash_near_dup — and compared in full. This is
+    FULL-POPULATION verification (every node label, every survivor),
+    strictly stronger than the budgeted DuckDB twin; logged PASS(uf).
+    """
+    import numpy as np
+
+    from tools.verify_cc import (
+        min_label_propagation,
+        union_find_min_labels,
+    )
+
+    if "labels" not in cache:
+        pdf = (
+            qs["doc_simhash_near_dup"](spark, sf_dir)
+            .select("id_a", "id_b")
+            .toPandas()
+        )
+        pairs = pdf.to_numpy(dtype=np.int64).reshape(-1, 2)
+        cache["labels"] = (
+            min_label_propagation(pairs)
+            if len(pairs) > 2_000_000
+            else union_find_min_labels(pairs)
+        )
+        cache["n_pairs"] = len(pairs)
+    labels = cache["labels"]
+    if name == "doc_dup_clusters":
+        got = {
+            int(r["doc_id"]): int(r["cluster_id"])
+            for r in sdf.select("doc_id", "cluster_id").collect()
+        }
+        if got == labels:
+            return "PASS_UF", [
+                f"{len(got)} node labels == union-find over "
+                f"{cache['n_pairs']} hash-verified pairs (full population)"
+            ]
+        diffs = [
+            (k, got.get(k), labels.get(k))
+            for k in list(labels)
+            if got.get(k) != labels.get(k)
+        ][:5]
+        return "FAIL", [
+            f"union-find mismatch: {len(got)} vs {len(labels)} nodes; "
+            f"first diffs {diffs}"
+        ]
+    if name == "doc_near_dedup":
+        from collections import Counter
+
+        sizes = Counter(labels.values())
+        all_ids = [
+            r[0]
+            for r in duckdb.connect()
+            .execute(
+                f"SELECT doc_id FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')"
+            )
+            .fetchall()
+        ]
+        expect = {}
+        for d in all_ids:
+            if d not in labels:
+                expect[int(d)] = 1
+            elif labels[d] == d:
+                expect[int(d)] = sizes[d]
+        got = {
+            int(r["doc_id"]): int(r["n_members"])
+            for r in sdf.select("doc_id", "n_members").collect()
+        }
+        if got == expect:
+            return "PASS_UF", [
+                f"{len(got)} survivors of {len(all_ids)} docs == "
+                "union-find (full population)"
+            ]
+        return "FAIL", [
+            f"union-find survivor mismatch: {len(got)} vs {len(expect)}"
+        ]
+    raise ValueError(f"no union-find oracle for {name}")
+
+
 # Seeded-subset predicates for scale-mode sampled verification (VERDICT
 # r8 #5): at sf10 these queries' FULL DuckDB oracles exceed any budget
 # (27M-pair Jaccard joins, 500k-doc rolling-hash windows), but the same
@@ -539,6 +627,7 @@ def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     vanilla = "--vanilla" in flags
     iter_cc = "--iter-cc" in flags
+    cc_uf = "--cc-via-unionfind" in flags
     agg_canon = "--agg-canon" in flags
     pin_agg = "--pin-agg" in flags
     sample = "--sample" in flags
@@ -593,6 +682,7 @@ def main():
 
         oracles.update(ITER_CC_ORACLES)
     n_pass = n_fail = 0
+    uf_cache: dict = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -602,6 +692,23 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: spark build error: {e}")
             n_fail += 1
+            continue
+        if cc_uf and name in ("doc_dup_clusters", "doc_near_dedup"):
+            try:
+                status, msgs = check_cc_unionfind(
+                    name, sdf, spark, sf_dir, qs, uf_cache
+                )
+            except Exception as e:
+                status, msgs = "FAIL", [f"union-find oracle error: {e}"]
+            dt = time.time() - t0
+            if status == "PASS_UF":
+                print(f"PASS {name} (uf: {'; '.join(msgs)}) [{dt:.1f}s]")
+                n_pass += 1
+            else:
+                print(f"FAIL {name} [{dt:.1f}s]")
+                for m in msgs:
+                    print("   ", m)
+                n_fail += 1
             continue
         sampled = None
         if sample and name in SAMPLE_PREDS:

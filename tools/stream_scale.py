@@ -1,0 +1,216 @@
+"""Streaming scale-gate beyond micro-fixtures (VERDICT r9 #7).
+
+`incremental_aggregate_partitioned` claims per-batch work is O(touched
+days), not O(window). The micro-test pins byte-identity of untouched
+partitions; this script MEASURES the claim at sf1.0-like volume with
+job metrics:
+
+  * a 4-day granule stream (12 granules/day x 7,200 records = 86,400
+    1 Hz records/day — the regularized day grid the reference's day
+    build produces), landed one day per phase;
+  * each phase runs the stream to completion (availableNow) and records
+    wall time, rows/s, and the phase's total scan INPUT RECORDS from
+    the Spark UI REST API (sum over the phase's stages) — if a batch
+    re-read the whole accumulated window, input records would grow by
+    ~86,400 per already-materialized day; O(touched days) means they
+    stay flat as the window grows from 1 to 4 days;
+  * phase 2 includes a mid-stream KILL/RESTART: maxFilesPerTrigger=3
+    splits the day into 4 micro-batches, the query is stopped after the
+    first batch commits, and a fresh query resumes from the checkpoint
+    — the final day must be complete with no double-counted records;
+  * untouched-day partitions must remain byte-identical (mtime+set) as
+    before.
+
+Usage: python tools/stream_scale.py [workdir]
+Prints a markdown table + one JSON line; checked-in log:
+tools/logs_stream_scale_r10.txt
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ncagg_spark.config import AggregationConfig
+from ncagg_spark.session import get_spark
+from ncagg_spark.streaming.regularize import incremental_aggregate_partitioned
+
+T0_US = 1_704_153_600_000_000  # 2024-01-02 UTC midnight
+DAY_US = 86_400_000_000
+GRANULES_PER_DAY = 12
+ROWS_PER_GRANULE = 7_200  # 12 x 7200 = 86,400 = full 1 Hz day
+N_DAYS = 4
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _rest(spark, path: str):
+    base = spark.sparkContext.uiWebUrl
+    with urllib.request.urlopen(f"{base}/api/v1{path}", timeout=10) as r:
+        return json.loads(r.read())
+
+
+def input_records_since(spark, since_ms: float) -> int:
+    app = _rest(spark, "/applications")[0]["id"]
+    total = 0
+    for st in _rest(spark, f"/applications/{app}/stages?status=complete"):
+        sub = st.get("firstTaskLaunchedTime") or st.get("submissionTime")
+        if not sub:
+            continue
+        t = time.strptime(sub.split(".")[0], "%Y-%m-%dT%H:%M:%S")
+        if time.mktime(t) * 1000 < since_ms - 500:
+            continue
+        total += st.get("inputRecords", 0)
+    return total
+
+
+def land_day(spark, inp: str, day: int) -> None:
+    for g in range(GRANULES_PER_DAY):
+        lo = day * 86_400 + g * ROWS_PER_GRANULE
+        rows = [
+            (T0_US + (lo + i) * 1_000_000, float(lo + i))
+            for i in range(ROWS_PER_GRANULE)
+        ]
+        spark.createDataFrame(rows, "us long, value double").select(
+            F.timestamp_micros(F.col("us")).alias("ts"), "value"
+        ).coalesce(1).write.mode("append").parquet(inp)
+
+
+def day_files(out: str, day_str: str) -> dict:
+    return {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{out}/dt={day_str}/*.parquet")
+    }
+
+
+def main() -> None:
+    work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/stream_scale"
+    shutil.rmtree(work, ignore_errors=True)
+    inp, out, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
+    spark = get_spark(
+        app_name="stream-scale", extra_conf={"spark.ui.enabled": "true"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    cfg = AggregationConfig(
+        index_by="ts",
+        cadence_hz=1.0,
+        min_bound=T0_US / 1e6,
+        max_bound=(T0_US + N_DAYS * DAY_US) / 1e6,
+    )
+    day_strs = [
+        time.strftime(
+            "%Y-%m-%d", time.gmtime((T0_US / 1e6) + d * 86_400)
+        )
+        for d in range(N_DAYS)
+    ]
+
+    results = []
+    snapshots: dict[str, dict] = {}
+    for d in range(N_DAYS):
+        land_day(spark, inp, d)
+        t0 = time.time() * 1000
+        if d == 1:
+            # mid-stream kill/restart: 4 micro-batches, stop after the
+            # first commits, resume from the checkpoint
+            q = incremental_aggregate_partitioned(
+                spark, inp, out, ckpt, SCHEMA, cfg,
+                extra_stream_options={"maxFilesPerTrigger": "3"},
+            )
+            while not q.recentProgress:
+                time.sleep(0.5)
+            q.stop()
+            q.awaitTermination(60)
+            killed_after = len(q.recentProgress)
+            q2 = incremental_aggregate_partitioned(
+                spark, inp, out, ckpt, SCHEMA, cfg,
+                extra_stream_options={"maxFilesPerTrigger": "3"},
+            )
+            q2.awaitTermination(300)
+            note = f"killed after {killed_after} batch(es), resumed"
+        else:
+            q = incremental_aggregate_partitioned(
+                spark, inp, out, ckpt, SCHEMA, cfg
+            )
+            q.awaitTermination(300)
+            note = ""
+        time.sleep(1.0)
+        wall = (time.time() * 1000 - t0) / 1000
+        in_recs = input_records_since(spark, t0)
+        # untouched-day byte-identity vs the snapshot taken when the
+        # day was last written
+        for prev in day_strs[:d]:
+            now = day_files(out, prev)
+            assert now == snapshots[prev], (
+                f"day {prev} partition changed during day-{d} batch"
+            )
+        snapshots[day_strs[d]] = day_files(out, day_strs[d])
+        results.append(
+            {
+                "phase": f"day{d + 1}",
+                "window_days": d + 1,
+                "wall_s": round(wall, 2),
+                "rows_per_s": round(86_400 / wall),
+                "input_records": in_recs,
+                "note": note,
+            }
+        )
+        print(f"  day{d + 1}: wall={wall:.2f}s input_recs={in_recs} {note}")
+
+    # final correctness: every day complete, no double counting
+    got = spark.read.parquet(out)
+    assert got.count() == N_DAYS * 86_400, got.count()
+    real = got.filter(~F.col("is_fill"))
+    assert real.count() == N_DAYS * 86_400
+    # spot values (value == slot index by construction)
+    chk = (
+        real.withColumn(
+            "slot",
+            ((F.unix_timestamp("ts") - F.lit(T0_US // 1_000_000))).cast(
+                "long"
+            ),
+        )
+        .filter(F.col("value") != F.col("slot"))
+        .count()
+    )
+    assert chk == 0, f"{chk} slots with wrong values"
+    print(f"correctness: {N_DAYS} days x 86,400 slots, all values exact")
+
+    print()
+    print("| phase | window days | wall s | rows/s | scan input records | note |")
+    print("|---|---|---|---|---|---|")
+    for r in results:
+        print(
+            f"| {r['phase']} | {r['window_days']} | {r['wall_s']} "
+            f"| {r['rows_per_s']} | {r['input_records']} | {r['note']} |"
+        )
+    # O(touched days): phase input records must stay FLAT as the window
+    # grows 1 -> 4 days. The absolute value is ~3-4x the day's 86,400
+    # rows because regularize evaluates the (un-cached) batch plan a few
+    # times per day rewrite — size-INVARIANT re-evaluation of the new
+    # granules, visible as identical counts at every window size. A
+    # window re-read would add ~86,400 x (already-materialized days)
+    # per phase and the series would grow, not shrink.
+    assert results[-1]["input_records"] <= results[0]["input_records"], (
+        results
+    )
+    assert results[-1]["input_records"] < 5 * 86_400, results[-1]
+    print(json.dumps({"days": N_DAYS, "rows": results}))
+
+
+if __name__ == "__main__":
+    main()
