@@ -700,17 +700,32 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str | None = None,
+    adc_mode: str = "masked",
 ) -> DataFrame:
     """Production IVFADC search over a ``build_ivf_pq_index`` table:
     probe each query's n_probe nearest cells, ADC-score codes ONLY in
     probed cells (a ``cell IN (...)`` filter — partition-prunable when
     the index is stored partitioned by cell), exact cosine re-rank of
-    the k*expand survivors against the raw vectors.
+    the k*expand survivors against the raw vectors. Shuffle carries
+    only partitions x queries x (k*expand) candidate rows.
 
-    The per-batch math is the pq_topk ADC (LUT fancy-indexing) with a
-    probe mask: dist2[i, q] = inf unless cells[i] is probed by q — one
-    boolean matrix lookup, fully vectorized. Shuffle carries only
-    partitions x queries x (k*expand) candidate rows.
+    ``adc_mode`` picks the per-batch compute shape (measured round 10,
+    SCALE.md "IVFADC build/search split"):
+
+      * ``"masked"`` (default): one LUT gather over the whole batch,
+        then non-probed (row, query) pairs masked to inf. The gather is
+        a single contiguous numpy fancy-index per subspace — memory-
+        bandwidth-bound and measurably optimal at every locally
+        testable size (<=2M x 100 queries); the over-computed 75% costs
+        less than breaking the batch apart. The probed-fraction saving
+        at this setting comes from the ``cell IN`` SCAN pruning, which
+        is the dominant cost once the index exceeds page cache.
+      * ``"grouped"``: sort the batch by cell and compute each
+        (cell, probing-queries) block only — arithmetic strictly
+        proportional to the probed fraction. The right shape when cell
+        groups are large (index stored sorted by cell, cells >> batch
+        granularity, thousands of queries per pass); at small group
+        sizes the per-group overhead exceeds the saved arithmetic.
     """
     import builtins
 
@@ -763,7 +778,16 @@ def ivf_pq_topk(
             + np.sum(CB[s] * CB[s], axis=1)[None, :]
         )
     kk = int(k) * int(expand)
+
     union_arr = np.asarray(union_cells, dtype="int64")
+    # cell -> indices of the queries probing it (grouped mode)
+    probers: dict[int, np.ndarray] = {
+        int(c): np.nonzero(mask[cell_pos[int(c)], :])[0]
+        for c in union_cells
+    }
+    if adc_mode not in ("masked", "grouped"):
+        raise ValueError(f"unknown adc_mode: {adc_mode!r}")
+    grouped = adc_mode == "grouped"
 
     def score(batches):
         for pdf in batches:
@@ -774,23 +798,50 @@ def ivf_pq_topk(
             codes = np.asarray(
                 [np.asarray(c, dtype="int64") for c in pdf["codes"]]
             )
-            dist2 = np.zeros((len(codes), len(qids)), dtype="float64")
-            for s in range(m):
-                dist2 += LUT[s][:, codes[:, s]].T
-            # probe mask: candidates outside a query's probed cells are
-            # invisible to it (cells here are already IN the union —
-            # the pre-filter below guarantees searchsorted hits)
-            idx = np.searchsorted(union_arr, cells)
-            dist2[~mask[idx, :]] = np.inf
-            dist2[nids[:, None] == qids[None, :]] = np.inf
-            take = builtins.min(kk, dist2.shape[0])
-            part = np.argpartition(dist2, take - 1, axis=0)[:take]
             qi, ni, cs = [], [], []
-            for j in range(dist2.shape[1]):
-                rows = part[:, j]
-                qi.extend([qids[j]] * len(rows))
-                ni.extend(nids[rows])
-                cs.extend(1.0 - dist2[rows, j] / 2.0)
+            if grouped:
+                order = np.argsort(cells, kind="stable")
+                bounds = np.flatnonzero(np.diff(cells[order])) + 1
+                per_q_d: dict[int, list] = {}
+                per_q_n: dict[int, list] = {}
+                for grp in np.split(order, bounds):
+                    qs = probers.get(int(cells[grp[0]]))
+                    if qs is None or not len(qs):
+                        continue
+                    cod = codes[grp]
+                    # dist2 block: rows-in-cell x probing-queries only
+                    d2 = np.zeros((len(grp), len(qs)), dtype="float64")
+                    for s in range(m):
+                        d2 += LUT[s][np.ix_(qs, cod[:, s])].T
+                    d2[nids[grp][:, None] == qids[qs][None, :]] = np.inf
+                    for j, qidx in enumerate(qs):
+                        per_q_d.setdefault(qidx, []).append(d2[:, j])
+                        per_q_n.setdefault(qidx, []).append(nids[grp])
+                for qidx, chunks in per_q_d.items():
+                    d = np.concatenate(chunks)
+                    nn = np.concatenate(per_q_n[qidx])
+                    take = builtins.min(kk, len(d))
+                    rows = np.argpartition(d, take - 1)[:take]
+                    qi.extend([qids[qidx]] * len(rows))
+                    ni.extend(nn[rows])
+                    cs.extend(1.0 - d[rows] / 2.0)
+            else:
+                dist2 = np.zeros((len(codes), len(qids)), dtype="float64")
+                for s in range(m):
+                    dist2 += LUT[s][:, codes[:, s]].T
+                # probe mask: candidates outside a query's probed cells
+                # are invisible to it (cells are already IN the union —
+                # the pre-filter below guarantees searchsorted hits)
+                idx = np.searchsorted(union_arr, cells)
+                dist2[~mask[idx, :]] = np.inf
+                dist2[nids[:, None] == qids[None, :]] = np.inf
+                take = builtins.min(kk, dist2.shape[0])
+                part = np.argpartition(dist2, take - 1, axis=0)[:take]
+                for j in range(dist2.shape[1]):
+                    rows = part[:, j]
+                    qi.extend([qids[j]] * len(rows))
+                    ni.extend(nids[rows])
+                    cs.extend(1.0 - dist2[rows, j] / 2.0)
             out = pd.DataFrame(
                 {"query_id": qi, "neighbor_id": ni, "approx_cosine": cs}
             )

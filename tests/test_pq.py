@@ -258,3 +258,25 @@ def test_ivf_pq_production_index_and_search(clustered):
         qv = np.asarray(qvecs[r["query_id"]], dtype="float64")
         order = np.argsort(-(qv @ Cu), kind="stable")[:6]
         assert cell_of[r["neighbor_id"]] in set(cids[order])
+
+
+def test_ivf_pq_adc_modes_agree(clustered):
+    """masked vs grouped ADC are two compute shapes of the SAME search:
+    identical results bit-for-bit (same LUT sums, same tiebreaks)."""
+    rows, df = clustered
+    queries = df.filter("vec_id < 10")
+    from ncagg_spark.pipeline.pq import build_ivf_pq_index, ivf_pq_topk
+    from ncagg_spark.pipeline.similarity import sample_centroids
+
+    cents = sample_centroids(df, 16)
+    books = pq_train(df, dim=DIM, m=8, n_codes=64)
+    index = build_ivf_pq_index(df, cents, books)
+    a = ivf_pq_topk(
+        index, cents, books, df, queries, k=5, expand=6, n_probe=6,
+        adc_mode="masked",
+    ).collect()
+    b = ivf_pq_topk(
+        index, cents, books, df, queries, k=5, expand=6, n_probe=6,
+        adc_mode="grouped",
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
