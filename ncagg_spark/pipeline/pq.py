@@ -36,6 +36,21 @@ def _unit_rows(X: np.ndarray) -> np.ndarray:
     return X / np.maximum(n, 1e-300)
 
 
+def _topk_ties_by_id(
+    key: np.ndarray, nids: np.ndarray, take: int
+) -> np.ndarray:
+    """Row indices of the ``take`` smallest keys, ties broken by
+    neighbor id ascending — deterministic under ANY input row order.
+    A bare argpartition can pick either of two boundary-tied rows, so
+    the truncated candidate set would depend on partitioning; ties are
+    REAL here (PQ maps near-replica vectors to identical codes, so
+    their ADC distances are bit-equal). Two stable argsorts instead of
+    lexsort so string ids work; n is one Arrow batch."""
+    pre = np.argsort(nids, kind="stable")
+    order = pre[np.argsort(key[pre], kind="stable")]
+    return order[:take]
+
+
 def pq_train(
     corpus: DataFrame,
     *,
@@ -213,10 +228,9 @@ def pq_topk(
                 dist2 += LUT[s][:, codes[:, s]].T
             dist2[nids[:, None] == qids[None, :]] = np.inf
             take = builtins.min(kk, dist2.shape[0])
-            part = np.argpartition(dist2, take - 1, axis=0)[:take]
             qi, ni, cs = [], [], []
             for j in range(dist2.shape[1]):
-                rows = part[:, j]
+                rows = _topk_ties_by_id(dist2[:, j], nids, take)
                 qi.extend([qids[j]] * len(rows))
                 ni.extend(nids[rows])
                 cs.extend(1.0 - dist2[rows, j] / 2.0)
@@ -454,40 +468,22 @@ def pq_topk_relational(
     return _exact_rerank(corpus, cands, k=k, id_col=id_col, vec_col=vec_col)
 
 
-def pq_topk_rerank(
-    codes_df: DataFrame,
-    codebooks: list[list[list[float]]],
+def _rerank_by_query(
     corpus: DataFrame,
     queries: DataFrame,
+    cands: DataFrame,
     *,
-    k: int = 5,
-    expand: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    query_id_col: str | None = None,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
 ) -> DataFrame:
-    """Production PQ search: ADC candidate generation over the
-    compressed codes, then EXACT cosine re-rank of the top
-    ``k * expand`` candidates against their raw vectors.
-
-    The candidate set is queries x (k*expand) rows (tiny); fetching its
-    raw vectors is one broadcast semi-join into the corpus — the scan
-    that touches full vectors is proportional to the candidate count,
-    not the corpus. This is the standard recall-recovery design: ADC
-    decides *where* to look, exact math decides the final order.
-    """
+    """Exact cosine re-rank of a (query_id, neighbor_id) candidate set —
+    the production rerank shared by ``pq_topk_rerank`` and
+    ``ivf_pq_topk`` (one contract: round-6 cosine, ties by neighbor id,
+    candidate-bounded vector fetch via broadcast joins)."""
     from ncagg_spark.functions.vectors import dot, l2_norm, norm_guard
 
-    query_id_col = query_id_col or id_col
-    cands = pq_topk(
-        codes_df,
-        codebooks,
-        queries,
-        k=k * expand,
-        id_col=id_col,
-        vec_col=vec_col,
-        query_id_col=query_id_col,
-    ).select("query_id", "neighbor_id")
     cand_vecs = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
@@ -511,6 +507,44 @@ def pq_topk_rerank(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def pq_topk_rerank(
+    codes_df: DataFrame,
+    codebooks: list[list[list[float]]],
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    expand: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Production PQ search: ADC candidate generation over the
+    compressed codes, then EXACT cosine re-rank of the top
+    ``k * expand`` candidates against their raw vectors.
+
+    The candidate set is queries x (k*expand) rows (tiny); fetching its
+    raw vectors is one broadcast semi-join into the corpus — the scan
+    that touches full vectors is proportional to the candidate count,
+    not the corpus. This is the standard recall-recovery design: ADC
+    decides *where* to look, exact math decides the final order.
+    """
+    query_id_col = query_id_col or id_col
+    cands = pq_topk(
+        codes_df,
+        codebooks,
+        queries,
+        k=k * expand,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+    ).select("query_id", "neighbor_id")
+    return _rerank_by_query(
+        corpus, queries, cands,
+        k=k, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
     )
 
 
@@ -821,7 +855,7 @@ def ivf_pq_topk(
                     d = np.concatenate(chunks)
                     nn = np.concatenate(per_q_n[qidx])
                     take = builtins.min(kk, len(d))
-                    rows = np.argpartition(d, take - 1)[:take]
+                    rows = _topk_ties_by_id(d, nn, take)
                     qi.extend([qids[qidx]] * len(rows))
                     ni.extend(nn[rows])
                     cs.extend(1.0 - d[rows] / 2.0)
@@ -836,9 +870,8 @@ def ivf_pq_topk(
                 dist2[~mask[idx, :]] = np.inf
                 dist2[nids[:, None] == qids[None, :]] = np.inf
                 take = builtins.min(kk, dist2.shape[0])
-                part = np.argpartition(dist2, take - 1, axis=0)[:take]
                 for j in range(dist2.shape[1]):
-                    rows = part[:, j]
+                    rows = _topk_ties_by_id(dist2[:, j], nids, take)
                     qi.extend([qids[j]] * len(rows))
                     ni.extend(nids[rows])
                     cs.extend(1.0 - dist2[rows, j] / 2.0)
@@ -862,31 +895,8 @@ def ivf_pq_topk(
         .filter(F.col("__rn") <= kk)
         .select("query_id", "neighbor_id")
     )
-
-    # -- exact cosine re-rank against raw vectors (candidate-bounded) --
-    from ncagg_spark.functions.vectors import dot, l2_norm, norm_guard
-
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        norm_guard(l2_norm(vec_col)).alias("q_norm"),
-    )
-    cand_vecs = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        norm_guard(l2_norm(vec_col)).alias("c_norm"),
-    ).join(F.broadcast(cands), on="neighbor_id")
-    scored = cand_vecs.join(F.broadcast(q), on="query_id").withColumn(
-        "cosine",
-        F.round(
-            dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")), 6
-        ),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine")
+    # exact cosine re-rank against raw vectors (candidate-bounded)
+    return _rerank_by_query(
+        corpus, queries, cands,
+        k=k, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
     )

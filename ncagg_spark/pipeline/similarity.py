@@ -342,13 +342,17 @@ def brute_force_topk_matmul(
             S /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
             # exclude self-matches before the partial top-k
             S[nids[:, None] == qids[None, :]] = -np.inf
-            # partial top-(k) per query within this batch; +neighbor-id
-            # asc tiebreak is resolved by the final global window
+            # partial top-(k) per query within this batch; score ties
+            # broken by neighbor id asc IN the truncation (a bare
+            # argpartition could keep either of two boundary-tied
+            # rows, making the result depend on partitioning — ties
+            # are real: replica vectors score identically)
+            from ncagg_spark.pipeline.pq import _topk_ties_by_id
+
             take = min(kk, S.shape[0])
-            part = np.argpartition(-S, take - 1, axis=0)[:take]
             qi, ni, cs = [], [], []
             for j in range(S.shape[1]):
-                rows = part[:, j]
+                rows = _topk_ties_by_id(-S[:, j], nids, take)
                 qi.extend([qids[j]] * len(rows))
                 ni.extend(nids[rows])
                 cs.extend(S[rows, j])

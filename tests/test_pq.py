@@ -280,3 +280,50 @@ def test_ivf_pq_adc_modes_agree(clustered):
         adc_mode="grouped",
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_ivf_pq_truncation_deterministic_under_ties(spark):
+    """Round-10 review fix: ADC candidate truncation breaks distance
+    ties by neighbor id, so results cannot depend on row order or
+    partitioning. Adversarial fixture: many EXACT duplicate vectors
+    (identical PQ codes -> bit-equal ADC distances) far exceeding the
+    k*expand take boundary."""
+    import random
+
+    from ncagg_spark.pipeline.pq import build_ivf_pq_index, ivf_pq_topk
+    from ncagg_spark.pipeline.similarity import sample_centroids
+
+    rng = random.Random(11)
+    base = [[rng.gauss(0.0, 1.0) for _ in range(DIM)] for _ in range(4)]
+    # 50 exact replicas of each of 4 base vectors -> any top-k*expand
+    # cut must choose among bit-identical distances
+    rows = [
+        (i, [x for x in base[i % 4]]) for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    queries = df.filter("vec_id < 4")
+    cents = sample_centroids(df, 4)
+    books = pq_train(df, dim=DIM, m=4, n_codes=8)
+    index = build_ivf_pq_index(df, cents, books)
+    got = {}
+    for parts in (1, 7, 32):
+        idx_p = index.repartition(parts)
+        for mode in ("masked", "grouped"):
+            res = ivf_pq_topk(
+                idx_p, cents, books, df, queries,
+                k=5, expand=2, n_probe=2, adc_mode=mode,
+            ).collect()
+            got[(parts, mode)] = sorted(map(tuple, res))
+    first = next(iter(got.values()))
+    assert all(v == first for v in got.values()), {
+        k: len(v) for k, v in got.items()
+    }
+    # ties resolved toward smaller neighbor ids: each query's ADC
+    # candidates are id-minimal among its duplicates, so the final
+    # top-5 for query 0 are the 5 smallest ids of its replica class
+    per_q0 = [r for r in first if r[0] == 0]
+    assert [r[1] for r in sorted(per_q0, key=lambda r: r[2])] == [
+        4, 8, 12, 16, 20
+    ]

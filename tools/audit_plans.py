@@ -87,10 +87,10 @@ def plan_facts(df, *, execute: bool = False) -> dict:
     if not execute:
         return facts
     import json
+    import time
     import urllib.request
 
     spark = df.sparkSession
-    df.write.format("noop").mode("overwrite").save()
     base = spark.sparkContext.uiWebUrl
     if not base:
         raise RuntimeError("execute=True needs spark.ui.enabled=true")
@@ -102,9 +102,38 @@ def plan_facts(df, *, execute: bool = False) -> dict:
             return json.loads(r.read())
 
     app = rest("/applications")[0]["id"]
+
+    def exec_ids(status=None):
+        execs = rest(f"/applications/{app}/sql?length=10000")
+        return {
+            e["id"]
+            for e in execs
+            if status is None or e.get("status") == status
+        }
+
+    # the UI status store is fed asynchronously by the listener bus:
+    # immediately after save() the just-run execution can still read
+    # RUNNING (or be absent), and "newest COMPLETED" would silently be
+    # the PREVIOUS query's DAG. Record the ids that exist BEFORE the
+    # write, then poll until a NEW id completes.
+    before = exec_ids()
+    df.write.format("noop").mode("overwrite").save()
+    deadline = time.time() + 60
+    new_done: set = set()
+    while time.time() < deadline:
+        new_done = exec_ids("COMPLETED") - before
+        if new_done:
+            break
+        time.sleep(0.2)
+    if not new_done:
+        raise RuntimeError(
+            "no new COMPLETED SQL execution appeared within 60s of the "
+            "noop write — cannot attribute a final DAG"
+        )
     execs = rest(f"/applications/{app}/sql?length=10000&details=true")
-    done = [e for e in execs if e.get("status") == "COMPLETED"]
-    last = max(done, key=lambda e: e["id"])
+    last = max(
+        (e for e in execs if e["id"] in new_done), key=lambda e: e["id"]
+    )
     names = [n["nodeName"] for n in last.get("nodes", [])]
     facts.update(
         {
@@ -147,12 +176,13 @@ def write_plans_md(rows: dict, sf: str) -> None:
         "Arrow-batched Python (mapInPandas — the sanctioned Python path);",
         "rowPy = row-at-a-time Python (`BatchEvalPython`, must be 0);",
         "pushed = parquet scan has pushed filters; cartesian = cross/NL",
-        "join. The five cartesian rows are declared-bounded: the exact",
-        "ANN baselines (emb_near_dup, emb_brute_topk), emb_pq_topk's and",
-        "emb_ivfpq_topk's candidate joins against the <=10-row query",
-        "side, plus agg_regularize_anchored's backward leading-fill",
-        "anchor, a broadcast of the ONE-ROW first-real-record aggregate",
-        "onto the grid (operators/gapfill.py, r7).",
+        "join. The four cartesian rows are declared-bounded: the exact",
+        "ANN baselines (emb_near_dup, emb_brute_topk), emb_pq_topk's",
+        "ADC join against the <=10-row query side, and",
+        "agg_regularize_anchored's backward leading-fill anchor, a",
+        "broadcast of the ONE-ROW first-real-record aggregate onto the",
+        "grid (operators/gapfill.py, r7). emb_ivfpq_topk is NOT one of",
+        "them: its ADC join is an equi-join on cell.",
         "",
         "Scale-audited (AQE FINAL plans at sf1.0 and sf10): see",
         "PLANS_sf1.md (`tools/audit_plans.py --scale`).",

@@ -74,8 +74,12 @@ def heaviest_stage_tasks(spark, since_ms: float) -> dict:
         sub = st.get("firstTaskLaunchedTime") or st.get("submissionTime")
         if not sub:
             continue
+        # REST timestamps are GMT — timegm, not mktime (which would
+        # apply the LOCAL offset and mis-window stages off-UTC)
+        import calendar
+
         t = time.strptime(sub.split(".")[0], "%Y-%m-%dT%H:%M:%S")
-        if time.mktime(t) * 1000 < since_ms - 1000:
+        if calendar.timegm(t) * 1000 < since_ms - 1000:
             continue
         if st.get("shuffleReadRecords", 0) < 10_000:
             continue  # skip tiny AQE/result exchanges
@@ -172,6 +176,12 @@ def run_join(spark, name: str, conf: dict, salted: bool) -> dict:
         for k, v in saved.items():
             if v is not None:
                 spark.conf.set(k, v)
+            else:
+                # conf.get(k, None) returns None for keys never
+                # explicitly set — restoring only non-None values would
+                # leak this scenario's overrides (e.g. the tuned skew
+                # thresholds) into every later measurement
+                spark.conf.unset(k)
 
 
 def run_window_query(spark, name: str, fn) -> dict:

@@ -72,8 +72,11 @@ def input_records_since(spark, since_ms: float) -> int:
         sub = st.get("firstTaskLaunchedTime") or st.get("submissionTime")
         if not sub:
             continue
+        # REST timestamps are GMT — timegm, not mktime (local offset)
+        import calendar
+
         t = time.strptime(sub.split(".")[0], "%Y-%m-%dT%H:%M:%S")
-        if time.mktime(t) * 1000 < since_ms - 500:
+        if calendar.timegm(t) * 1000 < since_ms - 500:
             continue
         total += st.get("inputRecords", 0)
     return total
@@ -141,6 +144,13 @@ def main() -> None:
                 extra_stream_options={"maxFilesPerTrigger": "3"},
             )
             q2.awaitTermination(300)
+            # the kill must actually be MID-stream: if all 4
+            # micro-batches finished before the stop landed, the
+            # restart resumes nothing and this phase proves nothing
+            assert killed_after < 4, (
+                f"kill landed after all {killed_after} batches — "
+                "not a mid-stream kill; nothing was resumed"
+            )
             note = f"killed after {killed_after} batch(es), resumed"
         else:
             q = incremental_aggregate_partitioned(
