@@ -941,3 +941,66 @@ def ivf_pq_topk(
         corpus, queries, cands,
         k=k, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
     )
+
+
+def write_ivf_pq_index(
+    index: DataFrame, path: str, *, mode: str = "overwrite"
+) -> None:
+    """Persist a ``build_ivf_pq_index`` table ``partitionBy("cell")`` —
+    the layout that makes ``ivf_pq_topk``'s ``cell IN (probed)`` filter
+    a PARTITION filter: the scan lists and reads only the probed cells'
+    files, so search I/O is proportional to the probed-cell union, not
+    the corpus (measured by ``tools/ivfadc_prune.py``; the reference
+    prunes whole FILES by coordinate bounds the same way,
+    ncagg/aggregator.py:137-142 — here the bound is the cell id).
+
+    ``repartition("cell")`` first, so each cell directory holds exactly
+    one file per store write (cells are ~sqrt(N) rows by construction —
+    at 32x PQ compression a cell file stays small at any realistic N).
+    ``mode="append"`` adds new files per cell without rewriting existing
+    ones — the incremental-maintenance path (see
+    ``append_ivf_pq_index``)."""
+    (
+        index.repartition("cell")
+        .write.partitionBy("cell")
+        .mode(mode)
+        .parquet(path)
+    )
+
+
+def read_ivf_pq_index(spark, path: str) -> DataFrame:
+    """Read a persisted IVFADC index. ``cell`` comes back as the
+    partition column (int), so probe filters prune at file listing."""
+    return spark.read.parquet(path)
+
+
+def append_ivf_pq_index(
+    new_vectors: DataFrame,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign: str = "quantized",
+) -> None:
+    """Incremental index maintenance (VERDICT r10 #2): encode ONLY the
+    new vectors against the FROZEN centroids/codebooks and append their
+    (id, cell, codes) rows to the stored partitioned index. Because
+    ``build_ivf_pq_index`` is a row-local deterministic map (no
+    corpus-wide state beyond the frozen model), a merged index is
+    row-identical to a full rebuild over old+new — searches against it
+    return exactly the rebuilt result. Per-batch work is O(batch): one
+    Arrow pass over the new rows, one shuffle of batch-sized data into
+    cell files. At 100 TB this replaces the nightly full rebuild; re-run
+    the trainer only when recall drift says the frozen model has aged.
+    """
+    delta = build_ivf_pq_index(
+        new_vectors,
+        centroids,
+        codebooks,
+        id_col=id_col,
+        vec_col=vec_col,
+        assign=assign,
+    )
+    write_ivf_pq_index(delta, path, mode="append")

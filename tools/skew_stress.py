@@ -270,6 +270,87 @@ def main() -> None:
     for qname in ("evt_sessionize", "evt_asof_purchase"):
         results.append(run_window_query(spark, qname, qs[qname]))
 
+    # VERDICT r10 #3: remove the one-task window residual. Rows: the
+    # straggler (one-phase on the HOT fixture), the naive fix
+    # (two-phase on EVERY key — measured counterproductive at 2M keys:
+    # corrections = keys x chunks rows), the real fix (hot-key-routed
+    # sessionize_skew, auto-detected and with caller-known hot keys),
+    # and the no-skew floor (one-phase on the original UNIFORM events).
+    from ncagg_spark.operators.sessionize import (
+        sessionize,
+        sessionize_skew,
+        sessionize_two_phase,
+    )
+
+    gap_us = 12 * 3600 * 1_000_000
+    print("sessionize one-phase vs two-phase (33%-hot key vs uniform):")
+
+    def run_sess(name, table, fn):
+        ev = load_table(spark, table).where(F.col("ts").isNotNull())
+        t0 = time.time() * 1000
+        out = fn(ev)
+        out.write.format("noop").mode("overwrite").save()
+        wall = time.time() * 1000 - t0
+        time.sleep(1.0)
+        stats = heaviest_stage_tasks(spark, t0)
+        rec = {
+            "scenario": name,
+            "wall_s": round(wall / 1000, 2),
+            **stats,
+        }
+        print(f"  {name:24s} wall={rec['wall_s']}s tasks={stats}")
+        return rec
+
+    hot_tbl = f"{SKEW_DIR}/events.parquet"
+    results.append(
+        run_sess(
+            "sess-1p-hot",
+            hot_tbl,
+            lambda ev: sessionize(
+                ev, "ts", "user_id", gap_us=gap_us, tiebreak=["event_id"]
+            ),
+        )
+    )
+    results.append(
+        run_sess(
+            "sess-2p-all-keys",
+            hot_tbl,
+            lambda ev: sessionize_two_phase(
+                ev, "ts", "user_id", gap_us=gap_us, n_chunks=32,
+                tiebreak=["event_id"], cache=False,
+            ),
+        )
+    )
+    results.append(
+        run_sess(
+            "sess-skew-auto",
+            hot_tbl,
+            lambda ev: sessionize_skew(
+                ev, "ts", "user_id", gap_us=gap_us, tiebreak=["event_id"]
+            ),
+        )
+    )
+
+    def _skew_known(ev):
+        lo, hi = ev.agg(
+            F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+        ).first()
+        return sessionize_skew(
+            ev, "ts", "user_id", gap_us=gap_us, tiebreak=["event_id"],
+            hot_keys=[HOT_KEY], bounds=(int(lo), int(hi)),
+        )
+
+    results.append(run_sess("sess-skew-known", hot_tbl, _skew_known))
+    results.append(
+        run_sess(
+            "sess-1p-uniform",
+            src,
+            lambda ev: sessionize(
+                ev, "ts", "user_id", gap_us=gap_us, tiebreak=["event_id"]
+            ),
+        )
+    )
+
     print()
     print(
         "| scenario | wall s | tasks | max task ms | median ms "
