@@ -69,8 +69,8 @@ def duplicate_span_pairs(
     # unsplittable task. Pigeonhole keeps drop semantics exact: total
     # count > cap  <=>  surviving count > cap (either some salt group
     # truncated at cap+1, or none did and surviving == total), so the
-    # n_occ filter on the bounded remnant keeps exactly the hashes a
-    # full count would keep, untruncated.
+    # size(ms) filter on the bounded remnant keeps exactly the hashes
+    # a full count would keep, untruncated.
     n_salts = 16
     salt = F.pmod(F.xxhash64("id", "pos"), F.lit(n_salts))
     ws = Window.partitionBy("h", "__salt").orderBy("id", "pos")
@@ -79,24 +79,41 @@ def duplicate_span_pairs(
         .withColumn("rn", F.row_number().over(ws))
         .filter(F.col("rn") <= max_occurrences_per_hash + 1)
     )
-    capped = (
-        ranked.withColumn(
-            "n_occ", F.count(F.lit(1)).over(Window.partitionBy("h"))
-        )
-        .filter(F.col("n_occ") <= max_occurrences_per_hash)
-        .drop("rn", "n_occ", "__salt")
+    # ONE shuffle gathers each hash bucket; pairs expand in place with
+    # posexplode + slice (the minhash_lsh_candidates idiom). The old
+    # self-join form (a.join(b, on="h")) evaluated the whole
+    # scan->explode->window subtree TWICE — measured in the
+    # doc_clean_corpus profile as two duplicate pairs of 151k-row
+    # exchanges (VERDICT r10 #6) — and needed a second window over h
+    # for the occurrence cap, which size(ms) now applies for free.
+    # collect_list memory is bounded by construction:
+    # <= n_salts * (cap + 1) structs per bucket.
+    grouped = ranked.groupBy("h").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("id"), F.col("pos")))
+        ).alias("ms")
     )
-    a = capped.select(
-        F.col("h"), F.col("id").alias("id_a"), F.col("pos").alias("pos_a")
+    buckets = grouped.filter(
+        (F.size("ms") >= 2)
+        & (F.size("ms") <= max_occurrences_per_hash)
     )
-    b = capped.select(
-        F.col("h"), F.col("id").alias("id_b"), F.col("pos").alias("pos_b")
-    )
+    # struct sort is (id, pos) lexicographic, so j > i ==> b.id >= a.id;
+    # the != filter leaves exactly id_a < id_b with positions attached
+    # to the right side. Duplicate-free by construction: (id, pos) rows
+    # are unique and each unordered pair appears once in the expansion.
     return (
-        a.join(b, on="h")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "pos_a", "pos_b")
-        .distinct()
+        buckets.select(F.col("ms"), F.posexplode("ms").alias("i", "a"))
+        .select(
+            "a",
+            F.explode(F.expr("slice(ms, i + 2, size(ms))")).alias("b"),
+        )
+        .filter(F.col("a.id") != F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.pos").alias("pos_a"),
+            F.col("b.pos").alias("pos_b"),
+        )
     )
 
 

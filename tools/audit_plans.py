@@ -33,7 +33,9 @@ sys.path.insert(0, "/root/repo")
 SF1_DIR = "/root/repo/.scale/sf1.0"
 SF10_DIR = "/root/repo/.scale/sf10"
 
-# sf10 executed-audit subset (VERDICT r9 #1: "relational + LSH families")
+# sf10 executed-audit subset (VERDICT r9 #1: "relational + LSH
+# families"; r10 #5 adds the three most expensive doc queries — the
+# only heavy family previously unaudited at sf10)
 SF10_QUERIES = [
     "rel_q1_pricing",
     "rel_q3_topk",
@@ -45,6 +47,9 @@ SF10_QUERIES = [
     "doc_minhash_sig",
     "doc_lsh_pairs",
     "doc_simhash_near_dup",
+    "doc_clean_corpus",
+    "doc_dup_spans",
+    "doc_near_dedup",
 ]
 
 
