@@ -85,16 +85,26 @@ def clean_corpus(
     # the near-dedup stage consumes `kept` several times (signatures,
     # both sides of the Jaccard verify, the survivor anti-join) —
     # materialize the quality-gate + exact-dedup subtree once instead of
-    # recomputing its scan and shuffle per consumer. The handle is
+    # recomputing its scan and shuffle per consumer, WITH the distinct
+    # shingle set attached (round 11, VERDICT r10 #6): the tokenize/
+    # ngram pass — the CPU-heavy step — runs once per doc at cache fill
+    # and is shared by the MinHash signatures and the Jaccard verify
+    # (previously each re-derived it from text). The handle is
     # unpersisted below once every eager consumer (the CC loop and the
     # checkpointed drop sets) has run, so repeated clean_corpus calls in
     # one session don't accumulate pinned storage; the final lazy plan
     # then recomputes the gate subtree exactly once at action time.
+    from ncagg_spark.pipeline.text import tokenize, word_ngrams
+
+    kept = kept.withColumn(
+        "__sh",
+        F.array_distinct(word_ngrams(tokenize(text_col), shingle_n)),
+    )
     cached = kept = kept.persist()
 
     sigs = minhash_signatures(
         kept, text_col=text_col, id_col=id_col,
-        shingle_n=shingle_n, num_perm=num_perm,
+        shingle_n=shingle_n, num_perm=num_perm, shingles_col="__sh",
     )
     cands = minhash_lsh_candidates(
         sigs, id_col=id_col,
@@ -102,7 +112,8 @@ def clean_corpus(
         num_perm=num_perm,
     )
     verified = ngram_jaccard(
-        kept, cands, text_col=text_col, id_col=id_col, shingle_n=shingle_n
+        kept, cands, text_col=text_col, id_col=id_col,
+        shingle_n=shingle_n, shingles_col="__sh",
     ).filter(F.col("jaccard") >= F.lit(jaccard_threshold)).select(
         "id_a", "id_b"
     )
@@ -152,4 +163,4 @@ def clean_corpus(
     # inside near_dedup and the checkpointed drop sets above); release
     # the storage so back-to-back clean_corpus calls stay bounded
     cached.unpersist()
-    return kept
+    return kept.drop("__sh")

@@ -93,6 +93,7 @@ def minhash_signatures(
     shingle_n: int = 3,
     num_perm: int = 16,
     seed: int = 42,
+    shingles_col: str | None = None,
 ) -> DataFrame:
     """(id, sig array<long>) — MinHash over word n-gram shingles.
 
@@ -111,15 +112,33 @@ def minhash_signatures(
     Docs with fewer than shingle_n tokens get an all-null signature
     (explode_outer keeps them; min over the null hash is null), matching
     array_min-over-empty semantics and the DuckDB oracle.
+
+    ``shingles_col`` (round 11, VERDICT r10 #6): the name of an
+    ALREADY-COMPUTED distinct-shingle array column — composed pipelines
+    (clean_corpus) materialize the tokenized projection once on their
+    cached gate output and share it between the signature and the
+    Jaccard-verify stages, so the CPU-heavy tokenize/ngram pass runs
+    once per doc, not twice. When given, ``text_col`` is unused and the
+    small-input spread is skipped (the caller's projection is already
+    distributed).
     """
-    shingles = F.array_distinct(word_ngrams(tokenize(text_col), shingle_n))
-    # spread BEFORE shingling: tokenize/ngram generation is the CPU-heavy
-    # step and must not run in the handful of scan tasks a small file
-    # yields; shuffling raw docs is cheap relative to it
-    base = _spread_small_input(df.select(id_col, text_col), id_col)
-    exploded = base.select(
-        F.col(id_col), F.explode_outer(shingles).alias("__shingle")
-    )
+    if shingles_col is not None:
+        exploded = df.select(
+            F.col(id_col),
+            F.explode_outer(F.col(shingles_col)).alias("__shingle"),
+        )
+    else:
+        shingles = F.array_distinct(
+            word_ngrams(tokenize(text_col), shingle_n)
+        )
+        # spread BEFORE shingling: tokenize/ngram generation is the
+        # CPU-heavy step and must not run in the handful of scan tasks
+        # a small file yields; shuffling raw docs is cheap relative to
+        # it
+        base = _spread_small_input(df.select(id_col, text_col), id_col)
+        exploded = base.select(
+            F.col(id_col), F.explode_outer(shingles).alias("__shingle")
+        )
     hashed = exploded.select(
         F.col(id_col), (hash64(F.col("__shingle")) % MERSENNE31).alias("__h")
     )
@@ -343,16 +362,24 @@ def ngram_jaccard(
     id_col: str = "doc_id",
     *,
     shingle_n: int = 3,
+    shingles_col: str | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity over word-shingle sets for given pairs
     (columns id_a, id_b). Returns (id_a, id_b, jaccard double).
+    ``shingles_col`` reuses a precomputed distinct-shingle array (see
+    minhash_signatures) instead of re-tokenizing ``text_col``.
     """
-    sh = df.select(
-        F.col(id_col),
-        F.array_distinct(word_ngrams(tokenize(text_col), shingle_n)).alias(
-            "sh"
-        ),
-    )
+    if shingles_col is not None:
+        sh = df.select(
+            F.col(id_col), F.col(shingles_col).alias("sh")
+        )
+    else:
+        sh = df.select(
+            F.col(id_col),
+            F.array_distinct(
+                word_ngrams(tokenize(text_col), shingle_n)
+            ).alias("sh"),
+        )
     j = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a"), on="id_a")
         .withColumnRenamed("sh", "sh_a")
