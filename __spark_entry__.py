@@ -724,17 +724,29 @@ def q_evt_sessionize_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions, but detected hot keys are chunked across n_chunks window
     partitions and merged at boundaries — the skew-bounded physical
     strategy, value-checked against the same DuckDB oracle as the plain
-    window form. hot_min_rows is set low here so the routed path
-    actually exercises chunking at test scale."""
+    window form. The events fixture is deliberately uniform (no user
+    clears a realistic hot threshold at any sf), so the query FORCES
+    the routed path: the 100 smallest user ids are declared hot (any
+    hot_keys choice yields identical results — the operator's
+    contract), exercising chunking + boundary merge + the correction
+    join at every scale."""
     from ncagg_spark.operators.sessionize import SESSION_COL, sessionize_skew
 
     ev = drop_invalid_index(_t(spark, sf_dir, "events"), "ts")
+    hot = [
+        r[0]
+        for r in ev.select("user_id")
+        .distinct()
+        .orderBy("user_id")
+        .limit(100)
+        .collect()
+    ]
     s = sessionize_skew(
         ev,
         "ts",
         "user_id",
         gap_us=SESSION_GAP_US,
-        hot_min_rows=200,
+        hot_keys=hot,
         n_chunks=8,
         tiebreak=["event_id"],
     )
