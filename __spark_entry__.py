@@ -62,6 +62,14 @@ from ncagg_spark.pipeline.pii import (
     sql_redact_pii,
 )
 from ncagg_spark.pipeline.corpus import clean_corpus
+from ncagg_spark.pipeline.lm import (
+    lm_score,
+    ngram_lm,
+    sql_lm_score,
+    sql_ngram_lm_ctes,
+)
+from ncagg_spark.pipeline.search import bm25_topk, sql_bm25_scores
+from ncagg_spark.pipeline.semdedup import semantic_dedup
 from ncagg_spark.pipeline.text import (
     LANG_PRECEDENCE,
     benchmark_overlap,
@@ -1420,6 +1428,48 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", "cosine")
 
 
+SEMDEDUP_SLICE = 2000  # bounds the oracle's within-cell pair join at sf10
+SEMDEDUP_THR = 0.3  # the synthetic embeddings top out near cosine 0.51
+
+
+def q_emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cell clustering bounds the
+    pairwise cosine scan, then connected components over the within-cell
+    near-dup pairs keep the min-id representative — the semantic twin of
+    doc_near_dedup. Fully SQL-derivable: quantized-integer cell
+    assignment (the IVF oracle trick) + a recursive-CTE CC (the
+    doc_dup_clusters oracle trick)."""
+    from ncagg_spark.pipeline.similarity import sample_centroids
+
+    em = _t(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < SEMDEDUP_SLICE
+    )
+    n_cells = max(1, math.ceil(math.sqrt(em.count())))
+    cents = sample_centroids(em, n_cells)
+    kept = semantic_dedup(em, cents, threshold=SEMDEDUP_THR)
+    return kept.select("vec_id", "n_members")
+
+
+def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM scoring: train an add-one bigram model on the
+    doc_id%10==0 reference slice, score every document by mean negative
+    log-prob (integer micro-nat sums — exact in any partition order)."""
+    docs = _t(spark, sf_dir, "documents")
+    lm = ngram_lm(docs.filter(F.col("doc_id") % 10 == 0), n=2)
+    return lm_score(docs, lm, n=2)
+
+
+BM25_TERMS = ["spark", "join", "window", "vector"]
+
+
+def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (Lucene idf form): top-25 documents for a fixed
+    term set, per-term contributions quantized to integer micro-units so
+    the doc score is order-free; ties break to the lower doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, BM25_TERMS, k=25)
+
+
 def q_emb_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = _t(spark, sf_dir, "embeddings")
     queries = em.filter(F.col("vec_id") < 10)
@@ -1618,6 +1668,8 @@ _REGISTRY: list[tuple[str, _T, bool]] = [
     ("rel_union_distinct", q_rel_union_distinct, True),
     ("doc_clean_corpus", q_doc_clean_corpus, True),
     ("doc_decontaminate", q_doc_decontaminate, True),
+    ("doc_lm_score", q_doc_lm_score, True),  # r11: CCNet-style LM scoring
+    ("doc_bm25_topk", q_doc_bm25_topk, True),  # r11: BM25 retrieval
     ("emb_srp_topk", q_emb_srp_topk, True),
     ("emb_ivfpq_topk", q_emb_ivfpq_topk, True),  # r10: IVFADC composition
     ("emb_ivf_topk", q_emb_ivf_topk, True),
@@ -1649,7 +1701,7 @@ _REGISTRY: list[tuple[str, _T, bool]] = [
     # agg_regularize_day — same grid/gapfill operator, G1-G7) and
     # agg_dedup_phase (twin agg_dedup_cadence — same overlap-chop
     # operator, G5/G6) rotate to the tail after 8 straight green rounds
-    ("rel_rollup", q_rel_rollup, True),
+    ("rel_rollup", q_rel_rollup, False),  # twin: rel_cube (r11 rotation)
     ("rel_cube", q_rel_cube, True),
     ("rel_intersect_except", q_rel_intersect_except, True),
     ("rel_exists_subquery", q_rel_exists_subquery, True),
@@ -1662,13 +1714,14 @@ _REGISTRY: list[tuple[str, _T, bool]] = [
     ("doc_lsh_pairs", q_doc_lsh_pairs, True),
     ("doc_simhash_near_dup", q_doc_simhash_near_dup, True),
     ("doc_dup_spans", q_doc_dup_spans, True),
-    ("doc_top_ngrams", q_doc_top_ngrams, True),
+    ("doc_top_ngrams", q_doc_top_ngrams, False),  # twin: doc_decontaminate (r11)
     ("doc_dup_clusters", q_doc_dup_clusters, True),
     ("doc_near_dedup", q_doc_near_dedup, True),
     ("doc_pii_redact", q_doc_pii_redact, True),
     ("doc_chunk", q_doc_chunk, True),
     # -- embeddings (similarity) --
-    ("emb_near_dup", q_emb_near_dup, True),
+    ("emb_near_dup", q_emb_near_dup, False),  # twin: emb_semdedup (r11)
+    ("emb_semdedup", q_emb_semdedup, True),  # r11: SemDeDup cluster-scoped dedup
     ("emb_brute_topk", q_emb_brute_topk, True),
     ("emb_pq_topk", q_emb_pq_topk, True),
     # -- tail (past the driver window; check_oracle gates them all) --
@@ -2359,6 +2412,25 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["doc_dup_spans"] = sql_duplicate_spans(8)
 
+    # CCNet-style LM scoring: the SQL twins live next to the operator
+    # (pipeline/lm.py) — train on the doc_id%10==0 slice, score all docs
+    sqls["doc_lm_score"] = (
+        "WITH "
+        + sql_ngram_lm_ctes(n=2, ref_where="doc_id % 10 = 0")
+        + sql_lm_score(n=2)
+    )
+
+    # BM25 retrieval: scores twin in pipeline/search.py; rank window
+    # replicated here (ties -> lower doc_id, the repo-wide tie-break)
+    sqls["doc_bm25_topk"] = f"""
+        SELECT doc_id, n_terms, score, rank FROM (
+            SELECT doc_id, n_terms, score,
+                   row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                       AS rank
+            FROM ({sql_bm25_scores(BM25_TERMS)})
+        ) WHERE rank <= 25
+    """
+
     # decontamination scan: eval set = doc_id % 97 == 0, held out of the
     # corpus side; grams at SHINGLE_N (=3) where cross-doc overlap exists
     sqls["doc_decontaminate"] = f"""
@@ -2839,6 +2911,73 @@ def oracle_sql() -> dict[str, str]:
                   WHERE rn <= (SELECT n_probe FROM nn)) q
             JOIN corpus c ON c.cell = q.cell AND c.neighbor_id <> q.vec_id
         ) WHERE rank <= 5
+    """
+
+    # emb_semdedup: SemDeDup = quantized-integer cell assignment (the
+    # emb_ivf_topk oracle's assign CTE, restricted to the bounded slice)
+    # + within-cell exact-cosine pairs + recursive-CTE connected
+    # components (the doc_dup_clusters oracle's reach pattern) + the
+    # near_dedup keep rule: survivors are nodes outside the pair graph
+    # (n_members=1) or cluster representatives (node == min reachable
+    # id, n_members = cluster size).
+    sd_cos = _sql_cosine("a.embedding", "b.embedding")
+    sqls["emb_semdedup"] = f"""
+        WITH RECURSIVE nn AS (
+            SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS n_cells
+            FROM embeddings WHERE vec_id < {SEMDEDUP_SLICE}
+        ),
+        cents AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                   list_transform(embedding,
+                       x -> x::DOUBLE / sqrt(list_sum(list_transform(
+                            embedding, v -> v::DOUBLE * v::DOUBLE))))
+                       AS cunit
+            FROM (SELECT vec_id, embedding,
+                         row_number() OVER (ORDER BY vec_id) AS rn
+                  FROM embeddings WHERE vec_id < {SEMDEDUP_SLICE})
+            WHERE rn <= (SELECT n_cells FROM nn)
+        ),
+        assign AS MATERIALIZED (
+            SELECT vec_id, embedding, cell FROM (
+                SELECT e.vec_id, e.embedding, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY {qdot_c.format(v='e.embedding')} DESC,
+                                    c.cell DESC) AS rn
+                FROM (SELECT vec_id, embedding FROM embeddings
+                      WHERE vec_id < {SEMDEDUP_SLICE}) e
+                CROSS JOIN cents c
+            ) WHERE rn = 1
+        ),
+        pairs AS MATERIALIZED (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM assign a JOIN assign b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE round({sd_cos}, 6) >= {SEMDEDUP_THR}
+        ),
+        edges AS MATERIALIZED (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        reach(node, label) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.label
+            FROM reach r JOIN edges e ON e.src = r.node
+        ),
+        labels AS (
+            SELECT node, min(label) AS cluster_id FROM reach GROUP BY node
+        ),
+        sizes AS (
+            SELECT cluster_id, count(*)::BIGINT AS n_members
+            FROM labels GROUP BY cluster_id
+        )
+        SELECT e.vec_id, coalesce(s.n_members, 1)::BIGINT AS n_members
+        FROM (SELECT vec_id FROM embeddings
+              WHERE vec_id < {SEMDEDUP_SLICE}) e
+        LEFT JOIN labels l ON l.node = e.vec_id
+        LEFT JOIN sizes s ON s.cluster_id = e.vec_id
+        WHERE l.node IS NULL OR l.cluster_id = e.vec_id
     """
 
     # emb_ivf_kmeans_topk: the TRAINED-centroid IVF. The k-means is

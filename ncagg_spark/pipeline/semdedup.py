@@ -1,0 +1,195 @@
+"""Semantic deduplication (SemDeDup): cluster embeddings into centroid
+cells, find within-cell cosine near-duplicate pairs, and keep one
+representative per duplicate cluster.
+
+The method follows the published SemDeDup recipe (Abbas et al. 2023,
+arXiv:2303.09540 — public paper): k-means clustering bounds the
+quadratic pairwise comparison to within-cluster work, so the cost is
+sum(|cell|^2) instead of |corpus|^2. Re-expressed relationally for
+Spark:
+
+1. ``assign_cells(method="quantized")`` — one Arrow-batched BLAS argmax
+   per batch, exactly replicable cross-engine (floor(x*1e6) integer
+   dots, see pipeline/similarity.py).
+2. Within-cell pairs: an equi-self-join on ``cell`` (Catalyst hash
+   join — ONE shuffle per side, never a cartesian) filtered to
+   ``id_a < id_b AND cosine >= threshold``. Cosine uses the
+   left-to-right fold of functions/vectors.py, bit-identical to the
+   DuckDB oracle.
+3. Survivors: connected components over the pair graph, keep the
+   minimum id per cluster — the same convention as
+   ``pipeline/dedup.py:near_dedup``, so text-LSH dedup and semantic
+   dedup report identically-shaped results.
+
+Scale notes (100 TB): the join key is the cell id, so pair expansion is
+bounded by the largest cell — size ``n_cells ~ sqrt(N)`` (or larger) so
+cells stay small; ``max_cell_size`` deterministically truncates
+pathological cells (lowest ids kept, mirroring the LSH big-bucket
+guard's drop semantics — recall capped, never memory). ``method="arrow"``
+replaces the per-pair interpreted cosine with one BLAS gram matrix per
+cell via applyInPandas — the throughput shape once cells are large;
+results are identical to the relational path (pinned in tests).
+
+Reference parity note: the reference engine (5tefan/ncagg) has no
+embedding operators; its nearest analogue is the cadence-based
+near-duplicate chop (ncagg/aggregator.py timing dedup), lifted here
+from the time axis to embedding space. Beyond-reference capability per
+the training-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ncagg_spark.functions.vectors import dot, l2_norm, norm_guard
+from ncagg_spark.pipeline.dedup import near_dedup
+from ncagg_spark.pipeline.similarity import assign_cells
+
+
+def semantic_duplicate_pairs(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    *,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "relational",
+    max_cell_size: int | None = None,
+) -> DataFrame:
+    """Within-cell cosine near-duplicate pairs.
+
+    Returns (id_a, id_b, cell, cosine) with ``id_a < id_b`` and
+    ``cosine >= threshold`` (rounded to 6 — the repo-wide convention
+    that makes the value cross-engine hashable).
+
+    ``method="relational"``: equi-self-join on the cell id, cosine as
+    the exact left-to-right double fold — the oracle-parity form.
+    ``method="arrow"``: one BLAS gram matrix per cell
+    (applyInPandas) — identical output, ~100x less per-pair overhead;
+    the path to use when cells hold thousands of members.
+    """
+    assigned = assign_cells(
+        corpus.select(id_col, vec_col),
+        centroids,
+        vec_col=vec_col,
+        out_col="cell",
+        method="quantized",
+    )
+    if max_cell_size is not None:
+        # deterministic truncation of pathological cells: keep the
+        # max_cell_size lowest ids (recall capped, memory bounded) —
+        # same drop convention as the LSH big-bucket guard.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("cell").orderBy(F.col(id_col).asc())
+        assigned = (
+            assigned.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= int(max_cell_size))
+            .drop("__r")
+        )
+    if method == "relational":
+        a = assigned.select(
+            F.col(id_col).alias("id_a"),
+            F.col("cell"),
+            F.col(vec_col).alias("va"),
+            norm_guard(l2_norm(vec_col)).alias("na"),
+        )
+        b = assigned.select(
+            F.col(id_col).alias("id_b"),
+            F.col("cell"),
+            F.col(vec_col).alias("vb"),
+            norm_guard(l2_norm(vec_col)).alias("nb"),
+        )
+        return (
+            a.join(b, on="cell")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn(
+                "cosine",
+                F.round(
+                    dot("va", "vb") / (F.col("na") * F.col("nb")), 6
+                ),
+            )
+            .filter(F.col("cosine") >= float(threshold))
+            .select("id_a", "id_b", "cell", "cosine")
+        )
+    if method != "arrow":
+        raise ValueError(f"unknown method: {method!r}")
+
+    import numpy as np
+    import pandas as pd
+
+    thr = float(threshold)
+
+    def _cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                    "cell": pd.Series([], dtype="int32"),
+                    "cosine": pd.Series([], dtype="float64"),
+                }
+            )
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        X = np.asarray(
+            [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
+        )[order]
+        norms = np.maximum(np.linalg.norm(X, axis=1), 1e-300)
+        G = (X @ X.T) / np.outer(norms, norms)
+        cos = np.round(G, 6)
+        ia, ib = np.triu_indices(n, k=1)
+        keep = cos[ia, ib] >= thr
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia[keep]],
+                "id_b": ids[ib[keep]],
+                "cell": np.full(
+                    int(keep.sum()), pdf["cell"].iloc[0], dtype="int32"
+                ),
+                "cosine": cos[ia[keep], ib[keep]],
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        _cell_pairs,
+        schema=(
+            f"id_a long, id_b long, cell int, cosine double"
+        ),
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    *,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "relational",
+    max_cell_size: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """End-to-end semantic dedup: survivors of ``corpus`` after dropping
+    every embedding whose duplicate-cluster representative (minimum id
+    reachable through the within-cell cosine pair graph) is another row.
+
+    Returns the kept ``corpus`` rows plus ``n_members`` (duplicate
+    cluster size; 1 for unique rows) — the exact output shape of
+    ``pipeline/dedup.py:near_dedup``, so downstream keep/drop accounting
+    is interchangeable between text-LSH and semantic dedup.
+    """
+    pairs = semantic_duplicate_pairs(
+        corpus,
+        centroids,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        method=method,
+        max_cell_size=max_cell_size,
+    ).select("id_a", "id_b")
+    return near_dedup(
+        corpus, pairs, id_col, num_partitions=num_partitions
+    )

@@ -116,7 +116,14 @@ def test_streamed_export_10m_rows_capped_driver(tmp_path):
             write_nc_aggregate_streamed,
         )
         spark = (
-            SparkSession.builder.master("local[8]")
+            # local[8, 3]: up to 3 attempts per task — local mode
+            # defaults to maxFailures=1, so one transient TaskResultLost
+            # ("result lost from block manager", seen only under heavy
+            # box contention with this deliberately memory-starved
+            # driver) aborted the job. Real clusters run maxFailures=4;
+            # mirroring that removes the flake without loosening what
+            # the test proves (bounded driver memory).
+            SparkSession.builder.master("local[8, 3]")
             .config("spark.driver.memory", "1g")
             .config("spark.sql.shuffle.partitions", "16")
             .config("spark.sql.session.timeZone", "UTC")
@@ -235,7 +242,14 @@ def test_streamed_nc4_capped_driver(tmp_path):
             write_nc_aggregate_streamed,
         )
         spark = (
-            SparkSession.builder.master("local[8]")
+            # local[8, 3]: up to 3 attempts per task — local mode
+            # defaults to maxFailures=1, so one transient TaskResultLost
+            # ("result lost from block manager", seen only under heavy
+            # box contention with this deliberately memory-starved
+            # driver) aborted the job. Real clusters run maxFailures=4;
+            # mirroring that removes the flake without loosening what
+            # the test proves (bounded driver memory).
+            SparkSession.builder.master("local[8, 3]")
             .config("spark.driver.memory", "1g")
             .config("spark.sql.shuffle.partitions", "16")
             .config("spark.sql.session.timeZone", "UTC")

@@ -30,11 +30,18 @@ SF = "/root/testdata/sf0.001"
 #   agg_regularize_anchored — gap_fill(anchor="previous") broadcasts the
 #     ONE-ROW first-real-record aggregate onto the grid (the backward
 #     leading-fill anchor, r7); a 1-row broadcast side by construction.
+#   doc_lm_score / doc_bm25_topk — the LM/BM25 model constants (T, V,
+#     backoff / N, avgdl) ride a ONE-ROW broadcast agg cross-joined onto
+#     the scoring plan (pipeline/lm.py, pipeline/search.py); a 1-row
+#     broadcast side by construction, same shape as
+#     agg_regularize_anchored's anchor.
 CROSS_OK = {
     "emb_brute_topk",
     "emb_near_dup",
     "emb_pq_topk",
     "agg_regularize_anchored",
+    "doc_lm_score",
+    "doc_bm25_topk",
 }
 
 

@@ -1,0 +1,274 @@
+"""Round-11 pipeline additions: SemDeDup, n-gram LM scoring, BM25.
+
+Each operator is driver-gated against a DuckDB oracle (emb_semdedup /
+doc_lm_score / doc_bm25_topk); these tests pin the algorithmic
+properties the value-hash cannot see: path equivalence, closed-form
+hand values, and edge semantics.
+"""
+
+from __future__ import annotations
+
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ncagg_spark.pipeline.lm import lm_score, ngram_lm, perplexity_filter
+from ncagg_spark.pipeline.search import bm25_scores, bm25_topk
+from ncagg_spark.pipeline.semdedup import (
+    semantic_dedup,
+    semantic_duplicate_pairs,
+)
+from ncagg_spark.pipeline.similarity import sample_centroids
+
+
+# --- fixtures -------------------------------------------------------------
+
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """3 well-separated directions, 2 planted near-dup groups inside the
+    first direction, one singleton per other direction."""
+    rng = np.random.default_rng(7)
+    base = np.eye(3, 8, dtype=float) + 0.01 * rng.standard_normal((3, 8))
+    rows = []
+    vid = 0
+    # group A: ids 0,1,2 are tiny perturbations of direction 0 (dups)
+    for _ in range(3):
+        v = base[0] + 1e-4 * rng.standard_normal(8)
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    # group B: ids 3,4 perturb direction 1 (dups)
+    for _ in range(2):
+        v = base[1] + 1e-4 * rng.standard_normal(8)
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    # uniques: one per direction, bigger noise (below threshold to A/B)
+    for d in range(3):
+        v = base[d] * 0.3 + rng.standard_normal(8)
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    return rows
+
+
+# --- SemDeDup -------------------------------------------------------------
+
+
+def test_semdedup_drops_planted_duplicates(spark, clustered):
+    df = _emb_df(spark, clustered)
+    cents = sample_centroids(df, 3)
+    kept = semantic_dedup(df, cents, threshold=0.99).orderBy("vec_id")
+    out = {r["vec_id"]: r["n_members"] for r in kept.collect()}
+    # reps: 0 (cluster {0,1,2}) and 3 (cluster {3,4}) — if each planted
+    # group landed in one cell; dups 1,2,4 must be gone
+    assert 1 not in out and 2 not in out and 4 not in out
+    assert out[0] == 3 and out[3] == 2
+    # uniques survive with n_members == 1
+    for vid in (5, 6, 7):
+        assert out[vid] == 1
+
+
+def test_semdedup_arrow_matches_relational(spark, clustered):
+    df = _emb_df(spark, clustered).repartition(3)
+    cents = sample_centroids(df, 3)
+    rel = semantic_duplicate_pairs(
+        df, cents, threshold=0.5, method="relational"
+    )
+    arr = semantic_duplicate_pairs(
+        df, cents, threshold=0.5, method="arrow"
+    )
+    r = sorted(map(tuple, rel.collect()))
+    a = sorted(map(tuple, arr.collect()))
+    assert r == a and len(r) > 0
+
+
+def test_semdedup_pairs_are_cell_scoped(spark, clustered):
+    """A high-cosine pair split across cells is NOT emitted — the
+    documented SemDeDup recall/cost trade (clusters bound the scan)."""
+    df = _emb_df(spark, clustered)
+    cents = sample_centroids(df, 3)
+    pairs = semantic_duplicate_pairs(df, cents, threshold=0.0)
+    from ncagg_spark.pipeline.similarity import assign_cells
+
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in assign_cells(df, cents, method="quantized").collect()
+    }
+    for r in pairs.collect():
+        assert cells[r["id_a"]] == cells[r["id_b"]] == r["cell"]
+
+
+def test_semdedup_max_cell_size_truncates_deterministically(
+    spark, clustered
+):
+    df = _emb_df(spark, clustered)
+    cents = sample_centroids(df, 1)  # one cell -> everything together
+    full = semantic_duplicate_pairs(df, cents, threshold=0.9)
+    capped = semantic_duplicate_pairs(
+        df, cents, threshold=0.9, max_cell_size=4
+    )
+    # cap keeps the 4 LOWEST ids: pairs among {0..3} only
+    got = sorted((r["id_a"], r["id_b"]) for r in capped.collect())
+    want = sorted(
+        (r["id_a"], r["id_b"])
+        for r in full.collect()
+        if r["id_a"] < 4 and r["id_b"] < 4
+    )
+    assert got == want
+
+
+def test_semdedup_survivors_partition_invariant(spark, clustered):
+    df = _emb_df(spark, clustered)
+    cents = sample_centroids(df, 3)
+    a = semantic_dedup(df, cents, threshold=0.99)
+    b = semantic_dedup(df.repartition(7), cents, threshold=0.99)
+    assert sorted(r["vec_id"] for r in a.collect()) == sorted(
+        r["vec_id"] for r in b.collect()
+    )
+
+
+def _round6(x: float) -> float:
+    """Spark's round(col, 6) semantics: HALF_UP over the shortest decimal
+    rendering (BigDecimal.valueOf). Python's built-in round() uses the
+    exact binary value and can differ by 1 ulp of the 6th decimal on
+    exact-half boundaries (e.g. -2079443/2e6)."""
+    return float(
+        Decimal(repr(float(x))).quantize(
+            Decimal("1e-6"), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+# --- n-gram LM ------------------------------------------------------------
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+
+
+def test_lm_score_matches_closed_form(spark):
+    ref = _docs_df(spark, ["a b a b", "a b c"])
+    # bigram counts over ref: "a b" x3, "b a" x1, "b c" x1 -> T=5, V=3
+    docs = _docs_df(spark, ["a b c", "z z z"])
+    lm = ngram_lm(ref, n=2, alpha=1.0)
+    got = {
+        r["doc_id"]: (r["n_grams"], r["avg_nll"])
+        for r in lm_score(docs, lm, n=2).collect()
+    }
+    T, V, a = 5, 3, 1.0
+    denom = T + a * V
+
+    def lp(c):
+        return math.floor(math.log((c + a) / denom) * 1e6)
+
+    # doc 0: grams "a b" (c=3), "b c" (c=1)
+    want0 = _round6(-(lp(3) + lp(1)) / (1e6 * 2))
+    # doc 1: grams "z z" x2, both unseen -> backoff
+    bk = math.floor(math.log(a / denom) * 1e6)
+    want1 = _round6(-(2 * bk) / (1e6 * 2))
+    assert got[0] == (2, want0)
+    assert got[1] == (2, want1)
+
+
+def test_lm_score_skips_gramless_docs(spark):
+    ref = _docs_df(spark, ["a b a"])
+    docs = _docs_df(spark, ["a", "", "a b"])
+    out = lm_score(docs, ngram_lm(ref, n=2), n=2)
+    assert [r["doc_id"] for r in out.collect()] == [2]
+
+
+def test_perplexity_filter_keeps_fluent_docs(spark):
+    ref = _docs_df(spark, ["the cat sat on the mat"] * 3)
+    docs = _docs_df(spark, ["the cat sat", "zx qy vw"])
+    lm = ngram_lm(ref, n=2)
+    scores = {
+        r["doc_id"]: r["avg_nll"]
+        for r in lm_score(docs, lm, n=2).collect()
+    }
+    assert scores[0] < scores[1]  # in-domain text scores better
+    cut = (scores[0] + scores[1]) / 2
+    kept = perplexity_filter(docs, lm, max_avg_nll=cut)
+    assert [r["doc_id"] for r in kept.collect()] == [0]
+
+
+def test_lm_score_partition_invariant(spark):
+    texts = [f"w{i % 7} w{(i * 3) % 7} w{(i * 5) % 7}" for i in range(40)]
+    docs = _docs_df(spark, texts)
+    lm = ngram_lm(docs, n=2)
+    a = sorted(map(tuple, lm_score(docs, lm, n=2).collect()))
+    b = sorted(
+        map(
+            tuple,
+            lm_score(docs.repartition(13), lm, n=2).collect(),
+        )
+    )
+    assert a == b
+
+
+# --- BM25 -----------------------------------------------------------------
+
+
+def _bm25_ref(docs, terms, k1=1.2, b=0.75):
+    """Plain-python BM25 with the module's micro-quantization."""
+    toks = [t.split() for t in docs]
+    N = len(docs)
+    avgdl = sum(len(t) for t in toks) / N
+    out = {}
+    for i, tk in enumerate(toks):
+        dl = len(tk)
+        s = 0
+        n_terms = 0
+        for term in sorted(set(terms)):
+            tf = tk.count(term)
+            if tf == 0:
+                continue
+            n_terms += 1
+            df = sum(1 for t2 in toks if term in t2)
+            idf = math.log((N - df + 0.5) / (df + 0.5) + 1.0)
+            part = tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+            s += math.floor(idf * part * 1e6)
+        if n_terms:
+            out[i] = (n_terms, _round6(s / 1e6))
+    return out
+
+
+def test_bm25_matches_reference_impl(spark):
+    texts = [
+        "spark join window spark",
+        "join the window",
+        "nothing relevant here",
+        "spark spark spark spark join",
+        "window",
+    ]
+    docs = _docs_df(spark, texts)
+    got = {
+        r["doc_id"]: (r["n_terms"], r["score"])
+        for r in bm25_scores(docs, ["spark", "join", "window"]).collect()
+    }
+    assert got == _bm25_ref(texts, ["spark", "join", "window"])
+
+
+def test_bm25_topk_rank_ties_to_lower_id(spark):
+    texts = ["spark", "spark", "spark word", "word"]
+    docs = _docs_df(spark, texts)
+    top = bm25_topk(docs, ["spark"], k=3).collect()
+    # docs 0 and 1 are identical -> identical score, rank by doc_id
+    ranks = {r["doc_id"]: r["rank"] for r in top}
+    assert ranks[0] < ranks[1]
+    assert 3 not in ranks  # no matching term -> absent
+
+
+def test_bm25_rejects_empty_query(spark):
+    docs = _docs_df(spark, ["a"])
+    with pytest.raises(ValueError):
+        bm25_scores(docs, [])
