@@ -1430,15 +1430,18 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEMDEDUP_SLICE = 2000  # bounds the oracle's within-cell pair join at sf10
 SEMDEDUP_THR = 0.3  # the synthetic embeddings top out near cosine 0.51
+SEMDEDUP_PROBES = 2  # planted near-dup recall 0.67 -> ~0.96 (see tool)
 
 
 def q_emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means-cell clustering bounds the
     pairwise cosine scan, then connected components over the within-cell
     near-dup pairs keep the min-id representative — the semantic twin of
-    doc_near_dedup. Fully SQL-derivable: quantized-integer cell
-    assignment (the IVF oracle trick) + a recursive-CTE CC (the
-    doc_dup_clusters oracle trick)."""
+    doc_near_dedup. Runs the multi-probe variant (probes=2: pairs found
+    in ANY shared top-2 cell — planted-duplicate recall ~0.96 vs ~0.67
+    single-cell, tools/semdedup_recall.py). Fully SQL-derivable:
+    quantized-integer probe ranking (the IVF oracle trick) + a
+    recursive-CTE CC (the doc_dup_clusters oracle trick)."""
     from ncagg_spark.pipeline.similarity import sample_centroids
 
     em = _t(spark, sf_dir, "embeddings").filter(
@@ -1446,7 +1449,9 @@ def q_emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_cells = max(1, math.ceil(math.sqrt(em.count())))
     cents = sample_centroids(em, n_cells)
-    kept = semantic_dedup(em, cents, threshold=SEMDEDUP_THR)
+    kept = semantic_dedup(
+        em, cents, threshold=SEMDEDUP_THR, probes=SEMDEDUP_PROBES
+    )
     return kept.select("vec_id", "n_members")
 
 
@@ -2913,13 +2918,15 @@ def oracle_sql() -> dict[str, str]:
         ) WHERE rank <= 5
     """
 
-    # emb_semdedup: SemDeDup = quantized-integer cell assignment (the
-    # emb_ivf_topk oracle's assign CTE, restricted to the bounded slice)
-    # + within-cell exact-cosine pairs + recursive-CTE connected
-    # components (the doc_dup_clusters oracle's reach pattern) + the
-    # near_dedup keep rule: survivors are nodes outside the pair graph
-    # (n_members=1) or cluster representatives (node == min reachable
-    # id, n_members = cluster size).
+    # emb_semdedup: SemDeDup = quantized-integer top-SEMDEDUP_PROBES
+    # probe ranking (the emb_ivf_topk oracle's probes CTE — ties ->
+    # smaller cell, matching quantized_probe_col's stable argsort —
+    # restricted to the bounded slice) + exact-cosine pairs in ANY
+    # shared probed cell (DISTINCT collapses multi-cell co-occurrence)
+    # + recursive-CTE connected components (the doc_dup_clusters
+    # oracle's reach pattern) + the near_dedup keep rule: survivors are
+    # nodes outside the pair graph (n_members=1) or cluster
+    # representatives (node == min reachable id, n_members = size).
     sd_cos = _sql_cosine("a.embedding", "b.embedding")
     sqls["emb_semdedup"] = f"""
         WITH RECURSIVE nn AS (
@@ -2942,14 +2949,14 @@ def oracle_sql() -> dict[str, str]:
                 SELECT e.vec_id, e.embedding, c.cell,
                        row_number() OVER (PARTITION BY e.vec_id
                            ORDER BY {qdot_c.format(v='e.embedding')} DESC,
-                                    c.cell DESC) AS rn
+                                    c.cell ASC) AS rn
                 FROM (SELECT vec_id, embedding FROM embeddings
                       WHERE vec_id < {SEMDEDUP_SLICE}) e
                 CROSS JOIN cents c
-            ) WHERE rn = 1
+            ) WHERE rn <= {SEMDEDUP_PROBES}
         ),
         pairs AS MATERIALIZED (
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
             FROM assign a JOIN assign b
               ON a.cell = b.cell AND a.vec_id < b.vec_id
             WHERE round({sd_cos}, 6) >= {SEMDEDUP_THR}

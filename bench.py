@@ -82,6 +82,11 @@ EXTENDED_QUERIES = [
     # cells cuts the exp-0.69 flat scan (VERDICT r9 #4)
     "emb_ivfpq_topk",
     "doc_dup_spans",
+    # r11: the new pipeline operators — extended (not headline) so the
+    # round-over-round headline total stays comparable
+    "emb_semdedup",
+    "doc_lm_score",
+    "doc_bm25_topk",
 ]
 
 LOAD_CERTIFY_MAX = 0.5

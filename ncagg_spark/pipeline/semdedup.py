@@ -56,12 +56,25 @@ def semantic_duplicate_pairs(
     vec_col: str = "embedding",
     method: str = "relational",
     max_cell_size: int | None = None,
+    probes: int = 1,
 ) -> DataFrame:
     """Within-cell cosine near-duplicate pairs.
 
     Returns (id_a, id_b, cell, cosine) with ``id_a < id_b`` and
     ``cosine >= threshold`` (rounded to 6 — the repo-wide convention
-    that makes the value cross-engine hashable).
+    that makes the value cross-engine hashable). With ``probes > 1``,
+    ``cell`` is the smallest shared probed cell.
+
+    ``probes``: assign each vector to its top-``probes`` cells for
+    PAIRING (multi-probe, the IVF trick applied to dedup) — a pair is
+    found if any probed cell is shared. Vanilla SemDeDup (probes=1)
+    misses true near-duplicates that straddle a cell boundary: measured
+    on planted cos-0.90-0.99 duplicates (tools/semdedup_recall.py),
+    same-cell recall is ~0.67 at probes=1, ~0.95-0.975 at probes=2,
+    ~1.0 at probes=3, for a pair-evaluation cost bounded by probes^2.
+    probes=1 keeps assign_cells' tie rule (ties -> larger cell);
+    probes>1 uses quantized_probe_col's (stable rank, ties -> smaller
+    cell) — both exactly replicable cross-engine.
 
     ``method="relational"``: equi-self-join on the cell id, cosine as
     the exact left-to-right double fold — the oracle-parity form.
@@ -69,13 +82,25 @@ def semantic_duplicate_pairs(
     (applyInPandas) — identical output, ~100x less per-pair overhead;
     the path to use when cells hold thousands of members.
     """
-    assigned = assign_cells(
-        corpus.select(id_col, vec_col),
-        centroids,
-        vec_col=vec_col,
-        out_col="cell",
-        method="quantized",
-    )
+    if int(probes) < 1:
+        raise ValueError(f"probes must be >= 1, got {probes!r}")
+    if probes > 1:
+        from ncagg_spark.pipeline.similarity import quantized_probe_col
+
+        assigned = corpus.select(id_col, vec_col).withColumn(
+            "cell",
+            F.explode(
+                quantized_probe_col(centroids, int(probes), vec_col)
+            ),
+        )
+    else:
+        assigned = assign_cells(
+            corpus.select(id_col, vec_col),
+            centroids,
+            vec_col=vec_col,
+            out_col="cell",
+            method="quantized",
+        )
     if max_cell_size is not None:
         # deterministic truncation of pathological cells: keep the
         # max_cell_size lowest ids (recall capped, memory bounded) —
@@ -101,7 +126,7 @@ def semantic_duplicate_pairs(
             F.col(vec_col).alias("vb"),
             norm_guard(l2_norm(vec_col)).alias("nb"),
         )
-        return (
+        pairs = (
             a.join(b, on="cell")
             .filter(F.col("id_a") < F.col("id_b"))
             .withColumn(
@@ -113,6 +138,7 @@ def semantic_duplicate_pairs(
             .filter(F.col("cosine") >= float(threshold))
             .select("id_a", "id_b", "cell", "cosine")
         )
+        return _dedupe_probed(pairs) if probes > 1 else pairs
     if method != "arrow":
         raise ValueError(f"unknown method: {method!r}")
 
@@ -153,11 +179,19 @@ def semantic_duplicate_pairs(
             }
         )
 
-    return assigned.groupBy("cell").applyInPandas(
+    pairs = assigned.groupBy("cell").applyInPandas(
         _cell_pairs,
-        schema=(
-            f"id_a long, id_b long, cell int, cosine double"
-        ),
+        schema="id_a long, id_b long, cell int, cosine double",
+    )
+    return _dedupe_probed(pairs) if probes > 1 else pairs
+
+
+def _dedupe_probed(pairs: DataFrame) -> DataFrame:
+    """A pair sharing several probed cells is emitted once per shared
+    cell by the join/gram stage — collapse to one row (smallest shared
+    cell; cosine is identical across the duplicates by construction)."""
+    return pairs.groupBy("id_a", "id_b").agg(
+        F.min("cell").alias("cell"), F.min("cosine").alias("cosine")
     )
 
 
@@ -170,6 +204,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     method: str = "relational",
     max_cell_size: int | None = None,
+    probes: int = 1,
     num_partitions: int | None = None,
 ) -> DataFrame:
     """End-to-end semantic dedup: survivors of ``corpus`` after dropping
@@ -189,6 +224,7 @@ def semantic_dedup(
         vec_col=vec_col,
         method=method,
         max_cell_size=max_cell_size,
+        probes=probes,
     ).select("id_a", "id_b")
     return near_dedup(
         corpus, pairs, id_col, num_partitions=num_partitions

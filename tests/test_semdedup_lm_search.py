@@ -125,6 +125,72 @@ def test_semdedup_max_cell_size_truncates_deterministically(
     assert got == want
 
 
+def test_semdedup_multiprobe_recovers_straddling_pair(spark):
+    """Two near-identical vectors sitting between two centroid
+    directions land in different argmax cells (probes=1 misses the
+    pair) but share a top-2 cell (probes=2 finds it)."""
+    import numpy as np
+
+    c0 = np.array([1.0, 0.0, 0.0, 0.0])
+    c1 = np.array([0.0, 1.0, 0.0, 0.0])
+    # a leans to c0, b leans to c1, but a and b are near-duplicates
+    a = np.array([1.0, 0.98, 0.0, 0.0])
+    b = np.array([0.98, 1.0, 0.0, 0.0])
+    df = _emb_df(
+        spark,
+        [(0, list(map(float, a))), (1, list(map(float, b)))],
+    )
+    cents = [(0, list(map(float, c0))), (1, list(map(float, c1)))]
+    p1 = semantic_duplicate_pairs(df, cents, threshold=0.9, probes=1)
+    p2 = semantic_duplicate_pairs(df, cents, threshold=0.9, probes=2)
+    assert p1.count() == 0
+    rows = p2.collect()
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [(0, 1)]
+    # the duplicated co-occurrence (both probed cells shared) collapsed
+    assert len(rows) == 1
+
+
+def test_semdedup_multiprobe_arrow_matches_relational(spark, clustered):
+    df = _emb_df(spark, clustered).repartition(3)
+    cents = sample_centroids(df, 3)
+    rel = semantic_duplicate_pairs(
+        df, cents, threshold=0.3, method="relational", probes=2
+    )
+    arr = semantic_duplicate_pairs(
+        df, cents, threshold=0.3, method="arrow", probes=2
+    )
+    r = sorted(map(tuple, rel.collect()))
+    a = sorted(map(tuple, arr.collect()))
+    assert r == a and len(r) > 0
+
+
+def test_semdedup_probes_superset_of_single_cell(spark, clustered):
+    df = _emb_df(spark, clustered)
+    cents = sample_centroids(df, 3)
+    p1 = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_duplicate_pairs(
+            df, cents, threshold=0.3, probes=1
+        ).collect()
+    }
+    p2 = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_duplicate_pairs(
+            df, cents, threshold=0.3, probes=2
+        ).collect()
+    }
+    # same tie-rule caveat aside, every argmax-cell pair has that cell
+    # in both vectors' top-2 — probes=2 can only add pairs
+    assert p1 <= p2
+
+
+def test_semdedup_rejects_bad_probes(spark, clustered):
+    df = _emb_df(spark, clustered)
+    cents = sample_centroids(df, 3)
+    with pytest.raises(ValueError):
+        semantic_duplicate_pairs(df, cents, probes=0)
+
+
 def test_semdedup_survivors_partition_invariant(spark, clustered):
     df = _emb_df(spark, clustered)
     cents = sample_centroids(df, 3)
