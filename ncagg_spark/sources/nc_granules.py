@@ -941,6 +941,15 @@ def write_nc_aggregate_streamed(
     Byte-identical to ``write_nc_aggregate`` on the same input
     (pytest-asserted), so readers cannot tell which path wrote the file.
 
+    Tight-heap sessions: the drain's multi-MB task results ride the
+    block manager (IndirectTaskResult) once they exceed
+    ``spark.task.maxDirectResultSize`` (default 1 MiB), and a pressured
+    memory store can evict a result block before the driver fetches it
+    (``TaskResultLost``). Sessions running this export on a small
+    driver should set ``spark.task.maxDirectResultSize`` above
+    ``target_block_bytes`` so results bypass the block manager — a
+    static conf, so it must be set at session build.
+
     ``fmt="netcdf4"`` streams the HDF5 container instead: records get a
     global dense index, chunk-grid-aligned groups encode + compress
     each variable's chunk ON THE EXECUTORS, the driver appends payloads

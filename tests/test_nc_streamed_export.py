@@ -125,6 +125,12 @@ def test_streamed_export_10m_rows_capped_driver(tmp_path):
             # the test proves (bounded driver memory).
             SparkSession.builder.master("local[8, 3]")
             .config("spark.driver.memory", "1g")
+            # results above 1 MiB default ride the block manager, and a
+            # pressured 1g heap can evict a drain block before the
+            # driver fetches it (TaskResultLost even across the 3 local
+            # retries — the eviction repeats). 96m > the export's 64m
+            # target_block_bytes: results go direct, never stored.
+            .config("spark.task.maxDirectResultSize", "96m")
             .config("spark.sql.shuffle.partitions", "16")
             .config("spark.sql.session.timeZone", "UTC")
             .getOrCreate()
@@ -251,6 +257,12 @@ def test_streamed_nc4_capped_driver(tmp_path):
             # the test proves (bounded driver memory).
             SparkSession.builder.master("local[8, 3]")
             .config("spark.driver.memory", "1g")
+            # results above 1 MiB default ride the block manager, and a
+            # pressured 1g heap can evict a drain block before the
+            # driver fetches it (TaskResultLost even across the 3 local
+            # retries — the eviction repeats). 96m > the export's 64m
+            # target_block_bytes: results go direct, never stored.
+            .config("spark.task.maxDirectResultSize", "96m")
             .config("spark.sql.shuffle.partitions", "16")
             .config("spark.sql.session.timeZone", "UTC")
             .getOrCreate()
