@@ -1464,6 +1464,28 @@ def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(docs, lm, n=2)
 
 
+DSIR_BUCKETS = 512
+DSIR_K = 50
+
+
+def q_doc_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): hashed-bigram
+    importance weights (target = doc_id%7==0 slice, raw = the rest) and
+    a DETERMINISTIC Gumbel top-k resample — noise derived from the
+    portable md5 hash, ranking key an integer micro-nat sum, so the
+    draw is reproducible and fully oracle-checkable."""
+    from ncagg_spark.pipeline.dsir import (
+        dsir_sample,
+        hashed_ngram_logratios,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tgt = docs.filter(F.col("doc_id") % 7 == 0)
+    raw = docs.filter(F.col("doc_id") % 7 != 0)
+    lr = hashed_ngram_logratios(tgt, raw, n=2, buckets=DSIR_BUCKETS)
+    return dsir_sample(raw, lr, k=DSIR_K, n=2, buckets=DSIR_BUCKETS)
+
+
 BM25_TERMS = ["spark", "join", "window", "vector"]
 
 
@@ -1675,6 +1697,7 @@ _REGISTRY: list[tuple[str, _T, bool]] = [
     ("doc_decontaminate", q_doc_decontaminate, True),
     ("doc_lm_score", q_doc_lm_score, True),  # r11: CCNet-style LM scoring
     ("doc_bm25_topk", q_doc_bm25_topk, True),  # r11: BM25 retrieval
+    ("doc_dsir_sample", q_doc_dsir_sample, True),  # r11: DSIR resampling
     ("emb_srp_topk", q_emb_srp_topk, True),
     ("emb_ivfpq_topk", q_emb_ivfpq_topk, True),  # r10: IVFADC composition
     ("emb_ivf_topk", q_emb_ivf_topk, True),
@@ -1717,7 +1740,7 @@ _REGISTRY: list[tuple[str, _T, bool]] = [
     ("doc_lang_id", q_doc_lang_id, True),
     ("doc_minhash_sig", q_doc_minhash_sig, True),
     ("doc_lsh_pairs", q_doc_lsh_pairs, True),
-    ("doc_simhash_near_dup", q_doc_simhash_near_dup, True),
+    ("doc_simhash_near_dup", q_doc_simhash_near_dup, False),  # twin: doc_dup_clusters (r11)
     ("doc_dup_spans", q_doc_dup_spans, True),
     ("doc_top_ngrams", q_doc_top_ngrams, False),  # twin: doc_decontaminate (r11)
     ("doc_dup_clusters", q_doc_dup_clusters, True),
@@ -2423,6 +2446,27 @@ def oracle_sql() -> dict[str, str]:
         "WITH "
         + sql_ngram_lm_ctes(n=2, ref_where="doc_id % 10 = 0")
         + sql_lm_score(n=2)
+    )
+
+    # DSIR resampling: twins in pipeline/dsir.py — hashed-bigram
+    # log-ratios over the %7 target/raw split, deterministic Gumbel
+    # top-k (integer micro-nat ranking key)
+    from ncagg_spark.pipeline.dsir import sql_dsir_ctes, sql_dsir_sample
+
+    sqls["doc_dsir_sample"] = (
+        "WITH "
+        + sql_dsir_ctes(
+            n=2,
+            buckets=DSIR_BUCKETS,
+            target_where="doc_id % 7 = 0",
+            raw_where="doc_id % 7 <> 0",
+        )
+        + sql_dsir_sample(
+            k=DSIR_K,
+            n=2,
+            buckets=DSIR_BUCKETS,
+            doc_where="doc_id % 7 <> 0",
+        )
     )
 
     # BM25 retrieval: scores twin in pipeline/search.py; rank window

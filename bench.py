@@ -87,6 +87,7 @@ EXTENDED_QUERIES = [
     "emb_semdedup",
     "doc_lm_score",
     "doc_bm25_topk",
+    "doc_dsir_sample",
 ]
 
 LOAD_CERTIFY_MAX = 0.5

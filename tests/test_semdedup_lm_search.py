@@ -338,3 +338,102 @@ def test_bm25_rejects_empty_query(spark):
     docs = _docs_df(spark, ["a"])
     with pytest.raises(ValueError):
         bm25_scores(docs, [])
+
+
+# --- DSIR -----------------------------------------------------------------
+
+
+def _hash64_py(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    from ncagg_spark.pipeline.dsir import (
+        dsir_weights,
+        hashed_ngram_logratios,
+    )
+
+    tgt = _docs_df(spark, ["alpha beta alpha beta"] * 4)
+    raw = _docs_df(
+        spark,
+        ["alpha beta alpha", "zeta quux zeta", "alpha beta", "quux zeta"],
+    )
+    lr = hashed_ngram_logratios(tgt, raw, n=2, buckets=256)
+    w = {
+        r["doc_id"]: r["weight"]
+        for r in dsir_weights(raw, lr, n=2, buckets=256).collect()
+    }
+    # target-like docs (alpha-beta bigrams) outweigh off-target ones
+    assert w[0] > w[1] and w[2] > w[3]
+
+
+def test_dsir_weights_match_closed_form(spark):
+    """Hand-replicate the whole chain (md5 bucket, add-one smoothing,
+    micro-nat floors) for a 2-bucket-collision-free fixture."""
+    import math
+
+    from ncagg_spark.pipeline.dsir import (
+        dsir_weights,
+        hashed_ngram_logratios,
+    )
+
+    B, a = 4096, 1.0  # big bucket space -> no collisions in this fixture
+    tgt = _docs_df(spark, ["a b", "a b"])  # gram "a b" x2
+    raw = _docs_df(spark, ["a b", "c d"])  # grams "a b", "c d"
+    lr = hashed_ngram_logratios(tgt, raw, n=2, buckets=B)
+    got = {
+        r["doc_id"]: (r["w_micro"], r["weight"])
+        for r in dsir_weights(raw, lr, n=2, buckets=B).collect()
+    }
+    tt, tr = 2.0, 2.0
+
+    def lrm(t_cnt, r_cnt):
+        return math.floor(
+            math.log(
+                ((t_cnt + a) / (tt + a * B))
+                / ((r_cnt + a) / (tr + a * B))
+            )
+            * 1e6
+        )
+
+    assert got[0] == (lrm(2, 1), _round6(lrm(2, 1) / 1e6))
+    assert got[1] == (lrm(0, 1), _round6(lrm(0, 1) / 1e6))
+
+
+def test_dsir_gumbel_deterministic_and_portable(spark):
+    import math
+
+    from ncagg_spark.pipeline.dsir import _U_MOD, gumbel_micro
+
+    df = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    got = {
+        r["doc_id"]: r["g"]
+        for r in df.select(
+            "doc_id", gumbel_micro("doc_id").alias("g")
+        ).collect()
+    }
+    for i in range(20):
+        u = (_hash64_py(f"gumbel|{i}") % _U_MOD + 0.5) / _U_MOD
+        assert got[i] == math.floor(-math.log(-math.log(u)) * 1e6)
+
+
+def test_dsir_sample_is_stable_under_repartition(spark):
+    from ncagg_spark.pipeline.dsir import (
+        dsir_sample,
+        hashed_ngram_logratios,
+    )
+
+    texts = [f"w{i % 5} w{(i * 3) % 5} w{(i * 7) % 5}" for i in range(60)]
+    docs = _docs_df(spark, texts)
+    tgt = docs.filter(F.col("doc_id") % 3 == 0)
+    raw = docs.filter(F.col("doc_id") % 3 != 0)
+    lr = hashed_ngram_logratios(tgt, raw, n=2, buckets=128)
+    a = dsir_sample(raw, lr, k=10, n=2, buckets=128).collect()
+    b = dsir_sample(
+        raw.repartition(9), lr, k=10, n=2, buckets=128
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    ids = [r["doc_id"] for r in a]
+    assert len(ids) == len(set(ids)) == 10  # without replacement
