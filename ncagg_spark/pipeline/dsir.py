@@ -156,15 +156,11 @@ def dsir_weights(
             + (F.col("n_grams") - F.col("hit_n"))
             * F.col("backoff_micro")
         ).alias("w_micro"),
-        F.round(
-            (
-                F.coalesce(F.col("hit_sum"), F.lit(0)).cast("double")
-                + (F.col("n_grams") - F.col("hit_n")).cast("double")
-                * F.col("backoff_micro").cast("double")
-            )
-            / F.lit(MICRO),
-            6,
-        ).alias("weight"),
+    ).withColumn(
+        # the same BIGINT / 1e6 is bit-identical in any engine (no
+        # round(): it resolves exact decimal halves engine-specifically)
+        "weight",
+        F.col("w_micro").cast("double") / F.lit(MICRO),
     )
 
 
@@ -326,10 +322,10 @@ def sql_dsir_sample(
                        + (count(*) - count(lr.lr_micro))
                          * (SELECT min(backoff_micro) FROM lr)
                            AS w_micro,
-                       round((coalesce(sum(lr.lr_micro), 0)::DOUBLE
-                              + (count(*) - count(lr.lr_micro))::DOUBLE
-                                * (SELECT min(backoff_micro) FROM lr))
-                             / 1000000.0, 6) AS weight
+                       (coalesce(sum(lr.lr_micro), 0)
+                        + (count(*) - count(lr.lr_micro))
+                          * (SELECT min(backoff_micro) FROM lr))::DOUBLE
+                           / 1000000.0 AS weight
                 FROM (SELECT doc_id, {bexpr} AS bucket
                       FROM (SELECT doc_id, unnest({grams}) AS gram
                             FROM documents WHERE {doc_where}) d) d

@@ -132,19 +132,29 @@ def lm_score(
     # unseen grams take the backoff constant; pull it from the model via
     # a one-row broadcast (all rows carry the same value by construction)
     bk = lm.agg(F.min("backoff_micro").alias("backoff_micro"))
+    # The mean stays in INTEGER micro-nats end-to-end: half-up division
+    # (2*S + m) div (2*m) instead of round(S/(1e6*m), 6). An engine
+    # round() of the true ratio sits on an exact half whenever
+    # S mod m == m/2 — and Spark (BigDecimal of the shortest decimal
+    # rendering) and DuckDB (scaled nearbyint of the binary double)
+    # resolve those halves DIFFERENTLY often enough to flip ~19 of 50k
+    # docs at sf1.0. Integer division has no such boundary; the final
+    # /1e6 of the same BIGINT is bit-identical in any engine.
+    neg = -(
+        F.coalesce(F.col("hit_sum"), F.lit(0))
+        + (F.col("n_grams") - F.col("hit_n")) * F.col("backoff_micro")
+    )
     return (
         scored.crossJoin(F.broadcast(bk))
+        .withColumn("__neg", neg)
         .select(
             id_col,
             "n_grams",
-            F.round(
-                -(
-                    F.coalesce(F.col("hit_sum"), F.lit(0)).cast("double")
-                    + (F.col("n_grams") - F.col("hit_n")).cast("double")
-                    * F.col("backoff_micro").cast("double")
-                )
-                / (F.lit(MICRO) * F.col("n_grams").cast("double")),
-                6,
+            (
+                F.expr(
+                    "(2 * __neg + n_grams) div (2 * n_grams)"
+                ).cast("double")
+                / F.lit(MICRO)
             ).alias("avg_nll"),
         )
     )
@@ -209,13 +219,18 @@ def sql_lm_score(*, n: int = 2, id_expr: str = "doc_id") -> str:
     the exact SQL twin of ``lm_score`` (requires sql_ngram_lm_ctes in
     the WITH list)."""
     grams = sql_word_ngrams(sql_tokenize("text"), n) if n > 1 else sql_tokenize("text")
+    # half-up INTEGER division in micro-nats (see lm_score: engine
+    # round() resolves exact halves differently across engines)
+    neg = (
+        "(-(coalesce(sum(lm.lp_micro), 0) "
+        "+ (count(*) - count(lm.lp_micro)) "
+        "* (SELECT min(backoff_micro) FROM lm)))"
+    )
     return f"""
         SELECT {id_expr},
                count(*)::BIGINT AS n_grams,
-               round(-(coalesce(sum(lm.lp_micro), 0)::DOUBLE
-                       + (count(*) - count(lm.lp_micro))::DOUBLE
-                         * (SELECT min(backoff_micro) FROM lm))
-                     / (1000000.0 * count(*)::DOUBLE), 6) AS avg_nll
+               ((2 * {neg} + count(*)) // (2 * count(*)))::DOUBLE
+                   / 1000000.0 AS avg_nll
         FROM (SELECT doc_id, unnest({grams}) AS gram FROM documents) d
         LEFT JOIN lm ON lm.gram = d.gram
         GROUP BY {id_expr}"""

@@ -101,11 +101,12 @@ def bm25_scores(
             .alias("c_micro"),
         )
     )
+    # no engine round(): the score IS the integer micro sum divided by
+    # 1e6 — the same BIGINT / 1e6 is bit-identical in any engine,
+    # whereas round() resolves exact decimal halves engine-specifically
     return contrib.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_terms"),
-        F.round(F.sum("c_micro").cast("double") / F.lit(MICRO), 6).alias(
-            "score"
-        ),
+        (F.sum("c_micro").cast("double") / F.lit(MICRO)).alias("score"),
     )
 
 
@@ -181,5 +182,5 @@ def sql_bm25_scores(
             FROM tf JOIN dfreq d ON d.tok = tf.tok CROSS JOIN consts c
         )
         SELECT doc_id, count(*)::BIGINT AS n_terms,
-               round(sum(c_micro)::DOUBLE / 1000000.0, 6) AS score
+               sum(c_micro)::DOUBLE / 1000000.0 AS score
         FROM contrib GROUP BY doc_id"""

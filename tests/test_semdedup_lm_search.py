@@ -9,7 +9,6 @@ hand values, and edge semantics.
 from __future__ import annotations
 
 import math
-from decimal import ROUND_HALF_UP, Decimal
 
 import numpy as np
 import pytest
@@ -201,18 +200,6 @@ def test_semdedup_survivors_partition_invariant(spark, clustered):
     )
 
 
-def _round6(x: float) -> float:
-    """Spark's round(col, 6) semantics: HALF_UP over the shortest decimal
-    rendering (BigDecimal.valueOf). Python's built-in round() uses the
-    exact binary value and can differ by 1 ulp of the 6th decimal on
-    exact-half boundaries (e.g. -2079443/2e6)."""
-    return float(
-        Decimal(repr(float(x))).quantize(
-            Decimal("1e-6"), rounding=ROUND_HALF_UP
-        )
-    )
-
-
 # --- n-gram LM ------------------------------------------------------------
 
 
@@ -237,11 +224,15 @@ def test_lm_score_matches_closed_form(spark):
     def lp(c):
         return math.floor(math.log((c + a) / denom) * 1e6)
 
-    # doc 0: grams "a b" (c=3), "b c" (c=1)
-    want0 = _round6(-(lp(3) + lp(1)) / (1e6 * 2))
+    # doc 0: grams "a b" (c=3), "b c" (c=1); half-up integer division
+    # in micro-nats (the engine-round-free convention)
+    def avg(neg, m):
+        return ((2 * neg + m) // (2 * m)) / 1e6
+
+    want0 = avg(-(lp(3) + lp(1)), 2)
     # doc 1: grams "z z" x2, both unseen -> backoff
     bk = math.floor(math.log(a / denom) * 1e6)
-    want1 = _round6(-(2 * bk) / (1e6 * 2))
+    want1 = avg(-(2 * bk), 2)
     assert got[0] == (2, want0)
     assert got[1] == (2, want1)
 
@@ -304,7 +295,7 @@ def _bm25_ref(docs, terms, k1=1.2, b=0.75):
             part = tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
             s += math.floor(idf * part * 1e6)
         if n_terms:
-            out[i] = (n_terms, _round6(s / 1e6))
+            out[i] = (n_terms, s / 1e6)
     return out
 
 
@@ -398,8 +389,8 @@ def test_dsir_weights_match_closed_form(spark):
             * 1e6
         )
 
-    assert got[0] == (lrm(2, 1), _round6(lrm(2, 1) / 1e6))
-    assert got[1] == (lrm(0, 1), _round6(lrm(0, 1) / 1e6))
+    assert got[0] == (lrm(2, 1), lrm(2, 1) / 1e6)
+    assert got[1] == (lrm(0, 1), lrm(0, 1) / 1e6)
 
 
 def test_dsir_gumbel_deterministic_and_portable(spark):
