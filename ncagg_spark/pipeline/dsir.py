@@ -78,20 +78,25 @@ def hashed_ngram_logratios(
     a = float(alpha)
     b = int(buckets)
 
-    def _counts(df: DataFrame, name: str) -> DataFrame:
-        return (
-            df.select(F.explode(_grams(text_col, n)).alias("gram"))
-            .select(_bucket(F.col("gram"), b, salt).alias("bucket"))
-            .groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias(name))
+    def _occ(df: DataFrame, is_t: int) -> DataFrame:
+        return df.select(
+            F.lit(is_t).alias("is_t"),
+            F.explode(_grams(text_col, n)).alias("gram"),
+        ).select(
+            "is_t", _bucket(F.col("gram"), b, salt).alias("bucket")
         )
 
-    tc = _counts(target, "t_cnt")
-    rc = _counts(raw, "r_cnt")
-    joined = tc.join(rc, on="bucket", how="full").select(
-        "bucket",
-        F.coalesce("t_cnt", F.lit(0)).alias("t_cnt"),
-        F.coalesce("r_cnt", F.lit(0)).alias("r_cnt"),
+    # ONE tagged pass + ONE groupBy replaces the naive per-side count +
+    # full-outer join (3 shuffles -> 1); buckets unseen on a side get 0
+    # exactly as the outer join's coalesce did
+    joined = (
+        _occ(target, 1)
+        .unionByName(_occ(raw, 0))
+        .groupBy("bucket")
+        .agg(
+            F.sum("is_t").alias("t_cnt"),
+            F.sum(F.lit(1) - F.col("is_t")).alias("r_cnt"),
+        )
     )
     totals = joined.agg(
         F.sum("t_cnt").cast("double").alias("tt"),

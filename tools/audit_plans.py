@@ -181,12 +181,15 @@ def write_plans_md(rows: dict, sf: str) -> None:
         "Arrow-batched Python (mapInPandas — the sanctioned Python path);",
         "rowPy = row-at-a-time Python (`BatchEvalPython`, must be 0);",
         "pushed = parquet scan has pushed filters; cartesian = cross/NL",
-        "join. The four cartesian rows are declared-bounded: the exact",
+        "join. Every cartesian row is declared-bounded: the exact",
         "ANN baselines (emb_near_dup, emb_brute_topk), emb_pq_topk's",
-        "ADC join against the <=10-row query side, and",
-        "agg_regularize_anchored's backward leading-fill anchor, a",
+        "ADC join against the <=10-row query side,",
+        "agg_regularize_anchored's backward leading-fill anchor (a",
         "broadcast of the ONE-ROW first-real-record aggregate onto the",
-        "grid (operators/gapfill.py, r7). emb_ivfpq_topk is NOT one of",
+        "grid, operators/gapfill.py, r7), and the ONE-ROW broadcast",
+        "model constants of doc_lm_score / doc_bm25_topk /",
+        "doc_dsir_sample (pipeline lm/search/dsir, r11).",
+        "emb_ivfpq_topk is NOT one of",
         "them: its ADC join is an equi-join on cell.",
         "",
         "Scale-audited (AQE FINAL plans at sf1.0 and sf10): see",
