@@ -11,7 +11,10 @@ pretraining pipeline runs them:
     3. near dedup          (MinHash -> LSH candidates -> n-gram Jaccard
                             verify -> connected components -> keep one
                             representative per cluster)
-    4. decontamination     (drop docs covering >= max_bench_frac of any
+    4. LM fluency gate     (CCNet-style: score survivors under an
+                            n-gram LM trained on ``lm_reference``, keep
+                            avg_nll <= max_avg_nll; optional)
+    5. decontamination     (drop docs covering >= max_bench_frac of any
                             benchmark doc's n-grams; optional)
 
 Everything is a DataFrame composition — one logical plan per stage, no
@@ -60,6 +63,9 @@ def clean_corpus(
     max_dup_5gram_frac: float | None = None,
     max_shared_span: int | None = None,
     span_k: int = 8,
+    lm_reference: DataFrame | None = None,
+    max_avg_nll: float | None = None,
+    lm_n: int = 2,
     cc_num_partitions: int | None = None,
 ) -> DataFrame:
     """Run the full cleaning chain; returns surviving rows of ``docs``
@@ -142,6 +148,21 @@ def clean_corpus(
             F.col("id_b").alias(id_col)
         ).distinct().localCheckpoint(eager=True)
         kept = kept.join(drop, on=id_col, how="left_anti")
+
+    if lm_reference is not None and max_avg_nll is not None:
+        # CCNet fluency cut on the dedup survivors (running it after
+        # dedup scores each retained doc once, never its duplicates);
+        # gram-less docs drop (no evidence -> not kept), matching
+        # pipeline/lm.py's perplexity_filter
+        from ncagg_spark.pipeline.lm import lm_score, ngram_lm
+
+        lm = ngram_lm(lm_reference, n=lm_n, text_col=text_col)
+        fluent = (
+            lm_score(kept, lm, n=lm_n, id_col=id_col, text_col=text_col)
+            .filter(F.col("avg_nll") <= F.lit(float(max_avg_nll)))
+            .select(id_col)
+        )
+        kept = kept.join(fluent, on=id_col, how="inner")
 
     if benchmark is not None:
         contaminated = (

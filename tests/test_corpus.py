@@ -101,3 +101,30 @@ def test_clean_corpus_span_gate(spark):
     kept = clean_corpus(docs, max_shared_span=12)
     ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
     assert ids == {1, 3}
+
+
+def test_clean_corpus_lm_fluency_gate(spark):
+    from pyspark.sql import functions as F
+
+    from ncagg_spark.pipeline.lm import lm_score, ngram_lm
+
+    fluent = "the cat sat on the mat near the door"
+    gibberish = "zx qy vw kj pf tb nm rr ss tt"
+    docs = spark.createDataFrame(
+        [(1, fluent), (2, fluent + " again today"), (3, gibberish)],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame(
+        [(i, fluent) for i in range(10, 14)], "doc_id long, text string"
+    )
+    # pick the cut between the in-domain and gibberish scores
+    scores = {
+        r["doc_id"]: r["avg_nll"]
+        for r in lm_score(docs, ngram_lm(ref, n=2), n=2).collect()
+    }
+    cut = (max(scores[1], scores[2]) + scores[3]) / 2
+    # without the gate: all three survive (distinct docs)
+    assert clean_corpus(docs).count() == 3
+    kept = clean_corpus(docs, lm_reference=ref, max_avg_nll=cut)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert ids == {1, 2}
