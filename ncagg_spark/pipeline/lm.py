@@ -107,11 +107,12 @@ def lm_score(
     text_col: str = "text",
 ) -> DataFrame:
     """Score every document: (id, n_grams, avg_nll) where avg_nll is the
-    mean negative log-prob in nats over the doc's gram occurrences,
-    rounded to 6 (the repo-wide hashable-float convention). Documents
-    with fewer than ``n`` tokens have no grams and are absent (an LM
-    score over zero events is undefined; filter-stage callers treat
-    absence as "no evidence", not "bad").
+    mean negative log-prob in nats over the doc's gram occurrences —
+    computed as a half-up INTEGER division in micro-nats, then divided
+    by 1e6 (no engine round(); see the inline comment). Documents with
+    fewer than ``n`` tokens have no grams and are absent (an LM score
+    over zero events is undefined; filter-stage callers treat absence
+    as "no evidence", not "bad").
 
     The join is a plain equi-join on the gram string — the LM side is
     O(vocab^n), so AQE broadcasts it at any realistic reference size;

@@ -18,8 +18,10 @@ Relational shape (Spark-first, zero UDFs):
   broadcast back in.
 - Per-term contributions are quantized to integer micro-units
   (floor(score * 1e6) BIGINT) so the per-doc sum is exact in any
-  partition order, then rendered back as round(sum/1e6, 6) — the
-  repo-standard cross-engine float convention. All float inputs to the
+  partition order, then rendered back as the plain division sum/1e6 —
+  the same BIGINT over the same constant is bit-identical in any
+  engine (an engine round() is NOT: Spark and DuckDB resolve exact
+  decimal halves differently). All float inputs to the
   chain (tf, dl, df, N, avgdl) are integers or single divisions of
   integers, identical in both engines; ln bit-parity is probed in
   pipeline/lm.py's module docstring.
@@ -50,7 +52,8 @@ def bm25_scores(
     """(id, n_terms, score) for every document matching >= 1 query term.
 
     ``n_terms`` = distinct query terms present (the conjunction-ish
-    signal callers often rank by first); ``score`` = BM25, rounded to 6.
+    signal callers often rank by first); ``score`` = BM25 in micro-unit
+    resolution (integer micro sum / 1e6).
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")

@@ -158,6 +158,11 @@ def semantic_duplicate_pairs(
                     "cosine": pd.Series([], dtype="float64"),
                 }
             )
+        # np.round is half-to-EVEN while the relational path's F.round
+        # is half-up over the shortest decimal rendering; they can
+        # disagree only when a cosine lands within 1 ulp of an exact
+        # 1e-6 half — never observed on real data, and the equality
+        # tests pin the paths on fixed fixtures
         order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
         ids = pdf[id_col].to_numpy()[order]
         X = np.asarray(
