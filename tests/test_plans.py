@@ -30,10 +30,11 @@ SF = "/root/testdata/sf0.001"
 #   agg_regularize_anchored — gap_fill(anchor="previous") broadcasts the
 #     ONE-ROW first-real-record aggregate onto the grid (the backward
 #     leading-fill anchor, r7); a 1-row broadcast side by construction.
-#   doc_lm_score / doc_bm25_topk — the LM/BM25 model constants (T, V,
-#     backoff / N, avgdl) ride a ONE-ROW broadcast agg cross-joined onto
-#     the scoring plan (pipeline/lm.py, pipeline/search.py); a 1-row
-#     broadcast side by construction, same shape as
+#   doc_lm_score / doc_bm25_topk / doc_dsir_sample — the LM/BM25/DSIR
+#     model constants (T, V, backoff / N, avgdl / target-vs-raw totals)
+#     ride a ONE-ROW broadcast agg cross-joined onto the scoring plan
+#     (pipeline/lm.py, pipeline/search.py, pipeline/dsir.py:116,156); a
+#     1-row broadcast side by construction, same shape as
 #     agg_regularize_anchored's anchor.
 CROSS_OK = {
     "emb_brute_topk",
@@ -42,6 +43,7 @@ CROSS_OK = {
     "agg_regularize_anchored",
     "doc_lm_score",
     "doc_bm25_topk",
+    "doc_dsir_sample",
 }
 
 
