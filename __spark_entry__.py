@@ -70,6 +70,7 @@ from ncagg_spark.pipeline.lm import (
 )
 from ncagg_spark.pipeline.search import bm25_topk, sql_bm25_scores
 from ncagg_spark.pipeline.semdedup import semantic_dedup
+from ncagg_spark.pipeline.packing import pack_sequences, sql_pack_sequences
 from ncagg_spark.pipeline.text import (
     LANG_PRECEDENCE,
     benchmark_overlap,
@@ -78,7 +79,11 @@ from ncagg_spark.pipeline.text import (
     fingerprint,
     mean_token_length,
     quality_score,
+    repetition_counts,
+    repetition_keep,
     sql_bpeish_tokens,
+    sql_lines,
+    sql_paragraphs,
     sql_stopword_hits,
     sql_tokenize,
     sql_winnow_fingerprint,
@@ -1277,6 +1282,33 @@ def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (r11): concatenate the corpus token
+    stream in doc_id order and split it into fixed 128-token training
+    sequences; returns the (seq_id, doc_id, doc_offset, seq_offset,
+    seg_len) dataloader manifest. The global token offsets come from a
+    two-phase DISTRIBUTED prefix sum (pipeline/packing.py) — the only
+    single-partition window runs over <= 256 bucket subtotals, never the
+    corpus — while the DuckDB oracle states the same semantics as one
+    sequential cumulative window."""
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), seq_len=128, drop_incomplete=True
+    )
+
+
+def q_doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate (r11; Rae et al. 2021 §A1.1) as
+    exact integers: per-doc duplicate-line / duplicate-paragraph /
+    top-2-gram / duplicated-5-gram counts plus the keep verdict at the
+    published thresholds (0.30/0.30/0.20/0.30) computed by integer
+    cross-multiplication — no double ever hashed. Pure per-row Catalyst
+    expressions: ONE scan, no shuffle, no UDF at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", *repetition_counts(F.col("text"))
+    ).withColumn("keep", repetition_keep())
+
+
 def q_doc_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash (winnowing-style) fingerprint: min hash over 8-token
     shingle windows."""
@@ -1698,10 +1730,16 @@ _REGISTRY: list[tuple[str, _T, bool]] = [
     ("doc_lm_score", q_doc_lm_score, True),  # r11: CCNet-style LM scoring
     ("doc_bm25_topk", q_doc_bm25_topk, True),  # r11: BM25 retrieval
     ("doc_dsir_sample", q_doc_dsir_sample, True),  # r11: DSIR resampling
+    # r11 second half: sequence packing (distributed prefix sum) and the
+    # Gopher repetition gate enter the window; out go mm_hash_features
+    # (twin mm_features — same mapInPandas feature extractor) and
+    # doc_chunk (twin doc_pack_sequences — same token-segment-manifest
+    # family: explode over token offsets, integer segment arithmetic)
+    ("doc_pack_sequences", q_doc_pack_sequences, True),
+    ("doc_repetition_filter", q_doc_repetition_filter, True),
     ("emb_srp_topk", q_emb_srp_topk, True),
     ("emb_ivfpq_topk", q_emb_ivfpq_topk, True),  # r10: IVFADC composition
     ("emb_ivf_topk", q_emb_ivf_topk, True),
-    ("mm_hash_features", q_mm_hash_features, True),
     ("mm_features", q_mm_features, True),
     ("agg_multidim", q_agg_multidim, True),
     # -- ncagg core (events) --
@@ -1746,7 +1784,6 @@ _REGISTRY: list[tuple[str, _T, bool]] = [
     ("doc_dup_clusters", q_doc_dup_clusters, True),
     ("doc_near_dedup", q_doc_near_dedup, True),
     ("doc_pii_redact", q_doc_pii_redact, True),
-    ("doc_chunk", q_doc_chunk, True),
     # -- embeddings (similarity) --
     ("emb_near_dup", q_emb_near_dup, False),  # twin: emb_semdedup (r11)
     ("emb_semdedup", q_emb_semdedup, True),  # r11: SemDeDup cluster-scoped dedup
@@ -1754,6 +1791,8 @@ _REGISTRY: list[tuple[str, _T, bool]] = [
     ("emb_pq_topk", q_emb_pq_topk, True),
     # -- tail (past the driver window; check_oracle gates them all) --
     ("emb_ivf_kmeans_topk", q_emb_ivf_kmeans_topk, False),  # twin: emb_ivf_topk (r11 rotation)
+    ("mm_hash_features", q_mm_hash_features, False),  # twin: mm_features (r11 rotation)
+    ("doc_chunk", q_doc_chunk, False),  # twin: doc_pack_sequences (r11 rotation)
     ("doc_ngram_jaccard", q_doc_ngram_jaccard, False),  # twins: doc_clean_corpus, doc_near_dedup (r11)
     ("doc_token_count", q_doc_token_count, False),  # twin: doc_text_stats (r11)
     ("agg_regularize_anchored", q_agg_regularize_anchored, False),  # twin: agg_regularize_day
@@ -2623,6 +2662,50 @@ def oracle_sql() -> dict[str, str]:
                         list_slice(toks, chunk_start + 1, chunk_start + 40), ' '),
                         '') AS chunk_text
         FROM s
+    """
+
+    sqls["doc_pack_sequences"] = sql_pack_sequences(
+        "documents", seq_len=128, drop_incomplete=True
+    )
+
+    # the Gopher repetition gate: same integer counts; DuckDB computes
+    # the 2-gram mode count via explode->groupBy->max (its list lambdas
+    # have no struct accumulator for the run-length trick)
+    _LINES = sql_lines("text")
+    _PARAS = sql_paragraphs("text")
+    _G2 = sql_word_ngrams(_TOKENS, 2)
+    _G5 = sql_word_ngrams(_TOKENS, 5)
+    sqls["doc_repetition_filter"] = f"""
+        WITH base AS (
+            SELECT doc_id, {_LINES} AS lines, {_PARAS} AS paras,
+                   {_G2} AS g2, {_G5} AS g5
+            FROM documents
+        ),
+        top2 AS (
+            SELECT doc_id, max(c) AS top_n FROM (
+                SELECT doc_id, gram, count(*) AS c
+                FROM (SELECT doc_id, unnest(g2) AS gram FROM base)
+                GROUP BY doc_id, gram
+            ) GROUP BY doc_id
+        ),
+        cnt AS (
+            SELECT b.doc_id,
+                   len(lines) AS n_lines,
+                   len(list_distinct(lines)) AS n_uniq_lines,
+                   len(paras) AS n_paras,
+                   len(list_distinct(paras)) AS n_uniq_paras,
+                   len(g2) AS n_2grams,
+                   coalesce(t.top_n, 0) AS top_2gram_n,
+                   len(g5) AS n_5grams,
+                   len(list_distinct(g5)) AS n_uniq_5grams
+            FROM base b LEFT JOIN top2 t ON b.doc_id = t.doc_id
+        )
+        SELECT *,
+               ((n_lines - n_uniq_lines) * 10 <= n_lines * 3)
+               AND ((n_paras - n_uniq_paras) * 10 <= n_paras * 3)
+               AND (top_2gram_n * 5 <= n_2grams * 1)
+               AND ((n_5grams - n_uniq_5grams) * 10 <= n_5grams * 3) AS keep
+        FROM cnt
     """
 
     sqls["doc_lang_id"] = f"""

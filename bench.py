@@ -88,6 +88,8 @@ EXTENDED_QUERIES = [
     "doc_lm_score",
     "doc_bm25_topk",
     "doc_dsir_sample",
+    "doc_pack_sequences",
+    "doc_repetition_filter",
 ]
 
 LOAD_CERTIFY_MAX = 0.5

@@ -200,6 +200,23 @@ def sql_word_ngrams(tokens_expr: str, n: int) -> str:
     )
 
 
+def sql_lines(expr: str) -> str:
+    """DuckDB twin of `_lines`: trimmed non-blank lines."""
+    return (
+        f"list_filter(list_transform(regexp_split_to_array({expr}, '\\n'), "
+        f"s -> trim(s)), s -> s <> '')"
+    )
+
+
+def sql_paragraphs(expr: str) -> str:
+    """DuckDB twin of `_paragraphs`: blank-line-separated paragraphs."""
+    return (
+        f"list_filter(list_transform("
+        f"regexp_split_to_array({expr}, '\\n\\s*\\n'), "
+        f"s -> trim(s)), s -> s <> '')"
+    )
+
+
 def sql_stopword_hits(tokens_expr: str, lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
     return f"len(list_filter({tokens_expr}, t -> t IN ({words})))"
@@ -284,30 +301,35 @@ def duplicate_line_fraction(col: Column | str) -> Column:
     )
 
 
-def duplicate_paragraph_fraction(col: Column | str) -> Column:
-    """Same signal over blank-line-separated paragraphs."""
-    paras = F.filter(
+def _paragraphs(col: Column | str) -> Column:
+    return F.filter(
         F.transform(
             F.split(_c(col), r"\n\s*\n"), lambda s: F.trim(s)
         ),
         lambda s: s != F.lit(""),
     )
+
+
+def duplicate_paragraph_fraction(col: Column | str) -> Column:
+    """Same signal over blank-line-separated paragraphs."""
+    paras = _paragraphs(col)
     n = F.size(paras)
     return F.when(n > 0, 1.0 - F.size(F.array_distinct(paras)) / n).otherwise(
         F.lit(0.0)
     )
 
 
-def top_ngram_fraction(col: Column | str, n: int = 2) -> Column:
-    """Fraction of all n-gram occurrences taken by the single most
-    frequent n-gram — high values mean one phrase dominates the doc.
+def top_ngram_count(col: Column | str, n: int = 2) -> Column:
+    """Occurrence count of the single most frequent n-gram (the mode
+    multiplicity) — the integer numerator of `top_ngram_fraction`,
+    exposed separately so round-free driver queries can compare
+    integers instead of hashing a double.
 
     Expression-only mode count: sort the gram array, then the longest
     run of equal neighbors is the mode multiplicity (aggregate over the
     sorted array with a (run, best, prev) accumulator).
     """
     grams = F.array_sort(word_ngrams(tokenize(_c(col)), n))
-    total = F.size(grams)
     best = F.aggregate(
         grams,
         F.struct(
@@ -327,7 +349,16 @@ def top_ngram_fraction(col: Column | str, n: int = 2) -> Column:
         ),
         lambda acc: acc["best"],
     )
-    return F.when(total > 0, best / total).otherwise(F.lit(0.0))
+    return best
+
+
+def top_ngram_fraction(col: Column | str, n: int = 2) -> Column:
+    """Fraction of all n-gram occurrences taken by the single most
+    frequent n-gram — high values mean one phrase dominates the doc."""
+    total = F.size(word_ngrams(tokenize(_c(col)), n))
+    return F.when(
+        total > 0, top_ngram_count(col, n) / total
+    ).otherwise(F.lit(0.0))
 
 
 def duplicated_ngram_fraction(col: Column | str, n: int = 5) -> Column:
@@ -351,3 +382,53 @@ def repetition_signals(col: Column | str) -> list[Column]:
         top_ngram_fraction(col, 2).alias("top_2gram_frac"),
         duplicated_ngram_fraction(col, 5).alias("dup_5gram_frac"),
     ]
+
+
+def repetition_counts(col: Column | str) -> list[Column]:
+    """The same repetition signals as RAW INTEGER counts — numerators
+    and denominators separately, so a driver query can gate on exact
+    integer cross-multiplication instead of hashing a double (the repo's
+    round-free convention). Per-row Catalyst expressions only: one scan,
+    no shuffle, codegen throughout."""
+    lines = _lines(col)
+    paras = _paragraphs(col)
+    grams5 = word_ngrams(tokenize(_c(col)), 5)
+    return [
+        F.size(lines).alias("n_lines"),
+        F.size(F.array_distinct(lines)).alias("n_uniq_lines"),
+        F.size(paras).alias("n_paras"),
+        F.size(F.array_distinct(paras)).alias("n_uniq_paras"),
+        F.size(word_ngrams(tokenize(_c(col)), 2)).alias("n_2grams"),
+        top_ngram_count(col, 2).alias("top_2gram_n"),
+        F.size(grams5).alias("n_5grams"),
+        F.size(F.array_distinct(grams5)).alias("n_uniq_5grams"),
+    ]
+
+
+def repetition_keep(
+    *,
+    max_dup_line: tuple[int, int] = (3, 10),
+    max_dup_para: tuple[int, int] = (3, 10),
+    max_top_2gram: tuple[int, int] = (1, 5),
+    max_dup_5gram: tuple[int, int] = (3, 10),
+) -> Column:
+    """Gopher-style repetition gate over `repetition_counts` columns as
+    an EXACT integer predicate: each threshold is a rational (num, den),
+    e.g. dup_line_frac <= 3/10 becomes
+    ``den * (n_lines - n_uniq_lines) <= num * n_lines`` — no floating
+    division, so Spark and the SQL oracle agree bit-for-bit (empty
+    denominators reduce to 0 <= 0 = keep, matching the fraction form's
+    0.0)."""
+    ln, ld = max_dup_line
+    pn, pd = max_dup_para
+    tn, td = max_top_2gram
+    gn, gd = max_dup_5gram
+    return (
+        ((F.col("n_lines") - F.col("n_uniq_lines")) * ld
+         <= F.col("n_lines") * ln)
+        & ((F.col("n_paras") - F.col("n_uniq_paras")) * pd
+           <= F.col("n_paras") * pn)
+        & (F.col("top_2gram_n") * td <= F.col("n_2grams") * tn)
+        & ((F.col("n_5grams") - F.col("n_uniq_5grams")) * gd
+           <= F.col("n_5grams") * gn)
+    )

@@ -217,3 +217,86 @@ class TestRepetitionSignals:
             df.explain("formatted")
         assert "BatchEvalPython" not in buf.getvalue()
         assert "ArrowEvalPython" not in buf.getvalue()
+
+
+class TestRepetitionCounts:
+    """The integer (round-free) form behind doc_repetition_filter."""
+
+    def test_counts_match_fraction_form(self, spark):
+        from ncagg_spark.pipeline.text import (
+            repetition_counts,
+            repetition_signals,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "x\nx\nx\nx"),
+                (2, "the cat sat the cat ran the cat"),
+                (3, ""),
+                (4, "p one\n\np two\n\np one"),
+            ],
+            "doc_id long, text string",
+        )
+        both = df.select(
+            "doc_id", *repetition_counts("text"), *repetition_signals("text")
+        )
+        for r in both.collect():
+            if r["n_lines"]:
+                assert r["dup_line_frac"] == pytest.approx(
+                    (r["n_lines"] - r["n_uniq_lines"]) / r["n_lines"]
+                )
+            if r["n_paras"]:
+                assert r["dup_para_frac"] == pytest.approx(
+                    (r["n_paras"] - r["n_uniq_paras"]) / r["n_paras"]
+                )
+            if r["n_2grams"]:
+                assert r["top_2gram_frac"] == pytest.approx(
+                    r["top_2gram_n"] / r["n_2grams"]
+                )
+            if r["n_5grams"]:
+                assert r["dup_5gram_frac"] == pytest.approx(
+                    (r["n_5grams"] - r["n_uniq_5grams"]) / r["n_5grams"]
+                )
+
+    def test_keep_gate_integer_thresholds(self, spark):
+        from ncagg_spark.pipeline.text import (
+            repetition_counts,
+            repetition_keep,
+        )
+
+        clean = "the quick brown fox jumps over the lazy dog today"
+        spammy = "\n".join(["buy now"] * 10)
+        df = spark.createDataFrame(
+            [(1, clean), (2, spammy), (3, "")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["keep"]
+            for r in df.select("doc_id", *repetition_counts("text"))
+            .withColumn("keep", repetition_keep())
+            .collect()
+        }
+        # clean passes, the 90%-duplicate-line page fails, empty passes
+        # (every gate reduces to 0 <= 0, matching the fraction form's 0.0)
+        assert got == {1: True, 2: False, 3: True}
+
+    def test_counts_are_expression_only(self, spark):
+        import io
+        from contextlib import redirect_stdout
+
+        from ncagg_spark.pipeline.text import (
+            repetition_counts,
+            repetition_keep,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a b c")], "doc_id long, text string"
+        ).select("doc_id", *repetition_counts("text")).withColumn(
+            "keep", repetition_keep()
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "BatchEvalPython" not in plan
+        assert "Exchange" not in plan  # one scan, zero shuffles
