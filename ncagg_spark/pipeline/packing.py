@@ -74,8 +74,10 @@ def token_offsets(
         ).limit(0)
     lo, hi = int(rng["lo"]), int(rng["hi"])
     width = max(1, -(-(hi - lo + 1) // n_buckets))  # ceil, >= 1
+    # integer DIV keeps bucketing exact at any id magnitude; any
+    # monotonic-in-id bucket function preserves the prefix-sum order
     bucketed = counts.withColumn(
-        "__b", ((F.col(id_col) - F.lit(lo)) / F.lit(width)).cast("long")
+        "__b", F.expr(f"(`{id_col}` - {lo}L) div {width}L")
     )
     # exclusive offsets of each bucket: tiny frame, tiny window
     bucket_off = (

@@ -135,3 +135,16 @@ class TestPackSequences:
             )
         )
         assert rows == [(0, 1, 0, 0, 8), (1, 1, 8, 0, 2), (1, 2, 0, 2, 6)]
+
+    def test_extreme_id_magnitudes_stay_exact(self, spark):
+        """Bucketing uses integer DIV — ids near 2^62 must not wobble."""
+        base = 1 << 62
+        df = spark.createDataFrame(
+            [(base + i * 1_000_003, f"t{i} " * (i + 1)) for i in range(6)],
+            "doc_id long, text string",
+        )
+        rows = token_offsets(df, n_buckets=4).orderBy("doc_id").collect()
+        starts = [r["start"] for r in rows]
+        toks = [r["n_tok"] for r in rows]
+        assert toks == [1, 2, 3, 4, 5, 6]
+        assert starts == [0, 1, 3, 6, 10, 15]
