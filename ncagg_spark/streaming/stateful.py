@@ -118,6 +118,15 @@ FILL_SCHEMA = T.StructType(
     ]
 )
 
+# event-time mode keeps, per key, the last FINALIZED slot plus the
+# pending (not-yet-finalized) record timestamps above the watermark
+ORDERED_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_us", T.LongType()),
+        T.StructField("pending_us", T.ArrayType(T.LongType())),
+    ]
+)
+
 
 def make_gap_filler(
     step_us: int,
@@ -197,6 +206,133 @@ def make_gap_filler(
     return fill
 
 
+def make_ordered_gap_filler(
+    step_us: int,
+    dt_max_s: float,
+    *,
+    max_fill_per_gap: int = 10_000,
+):
+    """Out-of-order-robust variant of ``make_gap_filler`` (r12 root
+    cause, tools/stream_state_diag.py): FileStreamSource breaks
+    modification-time ties arbitrarily, so with maxFilesPerTrigger a
+    micro-batch can deliver a LATER time slice before an EARLIER one.
+    The arrival-order filler then synthesizes fills across the forward
+    jump — over slots whose real records are still in a later batch
+    (observed: fills colliding with real slots, reals never
+    duplicated).
+
+    This variant buffers record timestamps in state and finalizes a
+    record only once the event-time watermark passes it: each batch,
+    all pending timestamps <= watermark are sorted, gap-filled against
+    the last finalized slot, and emitted; the rest stay in state
+    (bounded by watermark delay x per-key rate). Records arriving
+    below the already-finalized anchor (later than the watermark
+    allows) pass through as real rows without fill synthesis — same
+    late-data rule as the arrival mode. Requires ``withWatermark`` on
+    the stream (``fill_gaps_online(order="eventtime")`` applies it).
+    """
+    dt_max_us = int(round(dt_max_s * 1_000_000))
+
+    def fill(
+        key: Tuple[str],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # EventTimeTimeout: watermark passed every pending record
+            # + dt_max with no new data — finalize everything left.
+            last_us, pending = (
+                state.get if state.exists else (None, [])
+            )
+            state.remove()
+            pending = sorted(pending or [])
+            out_us, out_fill = [], []
+            for u in pending:
+                if last_us is not None and u - last_us > dt_max_us:
+                    n = max(1, int((u - last_us) / step_us + 0.5) - 1)
+                    n = min(n, max_fill_per_gap)
+                    out_us.extend(
+                        range(
+                            last_us + step_us,
+                            last_us + (n + 1) * step_us,
+                            step_us,
+                        )
+                    )
+                    out_fill.extend([True] * n)
+                out_us.append(u)
+                out_fill.append(False)
+                last_us = u if last_us is None else max(last_us, u)
+            if out_us:
+                yield pd.DataFrame(
+                    {
+                        "key": key[0],
+                        "ts": pd.to_datetime(
+                            pd.Series(out_us, dtype="int64") * 1000
+                        ),
+                        "is_fill": out_fill,
+                    }
+                )
+            return
+        last_us, pending = state.get if state.exists else (None, [])
+        pending = list(pending or [])
+        ts_all = [pdf["ts"] for pdf in pdfs]
+        if ts_all:
+            ts = pd.concat(ts_all).dropna()
+            pending.extend((ts.astype("int64") // 1000).tolist())
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        pending.sort()
+        out_us: list[int] = []
+        out_fill: list[bool] = []
+        keep: list[int] = []
+        for u in pending:
+            if u > wm_us:
+                keep.append(u)
+                continue
+            if last_us is not None and u <= last_us:
+                # too-late record (below the finalized anchor): pass
+                # through, never re-anchor or synthesize backwards
+                out_us.append(u)
+                out_fill.append(False)
+                continue
+            if last_us is not None and u - last_us > dt_max_us:
+                n = max(1, int((u - last_us) / step_us + 0.5) - 1)
+                n = min(n, max_fill_per_gap)
+                out_us.extend(
+                    range(
+                        last_us + step_us,
+                        last_us + (n + 1) * step_us,
+                        step_us,
+                    )
+                )
+                out_fill.extend([True] * n)
+            out_us.append(u)
+            out_fill.append(False)
+            last_us = u
+        if last_us is None and not keep:
+            state.remove() if state.exists else None
+        else:
+            state.update((last_us, keep))
+            if keep:
+                # flush leftovers once the watermark passes the last
+                # pending record + dt_max (EventTimeTimeout fires on
+                # watermark advance, never wall clock)
+                state.setTimeoutTimestamp(
+                    (keep[-1] + dt_max_us) // 1000 + 1
+                )
+        if out_us:
+            yield pd.DataFrame(
+                {
+                    "key": key[0],
+                    "ts": pd.to_datetime(
+                        pd.Series(out_us, dtype="int64") * 1000
+                    ),
+                    "is_fill": out_fill,
+                }
+            )
+
+    return fill
+
+
 def fill_gaps_online(
     grouped_stream: DataFrame,
     *,
@@ -206,42 +342,84 @@ def fill_gaps_online(
     max_fill_per_gap: int = 10_000,
     output_mode: str = "append",
     timeout: str = "processing",
+    order: str = "arrival",
+    watermark_delay: str = "10 seconds",
 ) -> DataFrame:
     """Wire the online gap filler onto a streaming DataFrame with columns
     (key_col, ts): emits the regularized stream (real + synthetic rows).
 
-    ``timeout="processing"`` (default) GCs quiet keys' state after
-    dt_max of processing time — right for an unbounded 24/7 stream.
-    Pass ``timeout="none"`` for BOUNDED availableNow runs: with a
-    processing-time timeout registered, an availableNow query NEVER
-    self-terminates — Spark keeps scheduling ~1 s empty
+    ``order="arrival"`` (default) emits as records arrive and ASSUMES
+    per-key event-time-monotone arrival ACROSS micro-batches (within a
+    batch the records are sorted). This is the natural mode for
+    log-append sources. It is NOT safe under a file source whose files
+    carry identical modification times: FileStreamSource breaks mtime
+    ties arbitrarily, a batch can deliver a later time slice first,
+    and the filler will synthesize fills across the forward jump over
+    slots whose real records are still pending (r12 root cause of the
+    r11 cross-provider divergence — proven in
+    tools/stream_state_diag.py: fills collide with later real slots,
+    reals never duplicate; the state-store providers were both
+    correct). Either feed files with strictly increasing mtimes in
+    event-time order (mtime order IS honored — measured) or use
+    ``order="eventtime"``.
+
+    ``order="eventtime"`` buffers records in state and finalizes only
+    below the event-time watermark (``watermark_delay``): output is
+    independent of how files are grouped into micro-batches, at the
+    cost of watermark-delay latency and O(delay x rate) state per key.
+    Uses EventTimeTimeout to flush trailing pending records once the
+    watermark passes them (watermark advance, not wall clock — safe
+    under availableNow; the final records within the last delay window
+    stay unemitted until more data or a final empty batch advances the
+    watermark).
+
+    ``timeout="processing"`` (default, arrival mode) GCs quiet keys'
+    state after dt_max of processing time — right for an unbounded
+    24/7 stream. Pass ``timeout="none"`` for BOUNDED availableNow
+    runs: with a processing-time timeout registered, an availableNow
+    query NEVER self-terminates — Spark keeps scheduling ~1 s empty
     "cleaning up state" batches indefinitely, even after every key's
     state is removed (measured: 38+ batches and still active) — whereas
     with no timeout the query stops right after the data batches and
-    state simply dies with the query.
+    state simply dies with the query. Ignored for eventtime mode
+    (which always uses EventTimeTimeout).
     """
     if timeout not in ("processing", "none"):
         raise ValueError(f"unknown timeout mode: {timeout!r}")
+    if order not in ("arrival", "eventtime"):
+        raise ValueError(f"unknown order mode: {order!r}")
+    keyed = grouped_stream.selectExpr(f"{key_col} AS key", "ts")
+    if order == "eventtime":
+        fn = make_ordered_gap_filler(
+            step_us, dt_max_s, max_fill_per_gap=max_fill_per_gap
+        )
+        return (
+            keyed.withWatermark("ts", watermark_delay)
+            .groupBy("key")
+            .applyInPandasWithState(
+                fn,
+                outputStructType=FILL_SCHEMA,
+                stateStructType=ORDERED_STATE_SCHEMA,
+                outputMode=output_mode,
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            )
+        )
     fn = make_gap_filler(
         step_us,
         dt_max_s,
         max_fill_per_gap=max_fill_per_gap,
         use_timeout=timeout == "processing",
     )
-    return (
-        grouped_stream.selectExpr(f"{key_col} AS key", "ts")
-        .groupBy("key")
-        .applyInPandasWithState(
-            fn,
-            outputStructType=FILL_SCHEMA,
-            stateStructType=STATE_SCHEMA,
-            outputMode=output_mode,
-            timeoutConf=(
-                GroupStateTimeout.ProcessingTimeTimeout
-                if timeout == "processing"
-                else GroupStateTimeout.NoTimeout
-            ),
-        )
+    return keyed.groupBy("key").applyInPandasWithState(
+        fn,
+        outputStructType=FILL_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode=output_mode,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout == "processing"
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

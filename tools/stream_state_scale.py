@@ -48,10 +48,21 @@ SCHEMA = "event_type string, ts timestamp"
 SECONDS_PER_PHASE = 20  # per key per phase; every 5th second missing
 
 
-def write_phase(spark, inp: str, n_keys: int, phase: int) -> int:
+def write_phase(
+    spark, inp: str, n_keys: int, phase: int, *, ordered_mtimes: bool = True
+) -> int:
     """Land one phase: n_keys series, 1 Hz, every 5th slot missing (so
     the filler keeps real per-key state), continuing each key's
-    timeline from the previous phase."""
+    timeline from the previous phase.
+
+    Each part file gets a DISTINCT mtime increasing in event-time
+    order (r12): FileStreamSource orders new files by modification
+    time but breaks ties arbitrarily, so equal-mtime files can land in
+    micro-batches out of event-time order — which the arrival-order
+    filler misreads as gaps (tools/stream_state_diag.py). With
+    strictly increasing mtimes the listing order is deterministic and
+    event-time-monotone (measured: mtime order honored, name order
+    ignored), which is the arrival-mode contract."""
     base = T0_US + phase * SECONDS_PER_PHASE * 1_000_000
     df = (
         spark.range(n_keys * SECONDS_PER_PHASE)
@@ -67,11 +78,45 @@ def write_phase(spark, inp: str, n_keys: int, phase: int) -> int:
         .filter((F.unix_micros("ts") / 1_000_000) % 5 != 4)
     )
     n = df.count()
+    before = set(os.listdir(inp))
     df.coalesce(4).write.mode("append").parquet(inp)
+    if not ordered_mtimes:
+        # tools/stream_state_diag.py uses this to reproduce the r11
+        # bug: equal mtimes -> arbitrary tie-break -> out-of-order
+        return n
+    new_files = [
+        f
+        for f in os.listdir(inp)
+        if f.endswith(".parquet") and f not in before
+    ]
+    # order the new files by their data's min ts, then stamp strictly
+    # increasing mtimes (100 s apart per file, phases well separated)
+    ranked = sorted(
+        new_files,
+        key=lambda f: spark.read.parquet(os.path.join(inp, f))
+        .agg(F.min("ts"))
+        .first()[0],
+    )
+    t_base = 1_700_000_000 + phase * 10_000
+    for i, f in enumerate(ranked):
+        p = os.path.join(inp, f)
+        os.utime(p, (t_base + 100 * i, t_base + 100 * i))
     return n
 
 
-def run_provider(spark, provider: str, n_keys: int, phases: int) -> dict:
+def run_provider(
+    spark,
+    provider: str,
+    n_keys: int,
+    phases: int,
+    *,
+    phased: bool = True,
+    ordered_mtimes: bool = True,
+) -> dict:
+    """One full workload run. ``phased=True`` stops and resumes the
+    query between phases (the 24/7 operational shape); ``phased=False``
+    lands ALL phases' files first and runs a single query — the
+    cross-restart equality control."""
     work = f"/root/repo/.scale/stream_state/{provider}"
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(work, exist_ok=True)
@@ -81,15 +126,25 @@ def run_provider(spark, provider: str, n_keys: int, phases: int) -> dict:
     saved = spark.conf.get(
         "spark.sql.streaming.stateStore.providerClass", None
     )
-    if provider == "rocksdb":
+    if provider.startswith("rocksdb"):
         spark.conf.set(
             "spark.sql.streaming.stateStore.providerClass", ROCKSDB
         )
     rows = []
     total_in = 0
     try:
-        for phase in range(phases):
-            total_in += write_phase(spark, inp, n_keys, phase)
+        if not phased:
+            for phase in range(phases):
+                total_in += write_phase(
+                    spark, inp, n_keys, phase,
+                    ordered_mtimes=ordered_mtimes,
+                )
+        for phase in range(phases if phased else 1):
+            if phased:
+                total_in += write_phase(
+                    spark, inp, n_keys, phase,
+                    ordered_mtimes=ordered_mtimes,
+                )
             stream = stream_granules(
                 spark, inp, SCHEMA, max_files_per_trigger=2
             )
@@ -164,6 +219,13 @@ def main() -> None:
     for provider in ("rocksdb", "hdfs-default"):
         print(f"provider {provider}:")
         results.append(run_provider(spark, provider, n_keys, phases))
+    # cross-restart control: same workload, one query, no stop/resume
+    print("provider hdfs-oneshot (no stop/resume):")
+    results.append(
+        run_provider(
+            spark, "hdfs-oneshot", n_keys, phases, phased=False
+        )
+    )
 
     print()
     print(
@@ -181,6 +243,38 @@ def main() -> None:
             )
     for res in results:
         print(json.dumps(res))
+
+    # equality verdict: all three runs must produce the same output
+    # multiset, and fills must equal the constructible missing slots
+    # (3 interior per key per phase + phases-1 boundary slots; the
+    # run's final cadence slot is never closed)
+    outs = []
+    for res in results:
+        p = f"/root/repo/.scale/stream_state/{res['provider']}/out"
+        outs.append(
+            spark.read.parquet(p)
+            .groupBy("key", "ts", "is_fill")
+            .count()
+        )
+    eq_01 = outs[0].exceptAll(outs[1]).count() == 0 and (
+        outs[1].exceptAll(outs[0]).count() == 0
+    )
+    eq_02 = outs[0].exceptAll(outs[2]).count() == 0 and (
+        outs[2].exceptAll(outs[0]).count() == 0
+    )
+    expected_fill = n_keys * (phases * 3 + (phases - 1))
+    print(
+        json.dumps(
+            {
+                "equal_rocksdb_vs_default": eq_01,
+                "equal_phased_vs_oneshot": eq_02,
+                "expected_fill": expected_fill,
+                "fills_ok": all(
+                    r["filled_rows"] == expected_fill for r in results
+                ),
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
