@@ -1296,11 +1296,31 @@ def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_pack_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-pluggable packing (r12, VERDICT r11 #7): the same
+    distributed-prefix-sum manifest, but over a PRECOMPUTED token-count
+    column (``count_col``) — the real-pipeline shape where counts come
+    from the actual BPE tokenizer, not the engine's tokenizer. Here the
+    precomputed column is the BPE-ish pre-token count
+    (pipeline/text.py bpeish_token_count: letter/digit/punct runs —
+    splits punctuation and numbers off like a BPE pre-tokenizer), so
+    the count_col path is exercised end-to-end against the oracle."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "bpe_n", bpeish_token_count(F.col("text"))
+    )
+    return pack_sequences(
+        d, seq_len=128, count_col="bpe_n", drop_incomplete=True
+    )
+
+
 def q_doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition gate (r11; Rae et al. 2021 §A1.1) as
-    exact integers: per-doc duplicate-line / duplicate-paragraph /
-    top-2-gram / duplicated-5-gram counts plus the keep verdict at the
-    published thresholds (0.30/0.30/0.20/0.30) computed by integer
+    """Gopher-INSPIRED repetition gate (r11; adapted from Rae et al.
+    2021 §A1.1 — the paper's n-gram signals are character-mass
+    fractions and its duplicated-5-gram threshold is 0.15; this gate
+    uses occurrence fractions with thresholds 0.30/0.30/0.20/0.30, a
+    deliberate adaptation, not the published filter) as exact integers:
+    per-doc duplicate-line / duplicate-paragraph / top-2-gram /
+    duplicated-5-gram counts plus the keep verdict computed by integer
     cross-multiplication — no double ever hashed. Pure per-row Catalyst
     expressions: ONE scan, no shuffle, no UDF at any scale."""
     d = _t(spark, sf_dir, "documents")
@@ -1736,6 +1756,7 @@ _REGISTRY: list[tuple[str, _T, bool]] = [
     # doc_chunk (twin doc_pack_sequences — same token-segment-manifest
     # family: explode over token offsets, integer segment arithmetic)
     ("doc_pack_sequences", q_doc_pack_sequences, True),
+    ("doc_pack_bpeish", q_doc_pack_bpeish, True),  # r12: count_col packing path
     ("doc_repetition_filter", q_doc_repetition_filter, True),
     ("emb_srp_topk", q_emb_srp_topk, True),
     ("emb_ivfpq_topk", q_emb_ivfpq_topk, True),  # r10: IVFADC composition
@@ -1767,27 +1788,32 @@ _REGISTRY: list[tuple[str, _T, bool]] = [
     # agg_regularize_day — same grid/gapfill operator, G1-G7) and
     # agg_dedup_phase (twin agg_dedup_cadence — same overlap-chop
     # operator, G5/G6) rotate to the tail after 8 straight green rounds
-    ("rel_rollup", q_rel_rollup, False),  # twin: rel_cube (r11 rotation)
-    ("rel_cube", q_rel_cube, True),
+    # r12 rotation (VERDICT r11 #8): rel_rollup / doc_top_ngrams /
+    # doc_simhash_near_dup / emb_near_dup come back through the window
+    # (tail since r11) plus the new doc_pack_bpeish; out go rel_cube,
+    # rel_exists_subquery, doc_lang_id, doc_minhash_sig,
+    # emb_brute_topk — each with its in-window twin named inline
+    ("rel_rollup", q_rel_rollup, True),  # r12: back in-window
+    ("rel_cube", q_rel_cube, False),  # twin: rel_rollup (r12 rotation)
     ("rel_intersect_except", q_rel_intersect_except, True),
-    ("rel_exists_subquery", q_rel_exists_subquery, True),
+    ("rel_exists_subquery", q_rel_exists_subquery, False),  # twin: rel_semi_join (r12 rotation)
     # -- documents (LLM-pipeline text ops) --
     ("doc_exact_dedup", q_doc_exact_dedup, True),
     ("doc_text_stats", q_doc_text_stats, True),
     ("doc_quality_filter", q_doc_quality_filter, True),
-    ("doc_lang_id", q_doc_lang_id, True),
-    ("doc_minhash_sig", q_doc_minhash_sig, True),
+    ("doc_lang_id", q_doc_lang_id, False),  # twin: doc_text_stats (r12 rotation)
+    ("doc_minhash_sig", q_doc_minhash_sig, False),  # twin: doc_lsh_pairs (r12 rotation)
     ("doc_lsh_pairs", q_doc_lsh_pairs, True),
-    ("doc_simhash_near_dup", q_doc_simhash_near_dup, False),  # twin: doc_dup_clusters (r11)
+    ("doc_simhash_near_dup", q_doc_simhash_near_dup, True),  # r12: back in-window
     ("doc_dup_spans", q_doc_dup_spans, True),
-    ("doc_top_ngrams", q_doc_top_ngrams, False),  # twin: doc_decontaminate (r11)
+    ("doc_top_ngrams", q_doc_top_ngrams, True),  # r12: back in-window
     ("doc_dup_clusters", q_doc_dup_clusters, True),
     ("doc_near_dedup", q_doc_near_dedup, True),
     ("doc_pii_redact", q_doc_pii_redact, True),
     # -- embeddings (similarity) --
-    ("emb_near_dup", q_emb_near_dup, False),  # twin: emb_semdedup (r11)
+    ("emb_near_dup", q_emb_near_dup, True),  # r12: back in-window
     ("emb_semdedup", q_emb_semdedup, True),  # r11: SemDeDup cluster-scoped dedup
-    ("emb_brute_topk", q_emb_brute_topk, True),
+    ("emb_brute_topk", q_emb_brute_topk, False),  # twin: emb_near_dup, same brute cosine kernel (r12 rotation)
     ("emb_pq_topk", q_emb_pq_topk, True),
     # -- tail (past the driver window; check_oracle gates them all) --
     ("emb_ivf_kmeans_topk", q_emb_ivf_kmeans_topk, False),  # twin: emb_ivf_topk (r11 rotation)
@@ -2666,6 +2692,14 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["doc_pack_sequences"] = sql_pack_sequences(
         "documents", seq_len=128, drop_incomplete=True
+    )
+    # count_col path: the oracle's tokens_expr is the BPE-ish list, so
+    # len() of it equals the precomputed bpeish_token_count column
+    sqls["doc_pack_bpeish"] = sql_pack_sequences(
+        "documents",
+        seq_len=128,
+        tokens_expr=sql_bpeish_tokens("text"),
+        drop_incomplete=True,
     )
 
     # the Gopher repetition gate: same integer counts; DuckDB computes

@@ -201,10 +201,15 @@ def dsir_sample(
     without replacement (the Gumbel-max trick), deterministic via hashed
     noise. Returns (id, weight, rank); rank ties break to the lower id.
 
-    The global top-k window ranks O(|docs|) scored rows in one task — at
-    a scale where that matters, pre-filter with a weight threshold or
-    take per-partition top-k first (similarity.brute_force_topk_matmul's
-    merge idiom)."""
+    Every doc with >= 1 gram is scored — the whole corpus — so the
+    ranking uses the bounded two-phase top-k (pipeline/topk.py, VERDICT
+    r11 #3): per-hash-bucket top-k in a parallel window, then one tiny
+    global window over <= k x n_buckets survivors. The ranking key
+    (w_micro + Gumbel micro-nats) is an integer and the id tie-break
+    makes the order total, so ranks — and oracle hashes — are identical
+    to the single-window form."""
+    from ncagg_spark.pipeline.topk import bounded_topk
+
     w = dsir_weights(
         docs,
         logratios,
@@ -214,18 +219,16 @@ def dsir_sample(
         id_col=id_col,
         salt=salt,
     )
-    from pyspark.sql import Window
-
     keyed = w.withColumn(
         "key_micro",
         F.col("w_micro") + gumbel_micro(id_col, salt=gumbel_salt),
     )
-    win = Window.orderBy(F.col("key_micro").desc(), F.col(id_col).asc())
-    return (
-        keyed.withColumn("rank", F.row_number().over(win))
-        .filter(F.col("rank") <= int(k))
-        .select(id_col, "weight", "rank")
-    )
+    return bounded_topk(
+        keyed,
+        [F.col("key_micro").desc(), F.col(id_col).asc()],
+        k,
+        id_col=id_col,
+    ).select(id_col, "weight", "rank")
 
 
 # --- DuckDB twins ----------------------------------------------------------

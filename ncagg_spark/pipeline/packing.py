@@ -147,14 +147,18 @@ def pack_sequences(
         n_buckets=n_buckets,
     ).filter(F.col("n_tok") > 0)
     L = F.lit(seq_len).cast("long")
+    Ln = int(seq_len)
+    # integer DIV for the sequence bounds, same idiom as the bucketing
+    # above: exact at any id/offset magnitude, and matching the
+    # oracle's `//` (double division is exact only below 2^53)
     exploded = off.select(
         id_col,
         "n_tok",
         "start",
         F.explode(
             F.sequence(
-                F.floor(F.col("start") / L),
-                F.floor((F.col("start") + F.col("n_tok") - 1) / L),
+                F.expr(f"start div {Ln}L"),
+                F.expr(f"(start + n_tok - 1) div {Ln}L"),
             )
         ).alias("seq_id"),
     )
@@ -169,8 +173,19 @@ def pack_sequences(
         (seg_hi - seg_lo).cast("long").alias("seg_len"),
     )
     if drop_incomplete:
-        total = off.agg(F.sum("n_tok")).first()[0] or 0
-        out = out.filter(F.col("seq_id") < F.lit(total // seq_len))
+        # in-plan one-row broadcast agg (the lm/search/dsir constants
+        # convention): keeps the returned DataFrame lazy — no eager
+        # corpus scan at construction, no stale captured total
+        max_seq = off.agg(
+            F.expr(f"coalesce(sum(n_tok), 0L) div {Ln}L").alias(
+                "__max_seq"
+            )
+        )
+        out = (
+            out.crossJoin(F.broadcast(max_seq))
+            .filter(F.col("seq_id") < F.col("__max_seq"))
+            .drop("__max_seq")
+        )
     return out
 
 

@@ -124,22 +124,24 @@ def bm25_topk(
     text_col: str = "text",
 ) -> DataFrame:
     """Top-k documents by BM25 score (ties -> lower id, the repo-wide
-    deterministic tie-break). A single global window over the scored
-    matches — the scored set is O(matching docs), already pruned by the
-    term filter, so the one-partition window ranks a small table; at a
-    scale where even matches are huge, swap in the partial-top-k merge
-    idiom of similarity.brute_force_topk_matmul."""
+    deterministic tie-break). Ranked with the bounded two-phase top-k
+    (pipeline/topk.py, VERDICT r11 #3): a common query term makes the
+    scored set corpus-sized at 100 TB, so the only single-partition
+    sort is over the <= k x n_buckets per-bucket survivors — never the
+    scored set itself. Ranks are identical to a single global window
+    (the ordering is total via the id tie-break), so oracle hashes are
+    unchanged."""
+    from ncagg_spark.pipeline.topk import bounded_topk
+
     scores = bm25_scores(
         docs, query_terms, k1=k1, b=b, id_col=id_col, text_col=text_col
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
-    return (
-        scores.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= int(k))
-        .select(id_col, "n_terms", "score", "rank")
-    )
+    return bounded_topk(
+        scores,
+        [F.col("score").desc(), F.col(id_col).asc()],
+        k,
+        id_col=id_col,
+    ).select(id_col, "n_terms", "score", "rank")
 
 
 def sql_bm25_scores(

@@ -209,10 +209,12 @@ def sql_lines(expr: str) -> str:
 
 
 def sql_paragraphs(expr: str) -> str:
-    """DuckDB twin of `_paragraphs`: blank-line-separated paragraphs."""
+    """DuckDB twin of `_paragraphs`: blank-line-separated paragraphs.
+    Shares the explicit whitespace class with the Spark twin (Java \\s
+    includes \\x0B, RE2 \\s does not — ADVICE r11)."""
     return (
         f"list_filter(list_transform("
-        f"regexp_split_to_array({expr}, '\\n\\s*\\n'), "
+        f"regexp_split_to_array({expr}, '\\n[ \\t\\r\\n\\f]*\\n'), "
         f"s -> trim(s)), s -> s <> '')"
     )
 
@@ -302,9 +304,13 @@ def duplicate_line_fraction(col: Column | str) -> Column:
 
 
 def _paragraphs(col: Column | str) -> Column:
+    # explicit whitespace class, NOT \s: Java's \s includes \x0B
+    # (vertical tab) while DuckDB's RE2 \s does not — texts with a
+    # vertical tab between newlines would paragraph-split differently
+    # in the two engines (ADVICE r11)
     return F.filter(
         F.transform(
-            F.split(_c(col), r"\n\s*\n"), lambda s: F.trim(s)
+            F.split(_c(col), r"\n[ \t\r\n\f]*\n"), lambda s: F.trim(s)
         ),
         lambda s: s != F.lit(""),
     )

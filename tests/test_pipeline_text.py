@@ -300,3 +300,40 @@ class TestRepetitionCounts:
         plan = buf.getvalue()
         assert "BatchEvalPython" not in plan
         assert "Exchange" not in plan  # one scan, zero shuffles
+
+
+def test_paragraph_split_vertical_tab_cross_engine(spark):
+    """ADVICE r11: Java's \\s includes \\x0B (vertical tab), DuckDB's
+    RE2 \\s does not — the twins now share an explicit whitespace class
+    so a vertical tab between newlines splits identically."""
+    import duckdb
+
+    from ncagg_spark.pipeline.text import _paragraphs, sql_paragraphs
+
+    texts = [
+        "a\n\x0b\nb",          # the divergent case under \s
+        "a\n \t \nb\n\nc",     # ordinary blank-line splits
+        "one\n\x0c\ntwo",      # form feed (in both dialects' class)
+        "no split \x0b here",
+    ]
+    from pyspark.sql import functions as F
+
+    got_spark = [
+        r[0]
+        for r in spark.createDataFrame([(t,) for t in texts], "text string")
+        .select(_paragraphs(F.col("text")))
+        .collect()
+    ]
+    with duckdb.connect() as con:
+        got_duck = [
+            con.execute(
+                f"SELECT {sql_paragraphs('?::VARCHAR')}", [t]
+            ).fetchone()[0]
+            for t in texts
+        ]
+    assert got_spark == got_duck
+    # the shared class excludes \x0B (the RE2 behavior): a lone
+    # vertical tab between newlines is NOT a blank line in either engine
+    assert got_spark[0] == ["a\n\x0b\nb"]
+    assert got_spark[1] == ["a", "b", "c"]
+    assert got_spark[2] == ["one", "two"]
