@@ -534,6 +534,92 @@ def q_stream_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir).select("key", "ts", "is_fill")
 
 
+def q_stream_gap_fill_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming online gap fill under OUT-OF-ORDER granule arrival
+    (r12): the same two-day event slice as stream_gap_fill, but the
+    second-day granule is delivered BEFORE the first-day granule
+    (reversed mtimes — exactly the r11 failure shape root-caused in
+    tools/stream_state_diag.py). ``order="eventtime"`` buffers records
+    in state and finalizes only below the event-time watermark, so the
+    output must still equal the one-shot batch rule — the identical
+    DuckDB lag-window oracle as stream_gap_fill. Two far-future
+    sentinel granules (a key absent from the data, filtered out here
+    and never present in the oracle) advance the watermark so the
+    EventTimeTimeout flushes every real key's tail."""
+    import glob as _glob
+    import os
+
+    from ncagg_spark.streaming.regularize import stream_granules
+    from ncagg_spark.streaming.stateful import fill_gaps_online
+
+    base = _work_dir("ncagg_gapfill_ooo", sf_dir)
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+
+    ev = load_table(
+        spark,
+        f"{sf_dir}/events.parquet",
+        time_bounds=("ts", DAY_LO_US, GF_HI_US),
+    )
+    ev = drop_invalid_index(ev, "ts").select("ts", "event_type")
+    mid = DAY_LO_US + (GF_HI_US - DAY_LO_US) // 2
+    # watermark delay must exceed the out-of-orderness span (2 days)
+    delay_us = 49 * 3_600_000_000
+    dtmax_us = GF_DTMAX_US
+    sent_key = "zzzz__wm_sentinel"
+    sent1_us = GF_HI_US + delay_us + dtmax_us + 3_600_000_000
+    sent = spark.createDataFrame(
+        [(sent1_us,), (sent1_us + 1_000_000,)], "us long"
+    ).select(
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        F.lit(sent_key).alias("event_type"),
+    )
+    parts = [
+        ev.filter(epoch_us("ts") >= mid),  # second day FIRST
+        ev.filter(epoch_us("ts") < mid),
+        sent.filter(F.col("ts") == F.timestamp_micros(F.lit(sent1_us))),
+        sent.filter(F.col("ts") != F.timestamp_micros(F.lit(sent1_us))),
+    ]
+    mtime = 1_700_000_000
+    for i, part in enumerate(parts):
+        tmp_out = os.path.join(base, f"tmp{i}")
+        part.coalesce(1).write.parquet(tmp_out)
+        (pf,) = _glob.glob(os.path.join(tmp_out, "part-*.parquet"))
+        dst = os.path.join(in_dir, f"granule_{i}.parquet")
+        os.rename(pf, dst)
+        os.utime(dst, (mtime + 100 * i, mtime + 100 * i))
+
+    stream = stream_granules(
+        spark,
+        in_dir,
+        spark.read.parquet(in_dir).schema,
+        max_files_per_trigger=1,
+    )
+    out = fill_gaps_online(
+        stream,
+        key_col="event_type",
+        step_us=GF_STEP_US,
+        dt_max_s=GF_DTMAX_US / 1e6,
+        order="eventtime",
+        watermark_delay=f"{delay_us // 1_000_000} seconds",
+    )
+    out_dir = os.path.join(base, "out")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .filter(F.col("key") != sent_key)
+        .select("key", "ts", "is_fill")
+    )
+
+
 def q_agg_bounds_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(
         spark,
@@ -1829,6 +1915,9 @@ _REGISTRY: list[tuple[str, _T, bool]] = [
     ("rel_window_topk", q_rel_window_topk, False),  # twin: emb_brute_topk
     ("rel_anti_join", q_rel_anti_join, False),  # twin: doc_near_dedup
     ("stream_late_drop", q_stream_late_drop, False),  # twins: stream_gap_fill, stream_day_merge
+    # r12: eventtime-ordered gap fill under out-of-order granule
+    # arrival — same oracle as stream_gap_fill (twin), tail slot
+    ("stream_gap_fill_ooo", q_stream_gap_fill_ooo, False),
     # r5-retired variants, restored to the checked tail in r7 — their
     # fns + oracles never left; listing them here puts them back under
     # tools/check_oracle.py's full gate at zero new code
@@ -2180,6 +2269,9 @@ def oracle_sql() -> dict[str, str]:
         FROM gaps g,
              LATERAL (SELECT unnest(generate_series(1, g.n)) AS k) k
     """
+    # identical semantics regardless of arrival order — the point of the
+    # eventtime mode (r12): one oracle, two ingestion orders
+    sqls["stream_gap_fill_ooo"] = sqls["stream_gap_fill"]
 
     # nearest-slot assignment: floor(x + 0.5) on the identical IEEE-double
     # expression, clamped into the final slot like operators/regularize.py

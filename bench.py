@@ -90,6 +90,8 @@ EXTENDED_QUERIES = [
     "doc_dsir_sample",
     "doc_pack_sequences",
     "doc_repetition_filter",
+    # r12: the count_col packing path
+    "doc_pack_bpeish",
 ]
 
 LOAD_CERTIFY_MAX = 0.5

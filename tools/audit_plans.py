@@ -50,6 +50,10 @@ SF10_QUERIES = [
     "doc_clean_corpus",
     "doc_dup_spans",
     "doc_near_dedup",
+    # r12 (VERDICT r11 #4): the two shuffle-heaviest static plans in
+    # the repo (8 each) get the sf10 executed audit too
+    "doc_lm_score",
+    "doc_dsir_sample",
 ]
 
 
