@@ -462,6 +462,8 @@ def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # online gap-fill cadence: 10-min slots, gap trigger > 15 min
 GF_STEP_US = 600_000_000
+# streaming sessionize: > 15 min inactivity splits a session (r12)
+SESS_STREAM_GAP_US = 900_000_000
 GF_DTMAX_US = 900_000_000
 GF_HI_US = DAY_LO_US + 2 * 86_400_000_000
 
@@ -617,6 +619,87 @@ def q_stream_gap_fill_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(out_dir)
         .filter(F.col("key") != sent_key)
         .select("key", "ts", "is_fill")
+    )
+
+
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization with Spark's NATIVE session windows
+    (r12, streaming/sessionize.py): the two-day event slice keyed by
+    event_type, fed as two time-ordered granule micro-batches; sessions
+    split on > 15 min inactivity. State is one row per OPEN session;
+    append mode emits each session exactly once when the watermark
+    passes its end + gap — sessions spanning the granule boundary merge
+    in the state store, so the micro-batched output must equal the
+    one-shot batch rule, which is what the DuckDB lag-window session
+    oracle computes. Far-future sentinel granules (key filtered here,
+    absent from the oracle) advance the watermark to flush the tail."""
+    import glob as _glob
+    import os
+
+    from ncagg_spark.streaming.regularize import stream_granules
+    from ncagg_spark.streaming.sessionize import sessionize_stream
+
+    base = _work_dir("ncagg_sess_stream", sf_dir)
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+
+    ev = load_table(
+        spark,
+        f"{sf_dir}/events.parquet",
+        time_bounds=("ts", DAY_LO_US, GF_HI_US),
+    )
+    ev = drop_invalid_index(ev, "ts").select("ts", "event_type")
+    mid = DAY_LO_US + (GF_HI_US - DAY_LO_US) // 2
+    sent_key = "zzzz__wm_sentinel"
+    delay_us = 3_600_000_000  # 1h watermark (granules arrive in order)
+    sent1_us = GF_HI_US + delay_us + SESS_STREAM_GAP_US + 3_600_000_000
+    sent = spark.createDataFrame(
+        [(sent1_us,), (sent1_us + 1_000_000,)], "us long"
+    ).select(
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        F.lit(sent_key).alias("event_type"),
+    )
+    parts = [
+        ev.filter(epoch_us("ts") < mid),
+        ev.filter(epoch_us("ts") >= mid),
+        sent.filter(F.col("ts") == F.timestamp_micros(F.lit(sent1_us))),
+        sent.filter(F.col("ts") != F.timestamp_micros(F.lit(sent1_us))),
+    ]
+    mtime = 1_700_000_000
+    for i, part in enumerate(parts):
+        tmp_out = os.path.join(base, f"tmp{i}")
+        part.coalesce(1).write.parquet(tmp_out)
+        (pf,) = _glob.glob(os.path.join(tmp_out, "part-*.parquet"))
+        dst = os.path.join(in_dir, f"granule_{i}.parquet")
+        os.rename(pf, dst)
+        os.utime(dst, (mtime + 100 * i, mtime + 100 * i))
+
+    stream = stream_granules(
+        spark,
+        in_dir,
+        spark.read.parquet(in_dir).schema,
+        max_files_per_trigger=1,
+    )
+    out = sessionize_stream(
+        stream,
+        key_col="event_type",
+        gap_s=SESS_STREAM_GAP_US / 1e6,
+        watermark_delay=f"{delay_us // 1_000_000} seconds",
+    )
+    out_dir = os.path.join(base, "out")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .filter(F.col("key") != sent_key)
+        .select("key", "session_start", "session_end", "n_events")
     )
 
 
@@ -1415,6 +1498,23 @@ def q_doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("keep", repetition_keep())
 
 
+def q_doc_len_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus length quantiles WITHOUT a global sort (r12,
+    pipeline/stats.py): iterative histogram refinement — each pass is
+    one parallel scan + a <= n_quantiles x n_bins histogram agg, so a
+    64-bit range resolves in <= 7 passes and no task ever sorts or
+    holds the corpus. Semantics are SQL-standard PERCENTILE_DISC
+    (rank = max(1, ceil(q*n)) — DuckDB's quantile_disc convention,
+    probed); the oracle states it directly as quantile_disc."""
+    from ncagg_spark.pipeline.stats import exact_quantiles
+    from ncagg_spark.pipeline.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_quantiles(
+        d, token_count(F.col("text")), [0.25, 0.5, 0.9, 0.99]
+    )
+
+
 def q_doc_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash (winnowing-style) fingerprint: min hash over 8-token
     shingle windows."""
@@ -1918,6 +2018,11 @@ _REGISTRY: list[tuple[str, _T, bool]] = [
     # r12: eventtime-ordered gap fill under out-of-order granule
     # arrival — same oracle as stream_gap_fill (twin), tail slot
     ("stream_gap_fill_ooo", q_stream_gap_fill_ooo, False),
+    # r12: exact distributed quantiles (no global sort) — tail slot
+    ("doc_len_quantiles", q_doc_len_quantiles, False),
+    # r12: native session-window streaming sessionize — tail slot
+    # (twin evt_sessionize: same session rule, batch lag-window form)
+    ("stream_sessionize", q_stream_sessionize, False),
     # r5-retired variants, restored to the checked tail in r7 — their
     # fns + oracles never left; listing them here puts them back under
     # tools/check_oracle.py's full gate at zero new code
@@ -2272,6 +2377,44 @@ def oracle_sql() -> dict[str, str]:
     # identical semantics regardless of arrival order — the point of the
     # eventtime mode (r12): one oracle, two ingestion orders
     sqls["stream_gap_fill_ooo"] = sqls["stream_gap_fill"]
+
+    # native session_window streaming sessionize: the batch lag-window
+    # session rule over the same slice (merge at diff <= gap — probed
+    # equal to session_window's boundary behavior)
+    sqls["stream_sessionize"] = f"""
+        WITH e AS (
+            SELECT event_type AS key, ts FROM events
+            WHERE ts IS NOT NULL AND epoch_us(ts) > 0
+              AND ts >= make_timestamp({DAY_LO_US})
+              AND ts < make_timestamp({GF_HI_US})
+        ),
+        lagged AS (
+            SELECT *, lag(ts) OVER (PARTITION BY key ORDER BY ts) AS prev
+            FROM e
+        ),
+        flagged AS (
+            SELECT *, CASE WHEN prev IS NULL
+                             OR epoch_us(ts) - epoch_us(prev)
+                                > {SESS_STREAM_GAP_US}
+                           THEN 1 ELSE 0 END AS is_new
+            FROM lagged
+        ),
+        sessioned AS (
+            SELECT *, SUM(is_new) OVER (PARTITION BY key ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING)
+                      AS session_idx
+            FROM flagged
+        )
+        SELECT key, min(ts) AS session_start, max(ts) AS session_end,
+               count(*) AS n_events
+        FROM sessioned GROUP BY key, session_idx
+    """
+
+    from ncagg_spark.pipeline.stats import sql_exact_quantiles
+
+    sqls["doc_len_quantiles"] = sql_exact_quantiles(
+        "documents", f"len({_TOKENS})", [0.25, 0.5, 0.9, 0.99]
+    )
 
     # nearest-slot assignment: floor(x + 0.5) on the identical IEEE-double
     # expression, clamped into the final slot like operators/regularize.py

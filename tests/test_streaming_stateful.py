@@ -506,3 +506,70 @@ def test_stream_state_cross_provider_and_restart_equality(spark):
     for other in outs[1:]:
         assert outs[0].exceptAll(other).count() == 0
         assert other.exceptAll(outs[0]).count() == 0
+
+
+@pytest.mark.slow
+def test_sessionize_stream_merges_across_batches(spark, tmp_path):
+    """Native session_window (streaming/sessionize.py): a session whose
+    events straddle two micro-batches must merge in the state store and
+    emit ONCE; an event exactly gap after the previous one MERGES (the
+    probed boundary rule, equal to the batch `> gap` split)."""
+    import glob as _glob
+    import os
+
+    from ncagg_spark.streaming.sessionize import sessionize_stream
+
+    inp = str(tmp_path / "sess_in")
+    os.makedirs(inp)
+    # key A: events at 0s, 10s (batch 1) and 20s (batch 2: exactly
+    # gap=10s after 10s -> MERGES) then 45s (new session).
+    # sentinel key Z far in the future flushes the tail.
+    batches = [
+        [("A", 0), ("A", 10_000_000)],
+        [("A", 20_000_000), ("A", 45_000_000)],
+        [("Z", 7_200_000_000)],
+        [("Z", 7_201_000_000)],
+    ]
+    for i, rows in enumerate(batches):
+        tmp = str(tmp_path / f"sess_tmp{i}")
+        spark.createDataFrame(
+            [(k, T0_US + us) for k, us in rows],
+            "event_type string, us long",
+        ).select(
+            "event_type", F.timestamp_micros(F.col("us")).alias("ts")
+        ).coalesce(1).write.parquet(tmp)
+        (pf,) = _glob.glob(os.path.join(tmp, "part-*.parquet"))
+        dst = os.path.join(inp, f"granule_{i}.parquet")
+        os.rename(pf, dst)
+        m = 1_700_000_000 + 100 * i
+        os.utime(dst, (m, m))
+
+    stream = stream_granules(spark, inp, SCHEMA, max_files_per_trigger=1)
+    out = sessionize_stream(
+        stream,
+        key_col="event_type",
+        gap_s=10.0,
+        watermark_delay="5 seconds",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    got = sorted(
+        (
+            r["key"],
+            int(r["session_start"].timestamp()) - T0_US // 1_000_000,
+            int(r["session_end"].timestamp()) - T0_US // 1_000_000,
+            r["n_events"],
+        )
+        for r in spark.sql(
+            "SELECT * FROM sess_sink WHERE key != 'Z'"
+        ).collect()
+    )
+    assert got == [("A", 0, 20, 3), ("A", 45, 45, 1)]
