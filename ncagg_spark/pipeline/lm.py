@@ -114,15 +114,19 @@ def lm_score(
     over zero events is undefined; filter-stage callers treat absence
     as "no evidence", not "bad").
 
-    The join is a plain equi-join on the gram string — the LM side is
-    O(vocab^n), so AQE broadcasts it at any realistic reference size;
-    the groupBy sums integer micro-nats (exact, order-free).
+    The join is a plain equi-join on the gram string with an EXPLICIT
+    broadcast of the LM side: the model is O(vocab^n) — bounded by the
+    vocabulary, not the corpus — but left to AQE the join planned as a
+    sort-merge at sf10 (measured r12: 68k-row model, SMJ kept), which
+    costs a full corpus-side exchange on the gram. Broadcasting pins
+    the plan at any SF and deletes that shuffle; the groupBy sums
+    integer micro-nats (exact, order-free).
     """
     occ = docs.select(
         F.col(id_col), F.explode(_grams(text_col, n)).alias("gram")
     )
     scored = (
-        occ.join(lm, on="gram", how="left")
+        occ.join(F.broadcast(lm), on="gram", how="left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
