@@ -36,6 +36,10 @@ SF = "/root/testdata/sf0.001"
 #     (pipeline/lm.py, pipeline/search.py, pipeline/dsir.py:116,156); a
 #     1-row broadcast side by construction, same shape as
 #     agg_regularize_anchored's anchor.
+#   doc_pack_sequences / doc_pack_bpeish — drop_incomplete's max-seq
+#     bound is a ONE-ROW broadcast agg cross-join (r12, ADVICE r11:
+#     replaced the eager .first() so the manifest stays lazy); 1-row
+#     broadcast side by construction.
 CROSS_OK = {
     "emb_brute_topk",
     "emb_near_dup",
@@ -44,6 +48,8 @@ CROSS_OK = {
     "doc_lm_score",
     "doc_bm25_topk",
     "doc_dsir_sample",
+    "doc_pack_sequences",
+    "doc_pack_bpeish",
 }
 
 

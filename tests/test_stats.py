@@ -87,5 +87,7 @@ def test_no_global_sort_in_any_pass(spark):
         ).alias("p")
     ).filter(F.col("p").isNotNull()).groupBy("p.qi", "p.bin").count()
     s = plan._jdf.queryExecution().executedPlan().toString()
-    assert "Sort " not in s or "SortAggregate" in s  # no global sort node
-    # and the real operator resolves with exact results (covered above)
+    # a physical Sort node prints "Sort [col ASC ...]"; none may appear,
+    # and no exchange may collapse the data to one partition
+    assert "Sort [" not in s, s
+    assert "Exchange SinglePartition" not in s, s
