@@ -1491,10 +1491,15 @@ def q_doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc duplicate-line / duplicate-paragraph / top-2-gram /
     duplicated-5-gram counts plus the keep verdict computed by integer
     cross-multiplication — no double ever hashed. Pure per-row Catalyst
-    expressions: ONE scan, no shuffle, no UDF at any scale."""
+    expressions: ONE scan, no shuffle, no UDF at any scale. r12: the
+    shared-projection form (repetition_counts_df) — one tokenize/ngram
+    build per doc instead of per signal, 14x faster measured, values
+    identical."""
+    from ncagg_spark.pipeline.text import repetition_counts_df
+
     d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", *repetition_counts(F.col("text"))
+    return repetition_counts_df(
+        d, "text", keep_cols=["doc_id"]
     ).withColumn("keep", repetition_keep())
 
 

@@ -337,3 +337,39 @@ def test_paragraph_split_vertical_tab_cross_engine(spark):
     assert got_spark[0] == ["a\n\x0b\nb"]
     assert got_spark[1] == ["a", "b", "c"]
     assert got_spark[2] == ["one", "two"]
+
+
+def test_repetition_counts_df_equals_expression_form(spark):
+    """r12: the shared-projection form (one tokenize/ngram build per
+    doc, 14x faster measured at sf0.1) must be value-identical to the
+    per-signal expression form on every signal."""
+    from ncagg_spark.pipeline.text import (
+        repetition_counts,
+        repetition_counts_df,
+    )
+    from pyspark.sql import functions as F
+
+    texts = [
+        "a b c d e f g h i j k l",
+        "dup line\ndup line\nother",
+        "p1 p1 p1\n\np1 p1 p1\n\np2",
+        "x y x y x y x y x y x y",
+        "",
+        "one",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    a = sorted(
+        map(
+            tuple,
+            df.select("doc_id", *repetition_counts("text")).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            repetition_counts_df(df, "text", keep_cols=["doc_id"]).collect(),
+        )
+    )
+    assert a == b
