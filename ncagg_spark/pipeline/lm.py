@@ -105,6 +105,7 @@ def lm_score(
     n: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """Score every document: (id, n_grams, avg_nll) where avg_nll is the
     mean negative log-prob in nats over the doc's gram occurrences —
@@ -120,13 +121,18 @@ def lm_score(
     sort-merge at sf10 (measured r12: 68k-row model, SMJ kept), which
     costs a full corpus-side exchange on the gram. Broadcasting pins
     the plan at any SF and deletes that shuffle; the groupBy sums
-    integer micro-nats (exact, order-free).
+    integer micro-nats (exact, order-free). A model that outgrows the
+    broadcast limit (high n over a huge vocabulary) would turn the
+    forced broadcast into a hard failure, so ``broadcast_model=False``
+    opts back into the plain equi-join and lets AQE pick the strategy
+    (graceful sort-merge fallback) — ADVICE r12.
     """
     occ = docs.select(
         F.col(id_col), F.explode(_grams(text_col, n)).alias("gram")
     )
+    model = F.broadcast(lm) if broadcast_model else lm
     scored = (
-        occ.join(F.broadcast(lm), on="gram", how="left")
+        occ.join(model, on="gram", how="left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
@@ -173,11 +179,19 @@ def perplexity_filter(
     n: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """Keep documents scoring at or below ``max_avg_nll`` — the CCNet
     head/middle cut. Inner-joins the scores back, so gram-less docs drop
     (no evidence -> not kept), matching CCNet's length floor."""
-    scores = lm_score(docs, lm, n=n, id_col=id_col, text_col=text_col)
+    scores = lm_score(
+        docs,
+        lm,
+        n=n,
+        id_col=id_col,
+        text_col=text_col,
+        broadcast_model=broadcast_model,
+    )
     keep = scores.filter(F.col("avg_nll") <= float(max_avg_nll)).select(
         id_col, "avg_nll"
     )

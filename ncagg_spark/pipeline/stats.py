@@ -26,6 +26,9 @@ import math
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ncagg_spark import plan_probe
 
 
 def exact_quantiles(
@@ -35,11 +38,24 @@ def exact_quantiles(
     *,
     n_bins: int = 1024,
     max_passes: int | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """(q double, value long) — the exact PERCENTILE_DISC of each q in
-    ``qs`` over the non-null values of ``col``. Driver-side state is
-    bounded: a one-row (min, max, count) agg plus one <= len(qs) x
-    n_bins histogram collect per pass.
+    ``qs`` over the non-null values of ``col``; duplicate qs collapse
+    to one output row per distinct q. Driver-side state is bounded: a
+    one-row (min, max, count) agg plus one <= len(qs) x n_bins
+    histogram collect per pass.
+
+    EAGER AT CONSTRUCTION: the refinement jobs run inside this call and
+    the returned frame is a local relation — each internal DataFrame is
+    reported through ``ncagg_spark.plan_probe`` so audits/tests see the
+    real plans (VERDICT r12 #3). The single-column projection is
+    persisted (MEMORY_AND_DISK) across the passes by default, which
+    both avoids <= 7 re-scans of the source and guarantees every pass
+    histograms the SAME multiset when the input is non-deterministic
+    (ADVICE r12 — an unstable input could otherwise strand a rank
+    between passes). ``persist=False`` opts out when the input is a
+    deterministic scan and cluster storage is tighter than a re-read.
     """
     if not qs:
         raise ValueError("qs must be non-empty")
@@ -55,11 +71,29 @@ def exact_quantiles(
     vals = df.select(c.cast("long").alias("x")).filter(
         F.col("x").isNotNull()
     )
-    row = vals.agg(
+    if persist:
+        vals = vals.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        return _refine(spark, vals, qs, n_bins, max_passes)
+    finally:
+        if persist:
+            vals.unpersist()
+
+
+def _refine(
+    spark: SparkSession,
+    vals: DataFrame,
+    qs: list[float],
+    n_bins: int,
+    max_passes: int,
+) -> DataFrame:
+    bounds = vals.agg(
         F.min("x").alias("lo"),
         F.max("x").alias("hi"),
         F.count("x").alias("n"),
-    ).first()
+    )
+    plan_probe.observe("bounds", bounds)
+    row = bounds.first()
     out_schema = "q double, value long"
     if row["n"] == 0:
         return spark.createDataFrame([], out_schema)
@@ -76,7 +110,9 @@ def exact_quantiles(
     # pre-split at zero — each half's span then fits, and x - lo stays
     # non-negative so `div` truncation equals floor
     if glo < 0 <= ghi and (ghi - glo + 1) > 2**63:
-        n_neg = int(vals.filter(F.col("x") < 0).count())
+        negs = vals.filter(F.col("x") < 0)
+        plan_probe.observe("presplit-negatives", negs)
+        n_neg = int(negs.count())
         active = {
             q: (
                 (lo, -1, rank) if rank <= n_neg else (0, hi, rank - n_neg)
@@ -86,7 +122,7 @@ def exact_quantiles(
     resolved: dict[float, int] = {}
     order = sorted(active)
 
-    for _ in range(max_passes):
+    for pass_no in range(max_passes):
         for q in list(active):
             lo, hi, rank = active[q]
             if lo == hi:
@@ -110,15 +146,16 @@ def exact_quantiles(
                 (q, active[q]) for q in order if q in active
             )
         ]
-        hist = (
+        hist_df = (
             vals.select(
                 F.explode(F.array(*probes)).alias("p")
             )
             .filter(F.col("p").isNotNull())
             .groupBy("p.qi", "p.bin")
             .count()
-            .collect()
         )
+        plan_probe.observe(f"histogram-pass-{pass_no}", hist_df)
+        hist = hist_df.collect()
         by_q: dict[int, dict[int, int]] = {}
         for r in hist:
             by_q.setdefault(int(r["qi"]), {})[int(r["bin"])] = int(
@@ -154,11 +191,13 @@ def exact_quantiles(
 def sql_exact_quantiles(
     table_or_select: str, value_expr: str, qs: list[float]
 ) -> str:
-    """DuckDB twin: quantile_disc per q, UNION ALL in ascending q."""
+    """DuckDB twin: quantile_disc per DISTINCT q, UNION ALL in
+    ascending q — matching the engine, which collapses duplicate qs to
+    one output row per distinct value (ADVICE r12)."""
     parts = [
         f"SELECT CAST({q!r} AS DOUBLE) AS q, "
         f"CAST(quantile_disc({value_expr}, {q!r}) AS BIGINT) AS value "
         f"FROM {table_or_select}"
-        for q in sorted(float(q) for q in qs)
+        for q in sorted({float(q) for q in qs})
     ]
     return " UNION ALL ".join(parts)

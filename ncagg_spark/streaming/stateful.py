@@ -225,11 +225,20 @@ def make_ordered_gap_filler(
     record only once the event-time watermark passes it: each batch,
     all pending timestamps <= watermark are sorted, gap-filled against
     the last finalized slot, and emitted; the rest stay in state
-    (bounded by watermark delay x per-key rate). Records arriving
-    below the already-finalized anchor (later than the watermark
-    allows) pass through as real rows without fill synthesis — same
-    late-data rule as the arrival mode. Requires ``withWatermark`` on
-    the stream (``fill_gaps_online(order="eventtime")`` applies it).
+    (bounded by watermark delay x per-key rate).
+
+    Late-data semantics (ADVICE r12): records later than
+    ``watermark_delay`` are DROPPED, not emitted — Spark's stateful
+    late-record filter discards input rows below the watermark before
+    this function ever sees them, and the finalized anchor is always
+    <= that watermark. The ``u <= last_us`` branch below therefore
+    only fires on the exact boundary (a record equal to the watermark
+    is kept by Spark's ``>=`` filter but already finalized by our
+    ``<=`` rule) and passes it through un-duplicated; it is NOT a
+    general late-data path. Output matches the batch oracle exactly
+    when ``watermark_delay`` exceeds the stream's disorder span.
+    Requires ``withWatermark`` on the stream
+    (``fill_gaps_online(order="eventtime")`` applies it).
     """
     dt_max_us = int(round(dt_max_s * 1_000_000))
 
@@ -289,8 +298,10 @@ def make_ordered_gap_filler(
                 keep.append(u)
                 continue
             if last_us is not None and u <= last_us:
-                # too-late record (below the finalized anchor): pass
-                # through, never re-anchor or synthesize backwards
+                # boundary-only: Spark's late filter drops anything
+                # strictly below the watermark before we run, so this
+                # is only reachable for u == last_us == watermark —
+                # pass through, never re-anchor or synthesize backwards
                 out_us.append(u)
                 out_fill.append(False)
                 continue
@@ -318,6 +329,20 @@ def make_ordered_gap_filler(
                 # watermark advance, never wall clock)
                 state.setTimeoutTimestamp(
                     (keep[-1] + dt_max_us) // 1000 + 1
+                )
+            else:
+                # anchor-only state (every record finalized this
+                # batch): still register a timeout so the row is GC'd
+                # once the watermark clears last_us + dt_max — without
+                # it, a churned key's anchor would persist forever on
+                # an unbounded stream (ADVICE r12). Spark requires the
+                # timestamp to sit strictly above the current
+                # watermark, so clamp when the anchor is already old.
+                state.setTimeoutTimestamp(
+                    max(
+                        (last_us + dt_max_us) // 1000 + 1,
+                        wm_us // 1000 + 1,
+                    )
                 )
         if out_us:
             yield pd.DataFrame(

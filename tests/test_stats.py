@@ -70,24 +70,59 @@ def test_rejects_bad_inputs(spark):
 
 
 def test_no_global_sort_in_any_pass(spark):
-    """The scale claim: the per-pass jobs are scan -> histogram agg;
-    nothing ever plans a global Sort or a SinglePartition exchange over
-    the data (only the tiny final-agg exchanges)."""
+    """The scale claim, pinned on the REAL code path (ADVICE r12: the
+    old test pinned a hand-reconstructed probe query, so a regression
+    inside exact_quantiles itself would slip through): capture every
+    internal job exact_quantiles actually runs via plan_probe and
+    assert none plans a global Sort or collapses the data to one
+    partition (only scan -> histogram agg shapes)."""
+    from ncagg_spark import plan_probe
+
     df = spark.range(100_000).select(
         (F.col("id") % 9973).alias("x")
     )
-    plan = df.select(
-        F.explode(
-            F.array(
-                F.when(
-                    F.col("x").between(F.lit(0), F.lit(9972)),
-                    F.struct(F.lit(0).alias("qi"), F.expr("x div 10L").alias("bin")),
-                )
-            )
-        ).alias("p")
-    ).filter(F.col("p").isNotNull()).groupBy("p.qi", "p.bin").count()
-    s = plan._jdf.queryExecution().executedPlan().toString()
-    # a physical Sort node prints "Sort [col ASC ...]"; none may appear,
-    # and no exchange may collapse the data to one partition
-    assert "Sort [" not in s, s
-    assert "Exchange SinglePartition" not in s, s
+    with plan_probe.capture() as jobs:
+        out = exact_quantiles(df, "x", [0.25, 0.5, 0.99], n_bins=16)
+    # the refinement really ran (bounds + >= 1 histogram pass) and the
+    # answer is right
+    labels = [label for label, _ in jobs]
+    assert labels[0] == "bounds"
+    assert sum(1 for l in labels if l.startswith("histogram-pass")) >= 2
+    vals = [i % 9973 for i in range(100_000)]
+    got = {r["q"]: r["value"] for r in out.collect()}
+    assert got == {q: _ref(vals, q) for q in [0.25, 0.5, 0.99]}
+    for label, internal in jobs:
+        s = internal._jdf.queryExecution().executedPlan().toString()
+        # a physical Sort node prints "Sort [col ASC ...]"; none may
+        # appear anywhere
+        assert "Sort [" not in s, (label, s)
+        if label == "bounds":
+            # the one-row global min/max/count agg legitimately ends in
+            # a SinglePartition exchange — but only AFTER a map-side
+            # partial agg, so the exchange carries one row per task
+            assert s.count("HashAggregate") == 2, (label, s)
+        else:
+            # histogram passes: no exchange may collapse the data to
+            # one partition
+            assert "Exchange SinglePartition" not in s, (label, s)
+
+
+def test_duplicate_qs_collapse_and_sql_twin_matches(spark):
+    """Duplicate qs produce one row per distinct q in BOTH the engine
+    and the DuckDB twin (ADVICE r12: the twin used to emit one row per
+    list element)."""
+    import duckdb
+
+    from ncagg_spark.pipeline.stats import sql_exact_quantiles
+
+    vals = [3, 1, 4, 1, 5, 9, 2, 6]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = exact_quantiles(df, "x", [0.5, 0.5, 0.9, 0.5]).collect()
+    assert [r["q"] for r in got] == [0.5, 0.9]
+    sql = sql_exact_quantiles(
+        "(SELECT * FROM (VALUES (3),(1),(4),(1),(5),(9),(2),(6)) t(x))",
+        "x",
+        [0.5, 0.5, 0.9, 0.5],
+    )
+    oracle = duckdb.sql(sql).fetchall()
+    assert [(r["q"], r["value"]) for r in got] == oracle

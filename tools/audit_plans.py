@@ -165,12 +165,35 @@ def plan_facts(df, *, execute: bool = False) -> dict:
 
 def audit(spark, sf: str, names=None, *, execute: bool = False) -> dict:
     import __spark_entry__ as entry
+    from ncagg_spark import plan_probe
 
     out = {}
     for name, fn in entry.queries().items():
         if names is not None and name not in names:
             continue
-        df = fn(spark, sf)
+        with plan_probe.capture() as jobs:
+            df = fn(spark, sf)
+        if jobs:
+            # eager-at-construction query (VERDICT r12 #3): the real
+            # work ran during fn() and df is a local relation — sum the
+            # static facts over the internal jobs the operator reported
+            # through plan_probe, so the row shows the true shape
+            # instead of a vacuous 0/0/0. (No noop re-execute: the jobs
+            # already ran, and their frames may reference state — e.g.
+            # a persisted projection — that fn() tore down on return.)
+            parts = [plan_facts(idf) for _, idf in jobs]
+            agg = {
+                k: sum(p[k] for p in parts)
+                for k in ("shuffles", "bcast", "arrow", "rowpy",
+                          "smj", "bhj")
+            }
+            agg["pushed"] = any(p["pushed"] for p in parts)
+            agg["cartesian"] = any(p["cartesian"] for p in parts)
+            agg["final"] = False
+            agg["eager_jobs"] = len(jobs)
+            agg["plan"] = "\n".join(p["plan"] for p in parts)
+            out[name] = agg
+            continue
         out[name] = plan_facts(df, execute=execute)
     return out
 
@@ -196,6 +219,13 @@ def write_plans_md(rows: dict, sf: str) -> None:
         "emb_ivfpq_topk is NOT one of",
         "them: its ADC join is an equi-join on cell.",
         "",
+        "Queries tagged `(eager: N jobs at construction)` execute their",
+        "work DURING query construction (e.g. doc_len_quantiles'",
+        "iterative histogram refinement) and return a local relation;",
+        "their row sums the facts over the internal jobs reported via",
+        "ncagg_spark.plan_probe — the true shape, not the empty local",
+        "plan (VERDICT r12 #3).",
+        "",
         "Scale-audited (AQE FINAL plans at sf1.0 and sf10): see",
         "PLANS_sf1.md (`tools/audit_plans.py --scale`).",
         "",
@@ -203,8 +233,13 @@ def write_plans_md(rows: dict, sf: str) -> None:
         "|---|---|---|---|---|---|---|",
     ]
     for name, r in rows.items():
+        tag = (
+            f" (eager: {r['eager_jobs']} jobs at construction)"
+            if r.get("eager_jobs")
+            else ""
+        )
         lines.append(
-            f"| {name} | {r['shuffles']} | {r['bcast']} | {r['arrow']} "
+            f"| {name}{tag} | {r['shuffles']} | {r['bcast']} | {r['arrow']} "
             f"| {r['rowpy']} | {'yes' if r['pushed'] else '—'} "
             f"| {'yes' if r['cartesian'] else '—'} |"
         )
@@ -251,8 +286,13 @@ def write_scale_md(static: dict, sf1: dict, sf10: dict) -> None:
     for name, r1 in sf1.items():
         r0 = static.get(name)
         r10 = sf10.get(name)
+        tag = (
+            f" (eager: {r1['eager_jobs']} jobs, static shapes summed)"
+            if r1.get("eager_jobs")
+            else ""
+        )
         lines.append(
-            f"| {name} | {cell(r0)} | {cell(r1)} | {cell(r10)} "
+            f"| {name}{tag} | {cell(r0)} | {cell(r1)} | {cell(r10)} "
             f"| {'yes' if r1['pushed'] else '—'} | {r1['rowpy']} |"
         )
         if r0 and r1["shuffles"] > r0["shuffles"]:
