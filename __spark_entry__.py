@@ -1921,9 +1921,17 @@ DRIVER_WINDOW = 50
 
 _REGISTRY: list[tuple[str, _T, bool]] = [
     # (name, fn, in_window)
+    # r13 rotation (VERDICT r12 #8): 8 in / 8 out, window stays 50.
+    # IN: rel_cube, rel_exists_subquery, doc_lang_id, doc_minhash_sig,
+    # emb_brute_topk (back through the window) + the three r12 tail
+    # queries stream_gap_fill_ooo, stream_sessionize, doc_len_quantiles
+    # (first driver-gate pass). OUT (each with its in-window twin named
+    # inline at its entry): stream_gap_fill, rel_semi_join, rel_rollup,
+    # doc_text_stats, doc_lsh_pairs, emb_near_dup, evt_sessionize,
+    # doc_quality_filter.
     # -- streaming online gap-fill + composed product surfaces lead:
     #    newest, so a count- or time-capped driver run still covers them
-    ("stream_gap_fill", q_stream_gap_fill, True),
+    ("stream_gap_fill", q_stream_gap_fill, False),  # r13 out; twin: stream_gap_fill_ooo (identical DuckDB oracle, stricter out-of-order regime)
     # r11 rotation (VERDICT r10 #8): rel_semi_join / rel_window_agg /
     # rel_union_distinct re-enter the window after 6 tail rounds so
     # every capability re-earns a driver-gate hash; out go three
@@ -1933,7 +1941,7 @@ _REGISTRY: list[tuple[str, _T, bool]] = [
     # doc_ngram_jaccard (the Jaccard verify runs inside in-window
     # doc_clean_corpus and doc_near_dedup), doc_token_count (twin
     # doc_text_stats — same tokenizer expression family)
-    ("rel_semi_join", q_rel_semi_join, True),
+    ("rel_semi_join", q_rel_semi_join, False),  # r13 out; twin: rel_exists_subquery (same semi-join semantics)
     ("rel_window_agg", q_rel_window_agg, True),
     ("rel_union_distinct", q_rel_union_distinct, True),
     ("doc_clean_corpus", q_doc_clean_corpus, True),
@@ -1967,7 +1975,7 @@ _REGISTRY: list[tuple[str, _T, bool]] = [
     ("agg_promote_dim", q_agg_promote_dim, True),
     ("agg_block_diagonal", q_agg_block_diagonal, True),
     ("agg_cf_time", q_agg_cf_time, True),
-    ("evt_sessionize", q_evt_sessionize, True),
+    ("evt_sessionize", q_evt_sessionize, False),  # r13 out; twin: stream_sessionize (same > gap split rule, streaming form)
     ("evt_json_props", q_evt_json_props, True),
     ("evt_asof_purchase", q_evt_asof_purchase, True),
     # -- relational surface --
@@ -1984,17 +1992,17 @@ _REGISTRY: list[tuple[str, _T, bool]] = [
     # (tail since r11) plus the new doc_pack_bpeish; out go rel_cube,
     # rel_exists_subquery, doc_lang_id, doc_minhash_sig,
     # emb_brute_topk — each with its in-window twin named inline
-    ("rel_rollup", q_rel_rollup, True),  # r12: back in-window
-    ("rel_cube", q_rel_cube, False),  # twin: rel_rollup (r12 rotation)
+    ("rel_rollup", q_rel_rollup, False),  # r13 out; twin: rel_cube (same grouping-sets family)
+    ("rel_cube", q_rel_cube, True),  # r13: back in-window
     ("rel_intersect_except", q_rel_intersect_except, True),
-    ("rel_exists_subquery", q_rel_exists_subquery, False),  # twin: rel_semi_join (r12 rotation)
+    ("rel_exists_subquery", q_rel_exists_subquery, True),  # r13: back in-window
     # -- documents (LLM-pipeline text ops) --
     ("doc_exact_dedup", q_doc_exact_dedup, True),
-    ("doc_text_stats", q_doc_text_stats, True),
-    ("doc_quality_filter", q_doc_quality_filter, True),
-    ("doc_lang_id", q_doc_lang_id, False),  # twin: doc_text_stats (r12 rotation)
-    ("doc_minhash_sig", q_doc_minhash_sig, False),  # twin: doc_lsh_pairs (r12 rotation)
-    ("doc_lsh_pairs", q_doc_lsh_pairs, True),
+    ("doc_text_stats", q_doc_text_stats, False),  # r13 out; twin: doc_lang_id (same tokenizer expression family)
+    ("doc_quality_filter", q_doc_quality_filter, False),  # r13 out; twin: doc_clean_corpus (the quality gate runs inside)
+    ("doc_lang_id", q_doc_lang_id, True),  # r13: back in-window
+    ("doc_minhash_sig", q_doc_minhash_sig, True),  # r13: back in-window
+    ("doc_lsh_pairs", q_doc_lsh_pairs, False),  # r13 out; twins: doc_minhash_sig (same signature kernel), doc_near_dedup (LSH pairs run inside)
     ("doc_simhash_near_dup", q_doc_simhash_near_dup, True),  # r12: back in-window
     ("doc_dup_spans", q_doc_dup_spans, True),
     ("doc_top_ngrams", q_doc_top_ngrams, True),  # r12: back in-window
@@ -2002,9 +2010,9 @@ _REGISTRY: list[tuple[str, _T, bool]] = [
     ("doc_near_dedup", q_doc_near_dedup, True),
     ("doc_pii_redact", q_doc_pii_redact, True),
     # -- embeddings (similarity) --
-    ("emb_near_dup", q_emb_near_dup, True),  # r12: back in-window
+    ("emb_near_dup", q_emb_near_dup, False),  # r13 out; twin: emb_brute_topk (same brute cosine kernel)
     ("emb_semdedup", q_emb_semdedup, True),  # r11: SemDeDup cluster-scoped dedup
-    ("emb_brute_topk", q_emb_brute_topk, False),  # twin: emb_near_dup, same brute cosine kernel (r12 rotation)
+    ("emb_brute_topk", q_emb_brute_topk, True),  # r13: back in-window
     ("emb_pq_topk", q_emb_pq_topk, True),
     # -- tail (past the driver window; check_oracle gates them all) --
     ("emb_ivf_kmeans_topk", q_emb_ivf_kmeans_topk, False),  # twin: emb_ivf_topk (r11 rotation)
@@ -2022,12 +2030,12 @@ _REGISTRY: list[tuple[str, _T, bool]] = [
     ("stream_late_drop", q_stream_late_drop, False),  # twins: stream_gap_fill, stream_day_merge
     # r12: eventtime-ordered gap fill under out-of-order granule
     # arrival — same oracle as stream_gap_fill (twin), tail slot
-    ("stream_gap_fill_ooo", q_stream_gap_fill_ooo, False),
+    ("stream_gap_fill_ooo", q_stream_gap_fill_ooo, True),  # r13: in-window
     # r12: exact distributed quantiles (no global sort) — tail slot
-    ("doc_len_quantiles", q_doc_len_quantiles, False),
+    ("doc_len_quantiles", q_doc_len_quantiles, True),  # r13: in-window
     # r12: native session-window streaming sessionize — tail slot
     # (twin evt_sessionize: same session rule, batch lag-window form)
-    ("stream_sessionize", q_stream_sessionize, False),
+    ("stream_sessionize", q_stream_sessionize, True),  # r13: in-window
     # r5-retired variants, restored to the checked tail in r7 — their
     # fns + oracles never left; listing them here puts them back under
     # tools/check_oracle.py's full gate at zero new code

@@ -25,7 +25,15 @@ to re-litigating box noise):
   printing the JSON line — numbers from a contended box are recorded
   but not certified;
 * ``cold_total`` (sum of first-repeat timings) is reported alongside
-  the median total so plan-compilation cost stays visible.
+  the median total so plan-compilation cost stays visible;
+* a fixed-work machine-speed CANARY (single-core Python checksum loop +
+  an all-cores 2B-row Spark range-agg) runs immediately before AND
+  after the queries (r13, VERDICT r12 #2: box throughput swings ~1.5x
+  between sessions, so raw cross-round totals are noise). Certification
+  now requires a clean END state too: ``load_1m_end`` <= 6.0 and end
+  canary within 1.5x of the start canary. Cross-round comparisons
+  normalize by the canary ratio — the rule and the reference values
+  live in SCALE.md.
 """
 
 from __future__ import annotations
@@ -92,9 +100,60 @@ EXTENDED_QUERIES = [
     "doc_repetition_filter",
     # r12: the count_col packing path
     "doc_pack_bpeish",
+    # r13 (VERDICT r12 #6): the r12 operators join the extended bench —
+    # exact quantiles (eager: the timing below covers its construction
+    # jobs, see the q_timer note), and the two streaming queries
+    "doc_len_quantiles",
+    "stream_gap_fill_ooo",
+    "stream_sessionize",
 ]
 
 LOAD_CERTIFY_MAX = 0.5
+# the bench's own 32-thread bursts leave a ~2.0 1-min load at the end of
+# a clean run (measured r12); a concurrent heavy job pushes it well past
+# this bound
+LOAD_END_CERTIFY_MAX = 6.0
+# a box whose throughput degraded mid-run shows an inflated end canary;
+# allow normal jitter, catch a 1.5x-slowdown session (the r12 failure
+# mode: identical code measured 12.3-18.6 s across sessions)
+CANARY_DRIFT_MAX = 1.5
+
+
+def _canary(spark) -> dict:
+    """Fixed-work machine-speed probe (VERDICT r12 #2): cross-round
+    bench totals are only comparable after normalizing by box speed,
+    because the box's effective throughput swings ~1.5x between
+    sessions. Two probes, seconds each on a healthy box:
+
+    * ``py_sec`` — a single-core pure-Python checksum loop (10M
+      iterations, no allocation): interpreter + one core.
+    * ``spark_sec`` — a 2B-row ``spark.range`` sum through the noop
+      sink: JVM whole-stage codegen across all local[] cores — the
+      same substrate every benched query runs on.
+
+    The normalization rule lives in SCALE.md: compare
+    ``total * (ref_canary / this_canary)`` per probe, with the
+    reference canary pinned from the round that set the band.
+    """
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(10_000_000):
+        acc = (acc * 1315423911 + i) & 0xFFFFFFFFFFFF
+    py_sec = time.perf_counter() - t0
+    # untimed small run first: the probe must measure the box, not the
+    # one-time codegen/JIT warmup of the range-agg plan shape
+    spark.range(0, 10_000_000).selectExpr(
+        "sum(id * 3 + 1) as s"
+    ).write.format("noop").mode("overwrite").save()
+    t0 = time.perf_counter()
+    spark.range(0, 2_000_000_000).selectExpr(
+        "sum(id * 3 + 1) as s"
+    ).write.format("noop").mode("overwrite").save()
+    spark_sec = time.perf_counter() - t0
+    return {
+        "py_sec": round(py_sec, 3),
+        "spark_sec": round(spark_sec, 3),
+    }
 
 
 def _load_1m() -> float:
@@ -142,6 +201,12 @@ def main() -> None:
             "overwrite"
         ).save()
 
+    # machine-speed canary immediately before the queries (and again
+    # after them): fixed work, so the measured seconds ARE the box's
+    # speed — cross-round totals normalize by the ratio (SCALE.md)
+    canary_start = _canary(spark)
+    print(f"# canary(start): {canary_start}", file=sys.stderr)
+
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -183,14 +248,33 @@ def main() -> None:
                 file=sys.stderr,
             )
 
+    canary_end = _canary(spark)
+    print(f"# canary(end): {canary_end}", file=sys.stderr)
     load_end = _load_1m()
     total = round(sum(timings.values()), 3)
-    if not certified:
-        print(
-            f"# NOT CERTIFIED: 1-min load was {load_start:.2f} > "
-            f"{LOAD_CERTIFY_MAX} at start — rerun on an idle box",
-            file=sys.stderr,
+    # certification (VERDICT r12 #2): start-load alone could not see a
+    # box that slowed down mid-run — require the END state to be clean
+    # too: end load bounded (the bench's own footprint is ~2.0) and the
+    # end canary within CANARY_DRIFT_MAX of the start canary
+    reasons = []
+    if load_start > LOAD_CERTIFY_MAX:
+        reasons.append(
+            f"load_1m_start {load_start:.2f} > {LOAD_CERTIFY_MAX}"
         )
+    if load_end > LOAD_END_CERTIFY_MAX:
+        reasons.append(
+            f"load_1m_end {load_end:.2f} > {LOAD_END_CERTIFY_MAX}"
+        )
+    for k in ("py_sec", "spark_sec"):
+        if canary_end[k] > CANARY_DRIFT_MAX * max(canary_start[k], 1e-9):
+            reasons.append(
+                f"canary {k} drifted {canary_start[k]} -> "
+                f"{canary_end[k]} (> {CANARY_DRIFT_MAX}x): box slowed "
+                "down mid-run"
+            )
+    certified = not reasons
+    for r in reasons:
+        print(f"# NOT CERTIFIED: {r}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -204,7 +288,10 @@ def main() -> None:
                 "max_spread": max(spread.values()) if spread else 0.0,
                 "load_1m_start": round(load_start, 3),
                 "load_1m_end": round(load_end, 3),
+                "canary_start": canary_start,
+                "canary_end": canary_end,
                 "certified": certified,
+                **({"uncertified_reasons": reasons} if reasons else {}),
                 **({"extended": extended} if extended else {}),
             }
         )

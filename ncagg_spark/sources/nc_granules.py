@@ -33,6 +33,11 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
+import os
+import shutil
+import tempfile
+import uuid
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -933,22 +938,25 @@ def write_nc_aggregate_streamed(
          zero-length arrays + a ``numrecs`` override);
       3. records are range-partitioned and sorted by the index, each
          partition encodes its rows to the spec's interleaved record
-         stream via ``mapInPandas`` (pure numpy byte assembly);
-      4. the driver streams encoded blocks to the file in partition
-         order via ``toLocalIterator`` — peak driver memory is one
-         block (~``target_block_bytes``), never the dataset.
+         stream via ``mapInPandas`` (pure numpy byte assembly) and
+         APPENDS the bytes to one spill file per partition, beside the
+         output (atomic rename, so task retries are safe);
+      4. the driver collects only tiny metadata rows (pid, count,
+         path) and splices the spill files into the output with a
+         bounded copy buffer — peak driver memory is the copy buffer,
+         never a block, never the dataset.
 
     Byte-identical to ``write_nc_aggregate`` on the same input
     (pytest-asserted), so readers cannot tell which path wrote the file.
 
-    Tight-heap sessions: the drain's multi-MB task results ride the
-    block manager (IndirectTaskResult) once they exceed
-    ``spark.task.maxDirectResultSize`` (default 1 MiB), and a pressured
-    memory store can evict a result block before the driver fetches it
-    (``TaskResultLost``). Sessions running this export on a small
-    driver should set ``spark.task.maxDirectResultSize`` above
-    ``target_block_bytes`` so results bypass the block manager — a
-    static conf, so it must be set at session build.
+    The spill-file transport (r13) replaced the cached-runs +
+    ``toLocalIterator`` drain: multi-MB encoded blocks riding task
+    results could be lost by a pressured block manager
+    (``TaskResultLost``) even with retries and a raised
+    ``spark.task.maxDirectResultSize`` — moving the bytes through the
+    filesystem removes task-result transport from the big path
+    entirely. Exports that fit ONE block still use the direct
+    in-order drain (results <= ``target_block_bytes``).
 
     ``fmt="netcdf4"`` streams the HDF5 container instead: records get a
     global dense index, chunk-grid-aligned groups encode + compress
@@ -1045,6 +1053,42 @@ def write_nc_aggregate_streamed(
             layout.append((name, kind, be, inner, per, vsize))
         packed = len(layout) == 1  # single record var: no per-record padding
 
+        def _encode_rows(pdf: pd.DataFrame, n: int) -> bytes:
+            # one Arrow batch -> the spec's interleaved record bytes
+            chunks = []
+            for name, kind, be, inner, per, vsize in layout:
+                col = pdf[name]
+                if kind == "array2":
+                    w1, w2 = inner
+                    base = np.dtype(be).newbyteorder("=")
+                    mat = _nested_to_matrix(col, (w1, w2), base)
+                    a = mat.astype(be).reshape(n, w1 * w2)
+                elif kind == "array":
+                    base = np.dtype(be).newbyteorder("=")
+                    mat = _nested_to_matrix(col, (inner,), base)
+                    a = mat.astype(be)
+                elif kind == "string":
+                    mat = np.zeros((n, inner), dtype="S1")
+                    for i, s in enumerate(col):
+                        if s is None:
+                            continue
+                        bs = s.encode("utf-8")[:inner]
+                        mat[i, : len(bs)] = [bytes([c]) for c in bs]
+                    a = mat
+                else:
+                    a = col.to_numpy()
+                    if a.dtype == object:
+                        a = col.astype(np.dtype(be).newbyteorder("=")).to_numpy()
+                    a = a.astype(be).reshape(n, 1)
+                raw = np.ascontiguousarray(a).view("u1").reshape(n, per)
+                if not packed and vsize > per:
+                    padded = np.zeros((n, vsize), dtype="u1")
+                    padded[:, :per] = raw
+                    raw = padded
+                chunks.append(raw)
+            block = np.hstack(chunks) if len(chunks) > 1 else chunks[0]
+            return block.tobytes()
+
         def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             # iterator-of-batches over ONE sorted range partition:
             # batches advance a partition-local record counter, so every
@@ -1058,44 +1102,12 @@ def write_nc_aggregate_streamed(
                 if n == 0:
                     continue
                 pid = int(pdf["__pid"].iloc[0])
-                chunks = []
-                for name, kind, be, inner, per, vsize in layout:
-                    col = pdf[name]
-                    if kind == "array2":
-                        w1, w2 = inner
-                        base = np.dtype(be).newbyteorder("=")
-                        mat = _nested_to_matrix(col, (w1, w2), base)
-                        a = mat.astype(be).reshape(n, w1 * w2)
-                    elif kind == "array":
-                        base = np.dtype(be).newbyteorder("=")
-                        mat = _nested_to_matrix(col, (inner,), base)
-                        a = mat.astype(be)
-                    elif kind == "string":
-                        mat = np.zeros((n, inner), dtype="S1")
-                        for i, s in enumerate(col):
-                            if s is None:
-                                continue
-                            bs = s.encode("utf-8")[:inner]
-                            mat[i, : len(bs)] = [bytes([c]) for c in bs]
-                        a = mat
-                    else:
-                        a = col.to_numpy()
-                        if a.dtype == object:
-                            a = col.astype(np.dtype(be).newbyteorder("=")).to_numpy()
-                        a = a.astype(be).reshape(n, 1)
-                    raw = np.ascontiguousarray(a).view("u1").reshape(n, per)
-                    if not packed and vsize > per:
-                        padded = np.zeros((n, vsize), dtype="u1")
-                        padded[:, :per] = raw
-                        raw = padded
-                    chunks.append(raw)
-                block = np.hstack(chunks) if len(chunks) > 1 else chunks[0]
                 yield pd.DataFrame(
                     {
                         "pid": [pid],
                         "start": [local_pos],
                         "n": [n],
-                        "data": [block.tobytes()],
+                        "data": [_encode_rows(pdf, n)],
                     }
                 )
                 local_pos += n
@@ -1108,24 +1120,28 @@ def write_nc_aggregate_streamed(
         # starting at global record position p lands at byte
         # header + p*recsize — no ordering requirement at the sink:
         #   1. range-repartition + in-partition sort gives the global
-        #      write order; every partition encodes its rows to
-        #      (pid, local_start, n, bytes) runs — one per Arrow batch,
-        #      so task memory is one batch — fully parallel, in ONE
-        #      pass over the data, materialized DISK_ONLY (write-once
-        #      bytes do not belong in executor memory: on a tight heap
-        #      they starve the sort);
-        #   2. the per-pid run totals (a tiny agg over the CACHED runs)
-        #      give each partition's global offset — range partition
-        #      ids ascend with the key range, so offsets are a cumsum
-        #      over pid; no second scan of the raw data, no window;
-        #   3. the driver drains the cached runs in ARBITRARY order via
-        #      block-sized cache-fetch partitions and seek-writes
-        #      each at header + (offset[pid]+local_start)*recsize.
-        #      Peak driver memory = one drain partition
-        #      (~target_block_bytes, x2 with prefetch), NOT the
-        #      dataset.
-        from pyspark import StorageLevel
-
+        #      write order; every partition encodes its rows batch by
+        #      batch (task memory = one Arrow batch) and APPENDS the
+        #      bytes to ONE SPILL FILE per partition, returning only a
+        #      metadata row (pid, n, path, nbytes) — fully parallel,
+        #      ONE pass over the data;
+        #   2. the collected per-pid record counts give each
+        #      partition's global offset — range partition ids ascend
+        #      with the key range, so offsets are a cumsum over pid;
+        #   3. the driver splices each spill file into the output at
+        #      header + offset[pid]*recsize with a bounded copy
+        #      buffer. Peak driver memory = the copy buffer, NOT a
+        #      block, NOT the dataset.
+        # The spill-file transport replaced the r7-r12 cached-runs +
+        # toLocalIterator drain (VERDICT r12 #1): multi-MB task results
+        # rode the block manager (IndirectTaskResult), and a pressured
+        # 1g driver heap could evict a result block before the fetch —
+        # TaskResultLost that survived task retries AND the r11
+        # maxDirectResultSize raise (direct 64 MB results still live on
+        # the starved heap). File transport moves ZERO data through
+        # task results; the spill dir sits beside the output (same
+        # filesystem — on a cluster the single-file export target is
+        # driver-reachable shared storage, so its sibling is too).
         spark = df2.sparkSession
         total_bytes = numrecs * recsize
         if total_bytes <= target_block_bytes:
@@ -1175,15 +1191,8 @@ def write_nc_aggregate_streamed(
             .sortWithinPartitions(index_col)
             .withColumn("__pid", F.spark_partition_id())
         )
-        # the SQL columnar cache accumulates
-        # inMemoryColumnarStorage.batchSize ROWS per cache batch
-        # (default 10,000) before flushing — with megabyte binary run
-        # cells that is gigabytes of heap PER TASK; cap it to a few
-        # rows while the cached-plan is created + materialized
-        # (restored right after; the conf is captured when persist()
-        # registers the plan, so it must be set BEFORE)
-        # ... and bound the Arrow transfer batch for the encoders: the
-        # default 10,000-row batches mean every concurrent task holds a
+        # bound the Arrow transfer batch for the encoders: the default
+        # 10,000-row batches mean every concurrent task holds a
         # multi-MB Arrow allocation + an equally sized encoded run; a
         # target_block_bytes/parallelism budget keeps N concurrent
         # encode tasks' transient heap within one block total
@@ -1195,53 +1204,81 @@ def write_nc_aggregate_streamed(
                 int(target_block_bytes // max(recsize * n_cores, 1)),
             ),
         )
-        bs_key = "spark.sql.inMemoryColumnarStorage.batchSize"
-        old_bs = spark.conf.get(bs_key, None)
+        spill_dir = tempfile.mkdtemp(
+            prefix=".nc-spill-",
+            dir=os.path.dirname(os.path.abspath(path)) or ".",
+        )
+
+        def encode_spill(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            # one spill file per partition: batches arrive in sorted
+            # order, so appending them keeps the partition's records
+            # contiguous; write under a unique tmp name and os.replace
+            # (atomic) so a retried task can never expose a truncated
+            # file under the final name
+            pid = None
+            fh = None
+            tmp = None
+            n_total = 0
+            nbytes = 0
+            for pdf in batches:
+                n = len(pdf)
+                if n == 0:
+                    continue
+                if fh is None:
+                    pid = int(pdf["__pid"].iloc[0])
+                    tmp = os.path.join(
+                        spill_dir, f"part-{pid}.{uuid.uuid4().hex}.tmp"
+                    )
+                    fh = open(tmp, "wb")
+                b = _encode_rows(pdf, n)
+                fh.write(b)
+                nbytes += len(b)
+                n_total += n
+            if fh is None:
+                return
+            fh.close()
+            final = os.path.join(spill_dir, f"part-{pid}.bin")
+            os.replace(tmp, final)
+            yield pd.DataFrame(
+                {
+                    "pid": [pid],
+                    "n": [n_total],
+                    "path": [final],
+                    "nbytes": [nbytes],
+                }
+            )
+
         old_ab = spark.conf.get(ab_key, None)
-        spark.conf.set(bs_key, "4")
         spark.conf.set(ab_key, str(run_rows))
         try:
-            enc = part.mapInPandas(
-                encode, schema="pid long, start long, n long, data binary"
-            ).persist(StorageLevel.DISK_ONLY)
-            totals = {
-                r["pid"]: r["cnt"]
-                for r in enc.groupBy("pid")
-                .agg(F.sum("n").alias("cnt"))
-                .collect()  # materializes enc: the parallel encode job
-            }
+            runs = part.mapInPandas(
+                encode_spill,
+                schema="pid long, n long, path string, nbytes long",
+            ).collect()  # metadata only: one tiny row per partition
         finally:
-            for key, old in ((bs_key, old_bs), (ab_key, old_ab)):
-                if old is None:
-                    spark.conf.unset(key)
-                else:
-                    spark.conf.set(key, old)
-        offsets, acc = {}, 0
-        for pid in sorted(totals):
-            offsets[pid] = acc
-            acc += int(totals[pid])
-        # the raw cache served its consumers (spec pass + encode);
-        # free the memory store BEFORE the drain — toLocalIterator's
-        # multi-MB task-result blocks are MEMORY_ONLY, and a full
-        # store evicts them mid-flight (TaskResultLost on a tight heap)
-        df2.unpersist()
-        # Drain in ~one-block partitions: coalesce to n_blocks keeps the
-        # largest driver-resident partition ~one block (x2 with
-        # prefetch). Coalescing below n_blocks (the old min with the
-        # non-empty-run count) could merge several runs into one
-        # oversized drain partition when range skew leaves empty
-        # partitions; empty partitions cost nothing to drain, so the
-        # plain n_blocks bound is both safe and cheap (ADVICE r8).
-        drain = enc.coalesce(max(1, n_blocks))
+            if old_ab is None:
+                spark.conf.unset(ab_key)
+            else:
+                spark.conf.set(ab_key, old_ab)
+        runs.sort(key=lambda r: r["pid"])
+        for r in runs:
+            if int(r["nbytes"]) != int(r["n"]) * recsize:
+                raise RuntimeError(
+                    f"spill file {r['path']} holds {r['nbytes']} bytes "
+                    f"for {r['n']} records of {recsize} bytes each"
+                )
         written = 0
         with open(path, "wb") as f:
             f.write(header)
             hdr = len(header)
-            for row in drain.toLocalIterator(prefetchPartitions=True):
-                start = offsets[int(row["pid"])] + int(row["start"])
-                f.seek(hdr + start * recsize)
-                f.write(row["data"])
-                written += int(row["n"])
+            for r in runs:
+                f.seek(hdr + written * recsize)
+                with open(r["path"], "rb") as src:
+                    shutil.copyfileobj(src, f, 8 << 20)
+                os.unlink(r["path"])
+                written += int(r["n"])
         if written != numrecs:
             raise RuntimeError(
                 f"positional export wrote {written} records, "
@@ -1250,8 +1287,8 @@ def write_nc_aggregate_streamed(
             )
     finally:
         df2.unpersist()
-        if "enc" in locals():
-            enc.unpersist()
+        if "spill_dir" in locals():
+            shutil.rmtree(spill_dir, ignore_errors=True)
 
 
 def _fill_chunk_block(
@@ -1342,12 +1379,14 @@ def _write_nc4_streamed(
       3. each chunk-id group (exactly chunk_records rows) encodes EVERY
          variable's chunk block and runs the filter pipeline
          (shuffle+deflate) ON THE EXECUTORS — the expensive part stays
-         distributed;
-      4. the driver appends payloads to the file as they arrive in any
-         order (peak memory = one stored chunk), records their
-         addresses, then writes the metadata (chunk B-trees, object
-         headers, superblock) AFTER the data via write_hdf5's
-         ChunkedData seam.
+         distributed — appending the payloads to one spill file per
+         group (r13: payloads never ride task results, so a pressured
+         driver heap cannot lose one);
+      4. the driver collects the tiny per-chunk metadata, splices each
+         spill file's payloads into the output (peak memory = one
+         stored chunk), records their addresses, then writes the
+         metadata (chunk B-trees, object headers, superblock) AFTER
+         the data via write_hdf5's ChunkedData seam.
 
     Value-equal to ``write_nc_aggregate(fmt="netcdf4")`` (dims, attrs,
     decoded values — asserted in tests); the byte layout differs only
@@ -1441,32 +1480,61 @@ def _write_nc4_streamed(
 
         specs_c = list(specs)
         comp, shuf, C_c = compression, shuffle, C
+        # spill-file transport (r13, same mechanism as the classic
+        # path): each group writes its compressed chunk payloads to ONE
+        # spill file beside the output (atomic rename) and returns only
+        # metadata — no payload ever rides task results / the block
+        # manager, so a pressured driver heap cannot lose one
+        spill_dir = tempfile.mkdtemp(
+            prefix=".nc4-spill-",
+            dir=os.path.dirname(os.path.abspath(path)) or ".",
+        )
 
         def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values("__pos")
-            cids, names, payloads = [], [], []
-            for cid, sub in pdf.groupby("__cid", sort=True):
-                n = len(sub)
-                for name, kind, dt, width in specs_c:
-                    base = np.dtype(dt)
-                    block = _fill_chunk_block(
-                        sub[name], n, kind, base, width, C_c
-                    )
-                    raw = block.astype(base.newbyteorder("<")).tobytes()
-                    cids.append(int(cid))
-                    names.append(name)
-                    payloads.append(
-                        _encode_chunk_bytes(
-                            raw, base.itemsize,
-                            compression=comp, shuffle=shuf, fletcher32=False,
+            gid = int(pdf["__gid"].iloc[0])
+            tmp = os.path.join(
+                spill_dir, f"group-{gid}.{uuid.uuid4().hex}.tmp"
+            )
+            cids, names, offs, lens = [], [], [], []
+            off = 0
+            with open(tmp, "wb") as fh:
+                for cid, sub in pdf.groupby("__cid", sort=True):
+                    n = len(sub)
+                    for name, kind, dt, width in specs_c:
+                        base = np.dtype(dt)
+                        block = _fill_chunk_block(
+                            sub[name], n, kind, base, width, C_c
                         )
-                    )
+                        raw = block.astype(
+                            base.newbyteorder("<")
+                        ).tobytes()
+                        payload = _encode_chunk_bytes(
+                            raw, base.itemsize,
+                            compression=comp, shuffle=shuf,
+                            fletcher32=False,
+                        )
+                        fh.write(payload)
+                        cids.append(int(cid))
+                        names.append(name)
+                        offs.append(off)
+                        lens.append(len(payload))
+                        off += len(payload)
+            final = os.path.join(spill_dir, f"group-{gid}.bin")
+            os.replace(tmp, final)
             return pd.DataFrame(
-                {"cid": cids, "var": names, "payload": payloads}
+                {
+                    "cid": cids,
+                    "var": names,
+                    "off": offs,
+                    "len": lens,
+                    "path": [final] * len(cids),
+                }
             )
 
         enc = grouped.groupBy("__gid").applyInPandas(
-            encode_group, schema="cid long, var string, payload binary"
+            encode_group,
+            schema="cid long, var string, off long, len long, path string",
         )
 
         entries: dict[str, list] = {name: [] for name in meta}
@@ -1474,14 +1542,34 @@ def _write_nc4_streamed(
             var_attributes,
             {n: m[1].kind in "iu" for n, m in meta.items()},
         )
+        # metadata only: one tiny row per chunk (the entries dict the
+        # B-tree build needs holds the same count regardless)
+        rows = enc.collect()
+        by_path: dict[str, list] = {}
+        for r in rows:
+            by_path.setdefault(r["path"], []).append(r)
         with open(path, "w+b") as f:
             fbd = _FileBuilderDisk(f)
-            for row in enc.toLocalIterator(prefetchPartitions=False):
-                payload = bytes(row["payload"])
-                addr = fbd.alloc(payload)
-                kind, base, inner, chunk, vdims = meta[row["var"]]
-                offs = (int(row["cid"]) * C,) + (0,) * len(inner)
-                entries[row["var"]].append((offs, addr, len(payload)))
+            for p in sorted(by_path):
+                rs = sorted(by_path[p], key=lambda r: int(r["off"]))
+                with open(p, "rb") as src:
+                    for row in rs:
+                        src.seek(int(row["off"]))
+                        payload = src.read(int(row["len"]))
+                        if len(payload) != int(row["len"]):
+                            raise RuntimeError(
+                                f"spill file {p} truncated at "
+                                f"{row['off']}"
+                            )
+                        addr = fbd.alloc(payload)
+                        kind, base, inner, chunk, vdims = meta[
+                            row["var"]
+                        ]
+                        offs = (int(row["cid"]) * C,) + (0,) * len(inner)
+                        entries[row["var"]].append(
+                            (offs, addr, len(payload))
+                        )
+                os.unlink(p)
             variables = {}
             for name, (kind, base, inner, chunk, vdims) in meta.items():
                 variables[name] = (
@@ -1510,6 +1598,8 @@ def _write_nc4_streamed(
             )
     finally:
         df2.unpersist()
+        if "spill_dir" in locals():
+            shutil.rmtree(spill_dir, ignore_errors=True)
 
 
 def write_nc_granules(

@@ -116,21 +116,15 @@ def test_streamed_export_10m_rows_capped_driver(tmp_path):
             write_nc_aggregate_streamed,
         )
         spark = (
-            # local[8, 3]: up to 3 attempts per task — local mode
-            # defaults to maxFailures=1, so one transient TaskResultLost
-            # ("result lost from block manager", seen only under heavy
-            # box contention with this deliberately memory-starved
-            # driver) aborted the job. Real clusters run maxFailures=4;
-            # mirroring that removes the flake without loosening what
-            # the test proves (bounded driver memory).
-            SparkSession.builder.master("local[8, 3]")
+            # plain local[8], default maxFailures=1, default
+            # maxDirectResultSize: the r13 spill-file transport moves
+            # encoded blocks through the filesystem, so NOTHING rides
+            # task results / the block manager and the r7-r12
+            # TaskResultLost flake class cannot occur. Running with no
+            # retries is deliberate — the export must be deterministic
+            # on one attempt.
+            SparkSession.builder.master("local[8]")
             .config("spark.driver.memory", "1g")
-            # results above 1 MiB default ride the block manager, and a
-            # pressured 1g heap can evict a drain block before the
-            # driver fetches it (TaskResultLost even across the 3 local
-            # retries — the eviction repeats). 96m > the export's 64m
-            # target_block_bytes: results go direct, never stored.
-            .config("spark.task.maxDirectResultSize", "96m")
             .config("spark.sql.shuffle.partitions", "16")
             .config("spark.sql.session.timeZone", "UTC")
             .getOrCreate()
@@ -248,21 +242,15 @@ def test_streamed_nc4_capped_driver(tmp_path):
             write_nc_aggregate_streamed,
         )
         spark = (
-            # local[8, 3]: up to 3 attempts per task — local mode
-            # defaults to maxFailures=1, so one transient TaskResultLost
-            # ("result lost from block manager", seen only under heavy
-            # box contention with this deliberately memory-starved
-            # driver) aborted the job. Real clusters run maxFailures=4;
-            # mirroring that removes the flake without loosening what
-            # the test proves (bounded driver memory).
-            SparkSession.builder.master("local[8, 3]")
+            # plain local[8], default maxFailures=1, default
+            # maxDirectResultSize: the r13 spill-file transport moves
+            # compressed chunk payloads through the filesystem, so
+            # NOTHING rides task results / the block manager and the
+            # r7-r12 TaskResultLost flake class cannot occur. No
+            # retries is deliberate — the export must be deterministic
+            # on one attempt.
+            SparkSession.builder.master("local[8]")
             .config("spark.driver.memory", "1g")
-            # results above 1 MiB default ride the block manager, and a
-            # pressured 1g heap can evict a drain block before the
-            # driver fetches it (TaskResultLost even across the 3 local
-            # retries — the eviction repeats). 96m > the export's 64m
-            # target_block_bytes: results go direct, never stored.
-            .config("spark.task.maxDirectResultSize", "96m")
             .config("spark.sql.shuffle.partitions", "16")
             .config("spark.sql.session.timeZone", "UTC")
             .getOrCreate()

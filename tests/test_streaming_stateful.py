@@ -499,7 +499,7 @@ def test_stream_state_cross_provider_and_restart_equality(spark):
         assert res["filled_rows"] == expected_fill, res["provider"]
     outs = [
         spark.read.parquet(
-            f"/root/repo/.scale/stream_state/{r['provider']}/out"
+            f"/root/repo/.scale/stream_state/arrival-{r['provider']}/out"
         ).groupBy("key", "ts", "is_fill").count()
         for r in results
     ]
