@@ -100,9 +100,11 @@ EXTENDED_QUERIES = [
     "doc_repetition_filter",
     # r12: the count_col packing path
     "doc_pack_bpeish",
-    # r13 (VERDICT r12 #6): the r12 operators join the extended bench —
-    # exact quantiles (eager: the timing below covers its construction
-    # jobs, see the q_timer note), and the two streaming queries
+    # r13 (VERDICT r12 #6): the r12 operators join the extended bench.
+    # The timers wrap fn() itself, so eager-at-construction work
+    # (doc_len_quantiles' histogram passes) and the streaming queries'
+    # full availableNow runs ARE inside the measured interval — the
+    # trailing noop write only re-materializes their small results.
     "doc_len_quantiles",
     "stream_gap_fill_ooo",
     "stream_sessionize",
