@@ -252,7 +252,17 @@ def main() -> None:
 
     canary_end = _canary(spark)
     print(f"# canary(end): {canary_end}", file=sys.stderr)
-    load_end = _load_1m()
+    # the bench's own final queries (the streaming extended runs
+    # especially) leave a high 1-min load that decays within ~a
+    # minute; FOREIGN load does not. Poll briefly so the end-load
+    # check certifies the BOX, not our own tail work (raw value is
+    # recorded alongside).
+    load_end_raw = _load_1m()
+    load_end = load_end_raw
+    settle_deadline = time.time() + 150
+    while load_end > LOAD_END_CERTIFY_MAX and time.time() < settle_deadline:
+        time.sleep(10)
+        load_end = _load_1m()
     total = round(sum(timings.values()), 3)
     # certification (VERDICT r12 #2): start-load alone could not see a
     # box that slowed down mid-run — require the END state to be clean
@@ -267,13 +277,29 @@ def main() -> None:
         reasons.append(
             f"load_1m_end {load_end:.2f} > {LOAD_END_CERTIFY_MAX}"
         )
-    for k in ("py_sec", "spark_sec"):
-        if canary_end[k] > CANARY_DRIFT_MAX * max(canary_start[k], 1e-9):
-            reasons.append(
-                f"canary {k} drifted {canary_start[k]} -> "
-                f"{canary_end[k]} (> {CANARY_DRIFT_MAX}x): box slowed "
-                "down mid-run"
-            )
+    # py_sec is symmetric-stable within a clean run (observed <= 1.15x
+    # swing), so EITHER direction of a big swing means the box changed
+    # speed mid-run and the per-query medians are not comparable — a
+    # run that STARTED degraded and recovered is as uncertifiable as
+    # one that slowed down (observed: py 1.78 -> 0.996 start-slow run).
+    # spark_sec keeps improving with deep JIT across a long run, so
+    # only UPWARD drift is a red flag there.
+    py_hi = max(canary_start["py_sec"], canary_end["py_sec"])
+    py_lo = max(min(canary_start["py_sec"], canary_end["py_sec"]), 1e-9)
+    if py_hi > CANARY_DRIFT_MAX * py_lo:
+        reasons.append(
+            f"canary py_sec swung {canary_start['py_sec']} -> "
+            f"{canary_end['py_sec']} (> {CANARY_DRIFT_MAX}x either "
+            "way): box speed changed mid-run"
+        )
+    if canary_end["spark_sec"] > CANARY_DRIFT_MAX * max(
+        canary_start["spark_sec"], 1e-9
+    ):
+        reasons.append(
+            f"canary spark_sec drifted {canary_start['spark_sec']} -> "
+            f"{canary_end['spark_sec']} (> {CANARY_DRIFT_MAX}x): box "
+            "slowed down mid-run"
+        )
     certified = not reasons
     for r in reasons:
         print(f"# NOT CERTIFIED: {r}", file=sys.stderr)
@@ -290,6 +316,7 @@ def main() -> None:
                 "max_spread": max(spread.values()) if spread else 0.0,
                 "load_1m_start": round(load_start, 3),
                 "load_1m_end": round(load_end, 3),
+                "load_1m_end_raw": round(load_end_raw, 3),
                 "canary_start": canary_start,
                 "canary_end": canary_end,
                 "certified": certified,
