@@ -30,8 +30,12 @@ to re-litigating box noise):
   an all-cores 2B-row Spark range-agg) runs immediately before AND
   after the queries (r13, VERDICT r12 #2: box throughput swings ~1.5x
   between sessions, so raw cross-round totals are noise). Certification
-  now requires a clean END state too: ``load_1m_end`` <= 6.0 and end
-  canary within 1.5x of the start canary. Cross-round comparisons
+  now requires a clean END state too: ``load_1m_end`` <= 6.0 after a
+  short settle (our own tail work decays; foreign load does not),
+  ``load_1m_end_raw`` <= 24.0 (ADVICE r13: a foreign job that quits
+  just as the bench ends can wait out the settle window — the raw
+  pre-settle value still carries its footprint), and end canary
+  within 1.5x of the start canary. Cross-round comparisons
   normalize by the canary ratio — the rule and the reference values
   live in SCALE.md.
 """
@@ -115,6 +119,14 @@ LOAD_CERTIFY_MAX = 0.5
 # a clean run (measured r12); a concurrent heavy job pushes it well past
 # this bound
 LOAD_END_CERTIFY_MAX = 6.0
+# ADVICE r13: the settle loop (below) waits out the decay of our OWN
+# tail work before applying LOAD_END_CERTIFY_MAX — but a heavy FOREIGN
+# job that contended with the final queries and terminated just as the
+# bench ended would also settle within the window. Gate the RAW
+# (pre-settle) value too, with a bound above the bench's own footprint
+# (observed raw end loads on clean runs: ~7.5-10.9 after the extended
+# streaming queries) but below what a competing many-core job adds.
+LOAD_END_RAW_CERTIFY_MAX = 24.0
 # a box whose throughput degraded mid-run shows an inflated end canary;
 # allow normal jitter, catch a 1.5x-slowdown session (the r12 failure
 # mode: identical code measured 12.3-18.6 s across sessions)
@@ -276,6 +288,15 @@ def main() -> None:
     if load_end > LOAD_END_CERTIFY_MAX:
         reasons.append(
             f"load_1m_end {load_end:.2f} > {LOAD_END_CERTIFY_MAX}"
+        )
+    if load_end_raw > LOAD_END_RAW_CERTIFY_MAX:
+        # a contended tail cannot certify purely by waiting out the
+        # 1-min decay (ADVICE r13): the raw value carries the foreign
+        # job's footprint even after it exits
+        reasons.append(
+            f"load_1m_end_raw {load_end_raw:.2f} > "
+            f"{LOAD_END_RAW_CERTIFY_MAX}: heavy contention during the "
+            "final queries"
         )
     # py_sec is symmetric-stable within a clean run (observed <= 1.15x
     # swing), so EITHER direction of a big swing means the box changed

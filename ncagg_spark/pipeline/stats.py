@@ -51,10 +51,13 @@ def exact_quantiles(
     reported through ``ncagg_spark.plan_probe`` so audits/tests see the
     real plans (VERDICT r12 #3). The single-column projection is
     persisted (MEMORY_AND_DISK) across the passes by default, which
-    both avoids <= 7 re-scans of the source and guarantees every pass
-    histograms the SAME multiset when the input is non-deterministic
-    (ADVICE r12 — an unstable input could otherwise strand a rank
-    between passes). ``persist=False`` opts out when the input is a
+    avoids <= 7 re-scans of the source and pins the multiset across
+    passes for non-deterministic input — best-effort, not absolute: a
+    persisted block lost to executor failure is recomputed from
+    lineage, re-evaluating the source (ADVICE r13; ``.checkpoint()``
+    the input first when a hard guarantee is required). Without it, an
+    unstable input could strand a rank between passes even on a
+    healthy cluster. ``persist=False`` opts out when the input is a
     deterministic scan and cluster storage is tighter than a re-read.
     """
     if not qs:

@@ -63,6 +63,45 @@ _NP_TO_SPARK = {
     "float64": T.DoubleType(),
 }
 
+_SPILL_OPEN_HINT = (
+    "executor could not create a spill file in {dir!r}: {err}. The "
+    "streamed export writes spill files from EXECUTOR tasks and splices "
+    "them on the driver, so the spill directory must be on a filesystem "
+    "writable from every executor and readable from the driver (shared "
+    "mount). The default places it beside the output file; if the output "
+    "path is driver-local on a multi-node cluster, pass spill_dir= (or "
+    "set spark.ncagg.spillDir) pointing at shared storage."
+)
+
+
+def _resolve_spill_dir(
+    spark: SparkSession, path: str, spill_dir: str | None, prefix: str
+) -> str:
+    """Resolve where the streamed exporters put their spill files.
+
+    Precedence: explicit ``spill_dir`` argument > Spark conf
+    ``spark.ncagg.spillDir`` > a temp dir beside the output file.
+
+    Shared-filesystem REQUIREMENT (ADVICE r13): encode tasks run on
+    executors and ``open()`` spill files directly under this directory;
+    the driver then splices them into the output. On a multi-node
+    cluster the resolved location must therefore be executor-WRITABLE
+    and driver-READABLE — driver-reachable alone is not enough. The
+    beside-the-output default is only correct when the single-file
+    export target itself lives on such a shared mount (always true in
+    local mode); for a driver-local output path, pass ``spill_dir=`` or
+    set the conf. Executor-side open() failures fail fast with
+    :data:`_SPILL_OPEN_HINT` instead of a bare FileNotFoundError.
+    """
+    base = spill_dir
+    if base is None:
+        base = spark.conf.get("spark.ncagg.spillDir", None)
+    if base is None:
+        base = os.path.dirname(os.path.abspath(path)) or "."
+    else:
+        os.makedirs(base, exist_ok=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
 
 def _decode(blob: bytes, decoder: str) -> NcFile:
     if decoder in ("classic", "auto"):
@@ -921,6 +960,7 @@ def write_nc_aggregate_streamed(
     record_chunksize: int | None = None,
     compression: int | None = None,
     shuffle: bool = True,
+    spill_dir: str | None = None,
 ) -> None:
     """Bounded-memory single-file NetCDF export (classic or netCDF-4).
 
@@ -958,6 +998,19 @@ def write_nc_aggregate_streamed(
     entirely. Exports that fit ONE block still use the direct
     in-order drain (results <= ``target_block_bytes``).
 
+    **Shared-filesystem requirement (big path only).** Spill files are
+    written by EXECUTOR tasks and spliced by the driver, so the spill
+    directory must be writable from every executor and readable from
+    the driver — stronger than the old task-result transport, which
+    only needed driver reachability. By default it is created beside
+    the output file, which is correct whenever the single-file export
+    target itself is on shared storage (and always in local mode). For
+    a driver-local output path on a multi-node cluster, pass
+    ``spill_dir=`` (or set the ``spark.ncagg.spillDir`` conf) pointing
+    at a shared mount; an executor that cannot open its spill file
+    fails fast with a message naming this requirement rather than a
+    bare ``FileNotFoundError``.
+
     ``fmt="netcdf4"`` streams the HDF5 container instead: records get a
     global dense index, chunk-grid-aligned groups encode + compress
     each variable's chunk ON THE EXECUTORS, the driver appends payloads
@@ -979,6 +1032,7 @@ def write_nc_aggregate_streamed(
             record_chunksize=record_chunksize,
             compression=compression,
             shuffle=shuffle,
+            spill_dir=spill_dir,
         )
     if fmt != "classic":
         raise ValueError(f"unsupported fmt {fmt!r}")
@@ -1204,9 +1258,10 @@ def write_nc_aggregate_streamed(
                 int(target_block_bytes // max(recsize * n_cores, 1)),
             ),
         )
-        spill_dir = tempfile.mkdtemp(
-            prefix=".nc-spill-",
-            dir=os.path.dirname(os.path.abspath(path)) or ".",
+        # distinct local: the mkdtemp child is what gets rmtree'd in the
+        # finally — never the user-supplied spill_dir base itself
+        spill_tmp = _resolve_spill_dir(
+            spark, path, spill_dir, ".nc-spill-"
         )
 
         def encode_spill(
@@ -1229,9 +1284,17 @@ def write_nc_aggregate_streamed(
                 if fh is None:
                     pid = int(pdf["__pid"].iloc[0])
                     tmp = os.path.join(
-                        spill_dir, f"part-{pid}.{uuid.uuid4().hex}.tmp"
+                        spill_tmp, f"part-{pid}.{uuid.uuid4().hex}.tmp"
                     )
-                    fh = open(tmp, "wb")
+                    try:
+                        fh = open(tmp, "wb")
+                    except OSError as e:
+                        # fail fast with the shared-FS requirement
+                        # instead of a bare FileNotFoundError from a
+                        # worker that cannot see the driver's tmpdir
+                        raise RuntimeError(
+                            _SPILL_OPEN_HINT.format(dir=spill_tmp, err=e)
+                        ) from e
                 b = _encode_rows(pdf, n)
                 fh.write(b)
                 nbytes += len(b)
@@ -1239,7 +1302,7 @@ def write_nc_aggregate_streamed(
             if fh is None:
                 return
             fh.close()
-            final = os.path.join(spill_dir, f"part-{pid}.bin")
+            final = os.path.join(spill_tmp, f"part-{pid}.bin")
             os.replace(tmp, final)
             yield pd.DataFrame(
                 {
@@ -1287,8 +1350,8 @@ def write_nc_aggregate_streamed(
             )
     finally:
         df2.unpersist()
-        if "spill_dir" in locals():
-            shutil.rmtree(spill_dir, ignore_errors=True)
+        if "spill_tmp" in locals():
+            shutil.rmtree(spill_tmp, ignore_errors=True)
 
 
 def _fill_chunk_block(
@@ -1367,6 +1430,7 @@ def _write_nc4_streamed(
     record_chunksize: int | None,
     compression: int | None,
     shuffle: bool,
+    spill_dir: str | None = None,
 ) -> None:
     """Bounded-memory single-file netCDF-4 (HDF5) export.
 
@@ -1485,20 +1549,28 @@ def _write_nc4_streamed(
         # spill file beside the output (atomic rename) and returns only
         # metadata — no payload ever rides task results / the block
         # manager, so a pressured driver heap cannot lose one
-        spill_dir = tempfile.mkdtemp(
-            prefix=".nc4-spill-",
-            dir=os.path.dirname(os.path.abspath(path)) or ".",
+        # same shared-filesystem requirement as the classic path (see
+        # write_nc_aggregate_streamed docstring); distinct local so the
+        # finally can never rmtree a user-supplied base dir
+        spill_tmp = _resolve_spill_dir(
+            df2.sparkSession, path, spill_dir, ".nc4-spill-"
         )
 
         def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values("__pos")
             gid = int(pdf["__gid"].iloc[0])
             tmp = os.path.join(
-                spill_dir, f"group-{gid}.{uuid.uuid4().hex}.tmp"
+                spill_tmp, f"group-{gid}.{uuid.uuid4().hex}.tmp"
             )
             cids, names, offs, lens = [], [], [], []
             off = 0
-            with open(tmp, "wb") as fh:
+            try:
+                fh_ctx = open(tmp, "wb")
+            except OSError as e:
+                raise RuntimeError(
+                    _SPILL_OPEN_HINT.format(dir=spill_tmp, err=e)
+                ) from e
+            with fh_ctx as fh:
                 for cid, sub in pdf.groupby("__cid", sort=True):
                     n = len(sub)
                     for name, kind, dt, width in specs_c:
@@ -1520,7 +1592,7 @@ def _write_nc4_streamed(
                         offs.append(off)
                         lens.append(len(payload))
                         off += len(payload)
-            final = os.path.join(spill_dir, f"group-{gid}.bin")
+            final = os.path.join(spill_tmp, f"group-{gid}.bin")
             os.replace(tmp, final)
             return pd.DataFrame(
                 {
@@ -1529,12 +1601,16 @@ def _write_nc4_streamed(
                     "off": offs,
                     "len": lens,
                     "path": [final] * len(cids),
+                    "gid": [gid] * len(cids),
                 }
             )
 
         enc = grouped.groupBy("__gid").applyInPandas(
             encode_group,
-            schema="cid long, var string, off long, len long, path string",
+            schema=(
+                "cid long, var string, off long, len long, "
+                "path string, gid long"
+            ),
         )
 
         entries: dict[str, list] = {name: [] for name in meta}
@@ -1546,11 +1622,18 @@ def _write_nc4_streamed(
         # B-tree build needs holds the same count regardless)
         rows = enc.collect()
         by_path: dict[str, list] = {}
+        gid_of: dict[str, int] = {}
         for r in rows:
             by_path.setdefault(r["path"], []).append(r)
+            gid_of[r["path"]] = int(r["gid"])
         with open(path, "w+b") as f:
             fbd = _FileBuilderDisk(f)
-            for p in sorted(by_path):
+            # splice in NUMERIC gid order (ADVICE r13: lexicographic
+            # path order puts group-10 before group-2), so chunk entries
+            # append in cid order and the data layout is deterministic.
+            # ChunkedData.__init__ also sorts its entries, but the
+            # B-tree build should not depend on that coupling.
+            for p in sorted(by_path, key=gid_of.__getitem__):
                 rs = sorted(by_path[p], key=lambda r: int(r["off"]))
                 with open(p, "rb") as src:
                     for row in rs:
@@ -1598,8 +1681,8 @@ def _write_nc4_streamed(
             )
     finally:
         df2.unpersist()
-        if "spill_dir" in locals():
-            shutil.rmtree(spill_dir, ignore_errors=True)
+        if "spill_tmp" in locals():
+            shutil.rmtree(spill_tmp, ignore_errors=True)
 
 
 def write_nc_granules(

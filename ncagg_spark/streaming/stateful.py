@@ -211,6 +211,7 @@ def make_ordered_gap_filler(
     dt_max_s: float,
     *,
     max_fill_per_gap: int = 10_000,
+    anchor_ttl_s: float | None = None,
 ):
     """Out-of-order-robust variant of ``make_gap_filler`` (r12 root
     cause, tools/stream_state_diag.py): FileStreamSource breaks
@@ -235,12 +236,34 @@ def make_ordered_gap_filler(
     only fires on the exact boundary (a record equal to the watermark
     is kept by Spark's ``>=`` filter but already finalized by our
     ``<=`` rule) and passes it through un-duplicated; it is NOT a
-    general late-data path. Output matches the batch oracle exactly
-    when ``watermark_delay`` exceeds the stream's disorder span.
+    general late-data path.
+
+    Quiet-gap semantics / anchor TTL (ADVICE r13): once every record
+    is finalized, the state holds only the anchor (last finalized
+    slot), which is GC'd after the watermark clears
+    ``last + anchor_ttl`` (default: ``anchor_ttl_s=None`` → ``dt_max``
+    — minimal state). A key that stays quiet PAST that horizon (while
+    other keys advance the watermark) and then resumes is treated as
+    NEW: the resume gap gets NO fill rows, where the batch oracle
+    would fill it (capped at ``max_fill_per_gap``). A quiet period is
+    not disorder, so this is a deliberate state-bound-vs-
+    fill-completeness tradeoff, not a disorder artifact. Pass a larger
+    ``anchor_ttl_s`` to keep anchors alive through expected quiet
+    spells — resume gaps inside the horizon then fill exactly like the
+    batch oracle (state cost: one tiny anchor row per quiet key until
+    the TTL lapses). Output therefore matches the batch oracle exactly
+    when ``watermark_delay`` exceeds the stream's disorder span AND no
+    key's quiet gap exceeds the anchor horizon.
+
     Requires ``withWatermark`` on the stream
     (``fill_gaps_online(order="eventtime")`` applies it).
     """
     dt_max_us = int(round(dt_max_s * 1_000_000))
+    anchor_ttl_us = (
+        dt_max_us
+        if anchor_ttl_s is None
+        else max(dt_max_us, int(round(anchor_ttl_s * 1_000_000)))
+    )
 
     def fill(
         key: Tuple[str],
@@ -333,14 +356,18 @@ def make_ordered_gap_filler(
             else:
                 # anchor-only state (every record finalized this
                 # batch): still register a timeout so the row is GC'd
-                # once the watermark clears last_us + dt_max — without
-                # it, a churned key's anchor would persist forever on
-                # an unbounded stream (ADVICE r12). Spark requires the
+                # once the watermark clears last_us + anchor_ttl —
+                # without it, a churned key's anchor would persist
+                # forever on an unbounded stream (ADVICE r12). The TTL
+                # defaults to dt_max (minimal state); a larger
+                # anchor_ttl_s keeps the anchor through quiet spells so
+                # resumes inside the horizon still gap-fill like the
+                # batch oracle (ADVICE r13). Spark requires the
                 # timestamp to sit strictly above the current
                 # watermark, so clamp when the anchor is already old.
                 state.setTimeoutTimestamp(
                     max(
-                        (last_us + dt_max_us) // 1000 + 1,
+                        (last_us + anchor_ttl_us) // 1000 + 1,
                         wm_us // 1000 + 1,
                     )
                 )
@@ -369,6 +396,7 @@ def fill_gaps_online(
     timeout: str = "processing",
     order: str = "arrival",
     watermark_delay: str = "10 seconds",
+    anchor_ttl_s: float | None = None,
 ) -> DataFrame:
     """Wire the online gap filler onto a streaming DataFrame with columns
     (key_col, ts): emits the regularized stream (real + synthetic rows).
@@ -396,7 +424,12 @@ def fill_gaps_online(
     watermark passes them (watermark advance, not wall clock — safe
     under availableNow; the final records within the last delay window
     stay unemitted until more data or a final empty batch advances the
-    watermark).
+    watermark). ``anchor_ttl_s`` (eventtime only) controls how long a
+    fully-finalized key's anchor survives: default ``None`` → GC'd
+    ``dt_max`` past the anchor, so a key quiet beyond that re-starts
+    WITHOUT resume-gap fills (batch would fill them — see
+    ``make_ordered_gap_filler``); set it to the longest quiet spell
+    you want gap-filled across.
 
     ``timeout="processing"`` (default, arrival mode) GCs quiet keys'
     state after dt_max of processing time — right for an unbounded
@@ -416,7 +449,10 @@ def fill_gaps_online(
     keyed = grouped_stream.selectExpr(f"{key_col} AS key", "ts")
     if order == "eventtime":
         fn = make_ordered_gap_filler(
-            step_us, dt_max_s, max_fill_per_gap=max_fill_per_gap
+            step_us,
+            dt_max_s,
+            max_fill_per_gap=max_fill_per_gap,
+            anchor_ttl_s=anchor_ttl_s,
         )
         return (
             keyed.withWatermark("ts", watermark_delay)

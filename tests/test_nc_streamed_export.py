@@ -458,3 +458,47 @@ def test_nested_array_nc4_streamed_value_equal_to_inmem(spark, tmp_path):
     np.testing.assert_array_equal(a[~np.isnan(a)], b[~np.isnan(b)])
     assert a[1, 0, :2].tolist() == [7.0, 8.0]
     assert np.isnan(a[1, 0, 2]) and np.isnan(a[1, 1]).all()
+
+
+def test_streamed_export_explicit_spill_dir(spark, tmp_path):
+    """ADVICE r13: the big-path spill directory is executor-written —
+    an explicit ``spill_dir=`` (for clusters where the output path is
+    driver-local) must be honored, used for the spill files, and the
+    user's base dir must survive the export (only the mkdtemp child is
+    cleaned up). Byte-identity with the default-sibling run pins that
+    the transport location does not affect the output."""
+    df = _mixed_df(spark, 400)
+    base = tmp_path / "shared-scratch"
+    out_a = str(tmp_path / "a.nc")
+    out_b = str(tmp_path / "b.nc")
+    kw = dict(index_col="ts", target_block_bytes=2048)  # force big path
+    write_nc_aggregate_streamed(df, out_a, **kw)
+    write_nc_aggregate_streamed(df, out_b, spill_dir=str(base), **kw)
+    assert (tmp_path / "a.nc").read_bytes() == (tmp_path / "b.nc").read_bytes()
+    # the base dir was created, used, and left in place (empty again)
+    assert base.is_dir()
+    assert list(base.iterdir()) == []
+
+
+def test_streamed_export_spill_dir_conf_nc4(spark, tmp_path):
+    """The ``spark.ncagg.spillDir`` conf routes the netCDF-4 spill files
+    too, and the splice is value-equal to a default-sibling run."""
+    from ncagg_spark.sources.hdf5 import read_hdf5
+
+    df = _mixed_df(spark, 300).select("ts", "val", "n")
+    base = tmp_path / "conf-scratch"
+    out_a = str(tmp_path / "a4.nc")
+    out_b = str(tmp_path / "b4.nc")
+    kw = dict(index_col="ts", fmt="netcdf4", record_chunksize=64)
+    write_nc_aggregate_streamed(df, out_a, **kw)
+    spark.conf.set("spark.ncagg.spillDir", str(base))
+    try:
+        write_nc_aggregate_streamed(df, out_b, **kw)
+    finally:
+        spark.conf.unset("spark.ncagg.spillDir")
+    fa = read_hdf5(open(out_a, "rb").read())
+    fb = read_hdf5(open(out_b, "rb").read())
+    assert set(fa.datasets) == set(fb.datasets)
+    for k in fa.datasets:
+        np.testing.assert_array_equal(fa.read(k), fb.read(k))
+    assert base.is_dir() and list(base.iterdir()) == []

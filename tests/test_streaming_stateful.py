@@ -573,3 +573,86 @@ def test_sessionize_stream_merges_across_batches(spark, tmp_path):
         ).collect()
     )
     assert got == [("A", 0, 20, 3), ("A", 45, 45, 1)]
+
+
+class _FakeEventState(_FakeState):
+    """_FakeState + the EventTimeTimeout surface the ordered filler
+    uses (setTimeoutTimestamp, getCurrentWatermarkMs)."""
+
+    def __init__(self, value=None, timed_out=False, watermark_ms=0):
+        super().__init__(value=value, timed_out=timed_out)
+        self._wm_ms = watermark_ms
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_set = ms
+
+    def getCurrentWatermarkMs(self):
+        return self._wm_ms
+
+
+def _run_ordered(fill, st, us_list):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"ts": pd.to_datetime(pd.Series(us_list, dtype="int64") * 1000)}
+    )
+    outs = list(fill(("A",), iter([pdf] if us_list else []), st))
+    got = []
+    for out in outs:
+        got.extend(
+            (int(r["ts"].value) // 1000 - T0_US, bool(r["is_fill"]))
+            for _, r in out.iterrows()
+        )
+    return got
+
+
+def test_ordered_filler_quiet_gap_divergence_default_ttl():
+    """ADVICE r13 documented tradeoff, pinned: with the default anchor
+    TTL (= dt_max), a key quiet past the horizon is GC'd; on resume the
+    gap gets NO fills (the batch oracle would fill it, capped)."""
+    from ncagg_spark.streaming.stateful import make_ordered_gap_filler
+
+    fill = make_ordered_gap_filler(1_000_000, 1.2)
+    # batch 1: two records, watermark already past both -> finalized,
+    # state is anchor-only, timeout armed at last + dt_max
+    wm1 = (T0_US + 5_000_000) // 1000
+    st = _FakeEventState(watermark_ms=wm1)
+    got = _run_ordered(fill, st, [T0_US, T0_US + 1_000_000])
+    assert got == [(0, False), (1_000_000, False)]
+    assert st.get == (T0_US + 1_000_000, [])
+    # last + dt_max (T0+2.2s) is already below the watermark (T0+5s),
+    # so the timeout clamps to wm + 1 — fires on the next advance
+    assert st.timeout_set == wm1 + 1
+    # timeout fires (key quiet, other keys advanced the watermark):
+    # anchor dropped, nothing emitted
+    st2 = _FakeEventState(value=st.get, timed_out=True)
+    assert _run_ordered(fill, st2, []) == []
+    assert st2.removed
+    # key resumes 11 s later: treated as NEW -> real record only, no
+    # resume-gap fills (batch gap_fill would synthesize slots 2..10)
+    wm3 = (T0_US + 20_000_000) // 1000
+    st3 = _FakeEventState(watermark_ms=wm3)
+    got3 = _run_ordered(fill, st3, [T0_US + 11_000_000])
+    assert got3 == [(11_000_000, False)]
+
+
+def test_ordered_filler_anchor_ttl_fills_resume_gap():
+    """With anchor_ttl_s covering the quiet spell, the anchor survives
+    (timeout armed at last + ttl, not last + dt_max) and the resume gap
+    fills exactly like the batch rule."""
+    from ncagg_spark.streaming.stateful import make_ordered_gap_filler
+
+    fill = make_ordered_gap_filler(1_000_000, 1.2, anchor_ttl_s=3600.0)
+    wm1 = (T0_US + 5_000_000) // 1000
+    st = _FakeEventState(watermark_ms=wm1)
+    _run_ordered(fill, st, [T0_US, T0_US + 1_000_000])
+    # TTL horizon, not dt_max: anchor outlives the quiet spell
+    assert st.timeout_set == (T0_US + 1_000_000 + 3_600_000_000) // 1000 + 1
+    # resume within the horizon: anchor still in state -> slots 2..10
+    # synthesized, then the real record — identical to batch gap_fill
+    wm2 = (T0_US + 20_000_000) // 1000
+    st2 = _FakeEventState(value=st.get, watermark_ms=wm2)
+    got = _run_ordered(fill, st2, [T0_US + 11_000_000])
+    assert got == [(s * 1_000_000, True) for s in range(2, 11)] + [
+        (11_000_000, False)
+    ]
