@@ -109,6 +109,23 @@ LSH_BANDS, LSH_ROWS = 4, 4
 MD_INNER = 4  # multidim: inner samples per report
 MD_INNER_STEP_US = 100_000  # 10 Hz inner cadence
 
+# stratified-split query (r14): per-language keep fractions + held-out
+# fraction. The integer ticket cuts are computed ONCE here with the
+# engine's own floor(x+0.5) rule (pipeline/sampling.py) and embedded in
+# BOTH the Spark filters and the DuckDB oracle, so no float rounding can
+# diverge between engines.
+STRATA_FRACTIONS = {"en": 1.0, "de": 0.6, "zh": 0.3}
+STRATA_DEFAULT_FRACTION = 0.15
+SPLIT_VAL_FRACTION = 0.2
+
+# corpus-mixing query (r14): target row-count proportions for the three
+# language corpora. mix_corpora normalizes these in Python; the oracle
+# embeds the NORMALIZED doubles via repr() so both engines run the
+# identical IEEE-754 arithmetic on the identical constants — the keep
+# fractions are count-driven (min feasible total), so unlike the
+# stratified cuts they cannot be precomputed as integers here.
+MIX_PROPORTIONS = {"en": 0.6, "de": 0.25, "zh": 0.15}
+
 _T = Callable[[SparkSession, str], DataFrame]
 
 
@@ -1397,6 +1414,57 @@ def q_doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dataset assembly (pipeline/sampling.py): stratified
+    per-language downsampling, then a contamination-safe train/val
+    split. Both decisions are the portable content-hash ticket
+    (hash64(key|salt) % 1e6 < cut), so re-runs, repartitioning, and
+    appends never change a row's fate and the oracle reproduces the
+    identical row set in SQL. One scan, projection + filter only — no
+    shuffle, no UDF; the split labels are a second ticket on the same
+    scan.
+    """
+    from ncagg_spark.pipeline.sampling import (
+        split_label,
+        stratified_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sampled = stratified_sample(
+        d,
+        STRATA_FRACTIONS,
+        strata_col="lang",
+        default_fraction=STRATA_DEFAULT_FRACTION,
+        salt="strata",
+    )
+    # split_label, not split_train_val + union: the label column keeps
+    # this ONE scan (the two-frame API would read the source twice)
+    return sampled.select(
+        "doc_id",
+        "lang",
+        split_label(SPLIT_VAL_FRACTION, salt="split").alias("split"),
+    )
+
+
+def q_doc_mix_corpora(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing to target proportions WITHOUT oversampling
+    (pipeline/sampling.py mix_corpora): the three language corpora are
+    downsampled to the largest total every source can supply
+    (T = min_i count_i / prop_i) and unioned with provenance. Driver
+    traffic is one count per source; the mix itself is
+    projection + filter + union — no shuffle, no UDF. The oracle
+    recomputes the count-driven cuts with the identical IEEE-754
+    arithmetic (normalized proportions embedded as repr'd doubles)."""
+    from ncagg_spark.pipeline.sampling import mix_corpora
+
+    d = _t(spark, sf_dir, "documents")
+    sources = {
+        k: d.filter(F.col("lang") == F.lit(k)) for k in MIX_PROPORTIONS
+    }
+    out = mix_corpora(sources, MIX_PROPORTIONS, salt="mix")
+    return out.select("doc_id", "source")
+
+
 def q_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level (substring) duplicate detection: maximal verbatim
     k-token passages shared across documents — the substring-dedup
@@ -1931,6 +1999,16 @@ DRIVER_WINDOW = 50
 
 _REGISTRY: list[tuple[str, _T, bool]] = [
     # (name, fn, in_window)
+    # r14 rotation: 9 in / 9 out, window stays 50. IN: the new
+    # doc_stratified_split (first oracle pass for the sampling family)
+    # + the longest-tail returners agg_regularize_anchored,
+    # agg_dedup_phase (tail since r10), emb_ivf_kmeans_topk,
+    # mm_hash_features, doc_chunk, doc_ngram_jaccard, doc_token_count
+    # (tail since r11), and rel_anti_join (its distinct-first broadcast
+    # fix in r13 deserves a fresh driver-window hash). OUT (twins named
+    # inline at each entry): agg_coalesce_alt, agg_cf_time,
+    # agg_block_diagonal, rel_q5_nation_volume, rel_intersect_except,
+    # doc_dup_clusters, emb_pq_topk, doc_exact_dedup, doc_top_ngrams.
     # r13 rotation (VERDICT r12 #8): 8 in / 8 out, window stays 50.
     # IN: rel_cube, rel_exists_subquery, doc_lang_id, doc_minhash_sig,
     # emb_brute_topk (back through the window) + the three r12 tail
@@ -1979,19 +2057,19 @@ _REGISTRY: list[tuple[str, _T, bool]] = [
     ("stream_day_merge", q_stream_day_merge, True),
     ("agg_bounds_filter", q_agg_bounds_filter, True),
     ("agg_manifest_attrs", q_agg_manifest_attrs, True),
-    ("agg_coalesce_alt", q_agg_coalesce_alt, True),
+    ("agg_coalesce_alt", q_agg_coalesce_alt, False),  # r14 out; twin: agg_take_dim_index (same operators/projection.py family)
     ("agg_take_dim_index", q_agg_take_dim_index, True),
     ("agg_flatten_by_index", q_agg_flatten_by_index, True),
     ("agg_promote_dim", q_agg_promote_dim, True),
-    ("agg_block_diagonal", q_agg_block_diagonal, True),
-    ("agg_cf_time", q_agg_cf_time, True),
+    ("agg_block_diagonal", q_agg_block_diagonal, False),  # r14 out; twin: agg_multidim (multi-unlimited-dim grain family)
+    ("agg_cf_time", q_agg_cf_time, False),  # r14 out; twin: agg_nc_ingest (CF time decode runs inside the granule ingest)
     ("evt_sessionize", q_evt_sessionize, False),  # r13 out; twin: stream_sessionize (same > gap split rule, streaming form)
     ("evt_json_props", q_evt_json_props, True),
     ("evt_asof_purchase", q_evt_asof_purchase, True),
     # -- relational surface --
     ("rel_q1_pricing", q_rel_q1_pricing, True),
     ("rel_q3_topk", q_rel_q3_topk, True),
-    ("rel_q5_nation_volume", q_rel_q5_nation_volume, True),
+    ("rel_q5_nation_volume", q_rel_q5_nation_volume, False),  # r14 out; twin: rel_q3_topk (multi-join agg family)
     # r10: rel_cube rotated back IN (VERDICT r9 #8) and emb_ivfpq_topk
     # (new) joins the window; agg_regularize_anchored (twin
     # agg_regularize_day — same grid/gapfill operator, G1-G7) and
@@ -2004,39 +2082,40 @@ _REGISTRY: list[tuple[str, _T, bool]] = [
     # emb_brute_topk — each with its in-window twin named inline
     ("rel_rollup", q_rel_rollup, False),  # r13 out; twin: rel_cube (same grouping-sets family)
     ("rel_cube", q_rel_cube, True),  # r13: back in-window
-    ("rel_intersect_except", q_rel_intersect_except, True),
+    ("rel_intersect_except", q_rel_intersect_except, False),  # r14 out; twin: rel_union_distinct (set-op passthroughs)
     ("rel_exists_subquery", q_rel_exists_subquery, True),  # r13: back in-window
     # -- documents (LLM-pipeline text ops) --
-    ("doc_exact_dedup", q_doc_exact_dedup, True),
+    ("doc_exact_dedup", q_doc_exact_dedup, False),  # r14 out; twin: doc_clean_corpus (exact-dedup stage runs inside)
     ("doc_text_stats", q_doc_text_stats, False),  # r13 out; twin: doc_lang_id (same tokenizer expression family)
     ("doc_quality_filter", q_doc_quality_filter, False),  # r13 out; twin: doc_clean_corpus (the quality gate runs inside)
     ("doc_lang_id", q_doc_lang_id, True),  # r13: back in-window
     ("doc_minhash_sig", q_doc_minhash_sig, True),  # r13: back in-window
     ("doc_lsh_pairs", q_doc_lsh_pairs, False),  # r13 out; twins: doc_minhash_sig (same signature kernel), doc_near_dedup (LSH pairs run inside)
     ("doc_simhash_near_dup", q_doc_simhash_near_dup, True),  # r12: back in-window
+    ("doc_stratified_split", q_doc_stratified_split, True),  # r14: NEW — deterministic sampling family, first oracle pass
     ("doc_dup_spans", q_doc_dup_spans, True),
-    ("doc_top_ngrams", q_doc_top_ngrams, True),  # r12: back in-window
-    ("doc_dup_clusters", q_doc_dup_clusters, True),
+    ("doc_top_ngrams", q_doc_top_ngrams, False),  # r14 out; twin: doc_bm25_topk (same tokenizer + bounded_topk idiom)
+    ("doc_dup_clusters", q_doc_dup_clusters, False),  # r14 out; twin: doc_near_dedup (CC runs inside end-to-end near-dedup)
     ("doc_near_dedup", q_doc_near_dedup, True),
     ("doc_pii_redact", q_doc_pii_redact, True),
     # -- embeddings (similarity) --
     ("emb_near_dup", q_emb_near_dup, False),  # r13 out; twin: emb_brute_topk (same brute cosine kernel)
     ("emb_semdedup", q_emb_semdedup, True),  # r11: SemDeDup cluster-scoped dedup
     ("emb_brute_topk", q_emb_brute_topk, True),  # r13: back in-window
-    ("emb_pq_topk", q_emb_pq_topk, True),
+    ("emb_pq_topk", q_emb_pq_topk, False),  # r14 out; twin: emb_ivfpq_topk (same PQ codebooks + ADC scoring)
     # -- tail (past the driver window; check_oracle gates them all) --
-    ("emb_ivf_kmeans_topk", q_emb_ivf_kmeans_topk, False),  # twin: emb_ivf_topk (r11 rotation)
-    ("mm_hash_features", q_mm_hash_features, False),  # twin: mm_features (r11 rotation)
-    ("doc_chunk", q_doc_chunk, False),  # twin: doc_pack_sequences (r11 rotation)
-    ("doc_ngram_jaccard", q_doc_ngram_jaccard, False),  # twins: doc_clean_corpus, doc_near_dedup (r11)
-    ("doc_token_count", q_doc_token_count, False),  # twin: doc_text_stats (r11)
-    ("agg_regularize_anchored", q_agg_regularize_anchored, False),  # twin: agg_regularize_day
-    ("agg_dedup_phase", q_agg_dedup_phase, False),  # twin: agg_dedup_cadence
+    ("emb_ivf_kmeans_topk", q_emb_ivf_kmeans_topk, True),  # r14: back in-window
+    ("mm_hash_features", q_mm_hash_features, True),  # r14: back in-window
+    ("doc_chunk", q_doc_chunk, True),  # r14: back in-window
+    ("doc_ngram_jaccard", q_doc_ngram_jaccard, True),  # r14: back in-window
+    ("doc_token_count", q_doc_token_count, True),  # r14: back in-window
+    ("agg_regularize_anchored", q_agg_regularize_anchored, True),  # r14: back in-window
+    ("agg_dedup_phase", q_agg_dedup_phase, True),  # r14: back in-window
     ("evt_asof_next_error", q_evt_asof_next_error, False),  # twin: evt_asof_purchase
     ("evt_sessionize_skew", q_evt_sessionize_skew, False),  # twin: evt_sessionize (r11: skew-routed strategy)
     ("doc_simhash", q_doc_simhash, False),  # twin: doc_simhash_near_dup
     ("rel_window_topk", q_rel_window_topk, False),  # twin: emb_brute_topk
-    ("rel_anti_join", q_rel_anti_join, False),  # twin: doc_near_dedup
+    ("rel_anti_join", q_rel_anti_join, True),  # r14: back in-window (r13 distinct-first fix)
     ("stream_late_drop", q_stream_late_drop, False),  # twins: stream_gap_fill, stream_day_merge
     # r12: eventtime-ordered gap fill under out-of-order granule
     # arrival — same oracle as stream_gap_fill (twin), tail slot
@@ -2046,6 +2125,11 @@ _REGISTRY: list[tuple[str, _T, bool]] = [
     # r12: native session-window streaming sessionize — tail slot
     # (twin evt_sessionize: same session rule, batch lag-window form)
     ("stream_sessionize", q_stream_sessionize, True),  # r13: in-window
+    # r14: NEW — count-driven corpus mixing, first oracle pass; tail
+    # slot (the r12 pattern: new ops enter through the full-registry
+    # gate, rotate into the driver window next round). In-window twin:
+    # doc_stratified_split (same hash-ticket sampling kernel).
+    ("doc_mix_corpora", q_doc_mix_corpora, False),
     # r5-retired variants, restored to the checked tail in r7 — their
     # fns + oracles never left; listing them here puts them back under
     # tools/check_oracle.py's full gate at zero new code
@@ -3030,6 +3114,63 @@ def oracle_sql() -> dict[str, str]:
     sqls["doc_winnow_fp"] = f"""
         SELECT doc_id, {sql_winnow_fingerprint(_TOKENS, 8)} AS winnow_fp
         FROM documents
+    """
+
+    # stratified sample + train/val split: the SAME floor(x+0.5) integer
+    # cuts the Spark query embeds (computed once from the shared
+    # constants), over the portable hash64 ticket — bit-identical row
+    # sets by construction. _keep_ticket hashes concat_ws('|', key, salt).
+    from ncagg_spark.pipeline.sampling import SAMPLE_MOD as _SMOD
+
+    def _sql_ticket(salt: str) -> str:
+        h = sql_hash64(f"(CAST(doc_id AS VARCHAR) || '|{salt}')")
+        return f"({h} % {_SMOD})"
+
+    # mix_corpora: count-driven cuts. Mirror pipeline/sampling.py
+    # mix_corpora arithmetic step for step — normalized proportions
+    # computed HERE with the same Python expression and embedded as
+    # repr'd doubles; counts, the min-feasible total, the per-source
+    # fraction, and the floor(x+0.5) cut all recompute in SQL with the
+    # same IEEE-754 ops in the same order (BIGINT/DOUBLE division,
+    # LEAST, FLOOR). int() == FLOOR here because every value is >= 0.
+    _mix_total_p = sum(MIX_PROPORTIONS.values())
+    _mix_p_case = "CASE lang " + " ".join(
+        f"WHEN '{k}' THEN {v / _mix_total_p!r}"
+        for k, v in sorted(MIX_PROPORTIONS.items())
+    ) + " END"
+    _mix_langs = ", ".join(f"'{k}'" for k in sorted(MIX_PROPORTIONS))
+    _mix_ticket = sql_hash64(
+        "(CAST(d.doc_id AS VARCHAR) || '|mix:' || d.lang)"
+    )
+    sqls["doc_mix_corpora"] = f"""
+        WITH cnt AS (
+            SELECT lang, count(*) AS c FROM documents
+            WHERE lang IN ({_mix_langs}) GROUP BY lang
+        ),
+        pp AS (SELECT lang, c, {_mix_p_case} AS p FROM cnt),
+        feas AS (SELECT MIN(c / p) AS t FROM pp),
+        cuts AS (
+            SELECT lang,
+                   CAST(FLOOR(LEAST(1.0, (SELECT t FROM feas) * p / c)
+                              * {_SMOD} + 0.5) AS BIGINT) AS cut
+            FROM pp
+        )
+        SELECT d.doc_id, d.lang AS source
+        FROM documents d JOIN cuts USING (lang)
+        WHERE ({_mix_ticket} % {_SMOD}) < cut
+    """
+
+    _strata_case = "CASE lang " + " ".join(
+        f"WHEN '{s}' THEN {int(f_ * _SMOD + 0.5)}"
+        for s, f_ in sorted(STRATA_FRACTIONS.items())
+    ) + f" ELSE {int(STRATA_DEFAULT_FRACTION * _SMOD + 0.5)} END"
+    sqls["doc_stratified_split"] = f"""
+        SELECT doc_id, lang,
+               CASE WHEN {_sql_ticket('split')}
+                         < {int(SPLIT_VAL_FRACTION * _SMOD + 0.5)}
+                    THEN 'val' ELSE 'train' END AS split
+        FROM documents
+        WHERE {_sql_ticket('strata')} < {_strata_case}
     """
 
     sqls["doc_simhash_near_dup"] = f"""

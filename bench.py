@@ -112,6 +112,11 @@ EXTENDED_QUERIES = [
     "doc_len_quantiles",
     "stream_gap_fill_ooo",
     "stream_sessionize",
+    # r14: deterministic stratified sample + split (pure scan-side
+    # projection+filter — its scale curve should track the raw scan)
+    "doc_stratified_split",
+    # r14: count-driven corpus mixing (one count per source + union)
+    "doc_mix_corpora",
 ]
 
 LOAD_CERTIFY_MAX = 0.5

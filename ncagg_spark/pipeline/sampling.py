@@ -58,7 +58,11 @@ def sample_hash(
     """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction {fraction} not in [0, 1]")
-    cut = int(round(fraction * SAMPLE_MOD))
+    # floor(x + 0.5), NOT Python round(): round() is banker's
+    # (half-to-even) and diverges from the SQL oracle's FLOOR(x+0.5)
+    # at exact half-ticket cuts — same portability convention as the
+    # gap-fill slot count (operators/gapfill.py)
+    cut = int(fraction * SAMPLE_MOD + 0.5)
     return df.filter(_keep_ticket(key_col, salt) < F.lit(cut))
 
 
@@ -78,11 +82,33 @@ def split_train_val(
     contamination-safety property)."""
     if not 0.0 <= val_fraction <= 1.0:
         raise ValueError(f"val_fraction {val_fraction} not in [0, 1]")
-    cut = int(round(val_fraction * SAMPLE_MOD))
+    cut = int(val_fraction * SAMPLE_MOD + 0.5)  # floor(x+0.5), see sample_hash
     ticket = _keep_ticket(key_col, salt)
     return (
         df.filter(ticket >= F.lit(cut)),
         df.filter(ticket < F.lit(cut)),
+    )
+
+
+def split_label(
+    val_fraction: float,
+    *,
+    key_col: str = "doc_id",
+    salt: str = "split",
+    train_label: str = "train",
+    val_label: str = "val",
+) -> Column:
+    """One-pass label column ('train'/'val') from the SAME ticket
+    ``split_train_val`` partitions on — use when the consumer wants
+    labeled rows rather than two frames (a union of the two split
+    frames would scan the source twice; this is a single projection
+    on a single scan)."""
+    if not 0.0 <= val_fraction <= 1.0:
+        raise ValueError(f"val_fraction {val_fraction} not in [0, 1]")
+    cut = int(val_fraction * SAMPLE_MOD + 0.5)  # floor(x+0.5), see sample_hash
+    return (
+        F.when(_keep_ticket(key_col, salt) < F.lit(cut), F.lit(val_label))
+        .otherwise(F.lit(train_label))
     )
 
 
@@ -104,12 +130,13 @@ def stratified_sample(
     for s, f_ in fractions.items():
         if not 0.0 <= f_ <= 1.0:
             raise ValueError(f"fraction {f_} for stratum {s!r} not in [0, 1]")
-    cut = F.lit(int(round(default_fraction * SAMPLE_MOD)))
+    # floor(x+0.5) cuts, see sample_hash
+    cut = F.lit(int(default_fraction * SAMPLE_MOD + 0.5))
     for s, f_ in sorted(fractions.items()):
         cut = (
             F.when(
                 F.col(strata_col) == F.lit(s),
-                F.lit(int(round(f_ * SAMPLE_MOD))),
+                F.lit(int(f_ * SAMPLE_MOD + 0.5)),
             ).otherwise(cut)
         )
     return df.filter(_keep_ticket(key_col, salt) < cut)

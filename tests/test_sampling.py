@@ -122,3 +122,25 @@ def test_mix_corpora_deterministic(spark):
     assert sorted(r["doc_id"] for r in m1.collect()) == sorted(
         r["doc_id"] for r in m2.collect()
     )
+
+
+def test_split_label_matches_split_train_val(spark):
+    """The one-pass label column partitions rows EXACTLY as the
+    two-frame API (same ticket, same floor(x+0.5) cut) — the labeled
+    form exists so consumers don't scan the source twice."""
+    from ncagg_spark.pipeline.sampling import split_label, split_train_val
+
+    df = spark.range(3000).select(F.col("id").alias("doc_id"))
+    train, val = split_train_val(df, 0.25, salt="s14")
+    labeled = df.select(
+        "doc_id", split_label(0.25, salt="s14").alias("split")
+    )
+    got_val = sorted(
+        r["doc_id"] for r in labeled.filter("split = 'val'").collect()
+    )
+    got_train = sorted(
+        r["doc_id"] for r in labeled.filter("split = 'train'").collect()
+    )
+    assert got_val == sorted(r["doc_id"] for r in val.collect())
+    assert got_train == sorted(r["doc_id"] for r in train.collect())
+    assert len(got_val) + len(got_train) == 3000
