@@ -54,6 +54,10 @@ SF10_QUERIES = [
     # the repo (8 each) get the sf10 executed audit too
     "doc_lm_score",
     "doc_dsir_sample",
+    # r14 (VERDICT r13 #1): the two rows whose plans changed in r13 get
+    # executed sf10 cells instead of the dashed static-only entries
+    "rel_anti_join",
+    "doc_len_quantiles",
 ]
 
 
