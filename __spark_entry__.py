@@ -1448,20 +1448,22 @@ def q_doc_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_mix_corpora(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus mixing to target proportions WITHOUT oversampling
-    (pipeline/sampling.py mix_corpora): the three language corpora are
-    downsampled to the largest total every source can supply
-    (T = min_i count_i / prop_i) and unioned with provenance. Driver
-    traffic is one count per source; the mix itself is
-    projection + filter + union — no shuffle, no UDF. The oracle
-    recomputes the count-driven cuts with the identical IEEE-754
-    arithmetic (normalized proportions embedded as repr'd doubles)."""
-    from ncagg_spark.pipeline.sampling import mix_corpora
+    (pipeline/sampling.py mix_corpus_labeled): the three language
+    corpora are label slices of ONE documents scan, so all per-source
+    counts come from a single groupBy(lang).count() job and the mix
+    itself is one projection + filter on one scan (VERDICT r14 #2 —
+    the dict-of-frames mix_corpora over slices of the same table would
+    scan the lang column once per source). Cuts are the largest total
+    every source can supply (T = min_i count_i / prop_i); the oracle
+    recomputes them with the identical IEEE-754 arithmetic (normalized
+    proportions embedded as repr'd doubles). Row set is pinned equal
+    to the dict-of-frames mix_corpora by test."""
+    from ncagg_spark.pipeline.sampling import mix_corpus_labeled
 
     d = _t(spark, sf_dir, "documents")
-    sources = {
-        k: d.filter(F.col("lang") == F.lit(k)) for k in MIX_PROPORTIONS
-    }
-    out = mix_corpora(sources, MIX_PROPORTIONS, salt="mix")
+    out = mix_corpus_labeled(
+        d, MIX_PROPORTIONS, label_col="lang", salt="mix"
+    )
     return out.select("doc_id", "source")
 
 
@@ -3142,10 +3144,25 @@ def oracle_sql() -> dict[str, str]:
     _mix_ticket = sql_hash64(
         "(CAST(d.doc_id AS VARCHAR) || '|mix:' || d.lang)"
     )
+    # ADVICE r14 #1: counts come from an explicit list of the
+    # MIX_PROPORTIONS langs LEFT JOINed to documents (COALESCE 0), and
+    # a zero-count positive-proportion source ERRORS — matching the
+    # engine's fail-loud _mix_fractions contract instead of silently
+    # omitting the missing lang from MIN(c/p) and returning a wrong
+    # non-empty mix. error() is lazily evaluated inside CASE.
     sqls["doc_mix_corpora"] = f"""
-        WITH cnt AS (
+        WITH langs AS (SELECT unnest([{_mix_langs}]) AS lang),
+        cnt0 AS (
             SELECT lang, count(*) AS c FROM documents
             WHERE lang IN ({_mix_langs}) GROUP BY lang
+        ),
+        cnt AS (
+            SELECT l.lang,
+                   CASE WHEN COALESCE(c0.c, 0) = 0
+                        THEN CAST(error('mix oracle: source has positive '
+                                        'proportion but zero rows') AS BIGINT)
+                        ELSE c0.c END AS c
+            FROM langs l LEFT JOIN cnt0 c0 USING (lang)
         ),
         pp AS (SELECT lang, c, {_mix_p_case} AS p FROM cnt),
         feas AS (SELECT MIN(c / p) AS t FROM pp),

