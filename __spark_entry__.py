@@ -26,7 +26,6 @@ from ncagg_spark.config import AggregationConfig
 from ncagg_spark.functions.hashing import (
     sql_hash64,
     sql_minhash_signature,
-    sql_simhash64,
 )
 from ncagg_spark.functions.time import cf_to_timestamp, epoch_us, timestamp_to_cf
 from ncagg_spark.operators.dedup import cadence_bucket, dedup_cadence
@@ -2186,6 +2185,38 @@ _TOKENS = sql_tokenize("text")
 _SHINGLES = f"list_distinct({sql_word_ngrams(_TOKENS, SHINGLE_N)})"
 
 
+def _sql_simhash_sigs(src: str = "documents") -> str:
+    """Relational SimHash signature subquery (doc_id, simhash) —
+    value-identical to the ``sql_simhash64`` expression form (same
+    token hash, same vote rule, empty docs keep simhash 0 via the LEFT
+    JOIN) but ~4x faster in DuckDB: the expression form re-renders the
+    token-hash list once per bit vote and DuckDB only partially CSEs
+    it, so every token is md5-hashed repeatedly; unnesting tokens to
+    rows hashes each token ONCE and folds the 32 bit votes into one
+    grouped aggregate (VERDICT r14 #1 — the dominant term of the sf10
+    simhash-oracle cost)."""
+    from ncagg_spark.functions.hashing import SIMHASH_BITS
+
+    h = sql_hash64("tok")
+    votes = ", ".join(
+        f"SUM((((h >> {j}) & 1) * 2 - 1)) AS v{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    acc = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j}::BIGINT ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""(
+        WITH __tok AS (
+            SELECT doc_id, {h} AS h
+            FROM (SELECT doc_id, unnest({_TOKENS}) AS tok FROM {src})
+        ),
+        __votes AS (SELECT doc_id, {votes} FROM __tok GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(({acc}), 0::BIGINT) AS simhash
+        FROM {src} d LEFT JOIN __votes v ON d.doc_id = v.doc_id
+    )"""
+
+
 def _sql_band_exprs() -> str:
     """DuckDB band-hash list for the shared LSH constants."""
     parts = []
@@ -2332,7 +2363,27 @@ def _sql_srp_probe_buckets(
     )
 
 
-def oracle_sql() -> dict[str, str]:
+# Heavy-oracle intermediate fragments, (re)filled on each oracle_sql()
+# call: name -> standalone SELECT producing the intermediate
+# (tools/oracle_cache.py materializes these to fingerprint-keyed
+# parquet and re-invokes oracle_sql(_cache=...) with read_parquet
+# references). Not part of the driver contract.
+_ORACLE_HEAVY: dict[str, str] = {}
+
+
+def oracle_heavy_fragments() -> dict[str, str]:
+    """SQL for the cacheable heavy oracle intermediates (VERDICT r14
+    #1). Each value is the CANONICAL computation — the exact CTE text
+    oracle_sql() embeds inline when no cache is supplied — wrapped as a
+    standalone SELECT, so a cached gate run provably evaluates the same
+    SQL, just once instead of per-oracle per-run. ``ivfpq_enc``
+    contains a ``{corpus}`` placeholder to be filled with the (already
+    materialized) ivf_corpus relation."""
+    oracle_sql()
+    return dict(_ORACLE_HEAVY)
+
+
+def oracle_sql(_cache: dict[str, str] | None = None) -> dict[str, str]:
     sqls: dict[str, str] = {}
 
     sqls["agg_regularize_day"] = f"""
@@ -3190,14 +3241,46 @@ def oracle_sql() -> dict[str, str]:
         WHERE {_sql_ticket('strata')} < {_strata_case}
     """
 
-    sqls["doc_simhash_near_dup"] = f"""
-        WITH sigs AS (
-            SELECT doc_id, {sql_simhash64('toks')} AS simhash
-            FROM (SELECT doc_id, {_TOKENS} AS toks FROM documents)
+    # VERDICT r14 #1 (sf10 gate cost): the original oracle was a literal
+    # all-pairs self-join (a.doc_id < b.doc_id) — O(N^2) bit_count
+    # evaluations, 874 s at sf10. This form is MATHEMATICALLY the same
+    # query: split the 32-bit signature into 4 disjoint bit-classes; by
+    # pigeonhole any pair at hamming <= 3 agrees exactly on >= 1 class,
+    # so the class-key equi-join candidates a SUPERSET of all qualifying
+    # pairs, the hamming predicate keeps exactly the same rows, and
+    # DISTINCT collapses multi-class hits. Completeness needs only
+    # #classes > max_hamming — a theorem, not a tuning choice. The
+    # classes are INTERLEAVED bits (class j = bits {i : i mod 4 = j}),
+    # deliberately different geometry from the engine's contiguous
+    # 8-bit blocks (pipeline/dedup.py simhash_near_duplicates), so a
+    # band-extraction bug cannot cancel across engine and oracle.
+    # sigs is MATERIALIZED so the signature computation runs once, not
+    # once per unnest reference.
+    _sh_class_keys = ", ".join(
+        "("
+        + " + ".join(
+            [f"{j * 256}::BIGINT"]
+            + [
+                f"(((simhash >> {4 * m + j}) & 1) << {m})"
+                for m in range(8)
+            ]
         )
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        + ")"
+        for j in range(4)
+    )
+    sqls["doc_simhash_near_dup"] = f"""
+        WITH sigs AS MATERIALIZED (
+            SELECT * FROM {_sql_simhash_sigs('documents')}
+        ),
+        bands AS (
+            SELECT doc_id, simhash,
+                   unnest([{_sh_class_keys}]) AS bk
+            FROM sigs
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                bit_count(xor(a.simhash, b.simhash)) AS hamming
-        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        FROM bands a JOIN bands b
+          ON a.bk = b.bk AND a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """
 
@@ -3305,8 +3388,7 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["doc_dup_clusters"] = f"""
         WITH RECURSIVE sigs AS MATERIALIZED (
-            SELECT doc_id, {sql_simhash64('toks')} AS simhash
-            FROM (SELECT doc_id, {_TOKENS} AS toks FROM documents)
+            SELECT * FROM {_sql_simhash_sigs('documents')}
         ),
         pairs AS MATERIALIZED (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -3330,8 +3412,7 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["doc_near_dedup"] = f"""
         WITH RECURSIVE sigs AS MATERIALIZED (
-            SELECT doc_id, {sql_simhash64('toks')} AS simhash
-            FROM (SELECT doc_id, {_TOKENS} AS toks FROM documents)
+            SELECT * FROM {_sql_simhash_sigs('documents')}
         ),
         pairs AS MATERIALIZED (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -3379,8 +3460,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sqls["doc_simhash"] = f"""
-        WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents)
-        SELECT doc_id, {sql_simhash64('toks')} AS simhash FROM t
+        SELECT doc_id, simhash FROM {_sql_simhash_sigs('documents')}
     """
 
     cos_ab = _sql_cosine("a.embedding", "b.embedding")
@@ -3445,14 +3525,22 @@ def oracle_sql() -> dict[str, str]:
         "x -> floor(x[1]::DOUBLE * 1000000.0) "
         "* floor(x[2]::DOUBLE * 1000000.0)))"
     )
-    sqls["emb_ivf_topk"] = f"""
-        WITH nn AS (
+    # VERDICT r14 #1 (sf10 gate cost): the nn/cents/assign/corpus prefix
+    # (the O(N * sqrt(N)) cell-assignment cross join — ~90M 64-dim
+    # quantized dots at sf10, the dominant term of both IVF oracles) is
+    # shared VERBATIM by emb_ivf_topk and emb_ivfpq_topk and is pure
+    # data -> data, so the gate harness may pre-materialize it to
+    # parquet keyed on the embeddings fingerprint (tools/oracle_cache.py)
+    # and pass ``_cache={"ivf_corpus": "read_parquet('...')"}``. The
+    # driver's contract is unchanged: oracle_sql() with no args embeds
+    # the full computation inline.
+    _ivf_nn = """nn AS (
             SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS n_cells,
                    CAST(ceil(ceil(sqrt(count(*))) / 4.0) AS BIGINT)
                        AS n_probe
             FROM embeddings
-        ),
-        cents AS (
+        )"""
+    _ivf_cents = """cents AS (
             SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
                    list_transform(embedding,
                        x -> x::DOUBLE / sqrt(list_sum(list_transform(
@@ -3462,8 +3550,8 @@ def oracle_sql() -> dict[str, str]:
                          row_number() OVER (ORDER BY vec_id) AS rn
                   FROM embeddings)
             WHERE rn <= (SELECT n_cells FROM nn)
-        ),
-        assign AS (
+        )"""
+    _ivf_assign_corpus = f"""assign AS (
             SELECT e.vec_id, e.embedding, c.cell,
                    row_number() OVER (PARTITION BY e.vec_id
                        ORDER BY {qdot_c.format(v='e.embedding')} DESC,
@@ -3473,7 +3561,25 @@ def oracle_sql() -> dict[str, str]:
         corpus AS (
             SELECT vec_id AS neighbor_id, embedding, cell
             FROM assign WHERE rn = 1
-        ),
+        )"""
+    if _cache and "ivf_corpus" in _cache:
+        _ivf_corpus_ctes = f"""{_ivf_nn},
+        {_ivf_cents},
+        corpus AS (
+            SELECT neighbor_id, embedding, cell FROM {_cache['ivf_corpus']}
+        )"""
+    else:
+        _ivf_corpus_ctes = f"""{_ivf_nn},
+        {_ivf_cents},
+        {_ivf_assign_corpus}"""
+    _ORACLE_HEAVY["ivf_corpus"] = f"""
+        WITH {_ivf_nn},
+        {_ivf_cents},
+        {_ivf_assign_corpus}
+        SELECT neighbor_id, embedding, cell FROM corpus
+    """
+    sqls["emb_ivf_topk"] = f"""
+        WITH {_ivf_corpus_ctes},
         probes AS (
             SELECT e.vec_id, e.embedding, c.cell,
                    row_number() OVER (PARTITION BY e.vec_id
@@ -3764,36 +3870,11 @@ def oracle_sql() -> dict[str, str]:
     # the PQ_K*PQ_EXPAND survivors. Every fragment below is copied
     # verbatim from those two green oracles; only the adc join keys
     # changed.
-    sqls["emb_ivfpq_topk"] = f"""
-        WITH nn AS (
-            SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS n_cells,
-                   CAST(ceil(ceil(sqrt(count(*))) / 4.0) AS BIGINT)
-                       AS n_probe
-            FROM embeddings
-        ),
-        cents AS (
-            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
-                   list_transform(embedding,
-                       x -> x::DOUBLE / sqrt(list_sum(list_transform(
-                            embedding, v -> v::DOUBLE * v::DOUBLE))))
-                       AS cunit
-            FROM (SELECT vec_id, embedding,
-                         row_number() OVER (ORDER BY vec_id) AS rn
-                  FROM embeddings)
-            WHERE rn <= (SELECT n_cells FROM nn)
-        ),
-        assign AS (
-            SELECT e.vec_id, e.embedding, c.cell,
-                   row_number() OVER (PARTITION BY e.vec_id
-                       ORDER BY {qdot_c.format(v='e.embedding')} DESC,
-                                c.cell DESC) AS rn
-            FROM embeddings e CROSS JOIN cents c
-        ),
-        corpus AS (
-            SELECT vec_id AS neighbor_id, embedding, cell
-            FROM assign WHERE rn = 1
-        ),
-        samp AS (
+    # the enc CTE (PQ codes for every corpus vector — the second heavy
+    # term) is likewise cacheable via _cache["ivfpq_enc"]; books stays
+    # inline either way (top-16 scan, cheap) because the ADC decode
+    # needs b.bk.
+    _pq_samp_books = f"""samp AS (
             SELECT vec_id, embedding,
                    (vec_id * 2654435761) % 4294967296 AS hkey
             FROM embeddings
@@ -3802,11 +3883,24 @@ def oracle_sql() -> dict[str, str]:
         books AS (
             SELECT list(embedding ORDER BY hkey ASC, vec_id ASC) AS bk
             FROM samp
+        )"""
+    _pq_enc_body = f"""SELECT c.neighbor_id, c.cell, {', '.join(pq_codes)}
+            FROM corpus c CROSS JOIN books b"""
+    if _cache and "ivfpq_enc" in _cache:
+        _pq_enc_cte = f"enc AS (SELECT * FROM {_cache['ivfpq_enc']})"
+    else:
+        _pq_enc_cte = f"enc AS (\n            {_pq_enc_body}\n        )"
+    _ORACLE_HEAVY["ivfpq_enc"] = f"""
+        WITH corpus AS (
+            SELECT * FROM {{corpus}}
         ),
-        enc AS (
-            SELECT c.neighbor_id, c.cell, {', '.join(pq_codes)}
-            FROM corpus c CROSS JOIN books b
-        ),
+        {_pq_samp_books}
+        {_pq_enc_body}
+    """
+    sqls["emb_ivfpq_topk"] = f"""
+        WITH {_ivf_corpus_ctes},
+        {_pq_samp_books},
+        {_pq_enc_cte},
         probes AS (
             SELECT e.vec_id, e.embedding, c.cell,
                    row_number() OVER (PARTITION BY e.vec_id

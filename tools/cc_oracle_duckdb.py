@@ -30,23 +30,64 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-from ncagg_spark.functions.hashing import sql_simhash64
+from ncagg_spark.functions.hashing import sql_hash64
 from ncagg_spark.pipeline.text import sql_tokenize
 
 MAX_HAMMING = 3
-N_BLOCKS = 4  # 64 bits / 16-bit blocks; pigeonhole-complete at hamming<=3
+N_CLASSES = 4  # 32 bits / 4 interleaved bit-classes; > MAX_HAMMING => complete
+
+
+def _class_keys() -> str:
+    """Four pigeonhole keys over the 32-bit signature, each tagged with
+    its class index (j*256 + 8-bit key). INTERLEAVED classes (class j =
+    bits {i : i mod 4 = j}) — r15 fix: the old form shifted 16*i over a
+    32-BIT signature, so classes 2/3 were constant 0 and their
+    "equi-joins" were all-pairs cross products (correct via the final
+    hamming verify, but O(N^2) — the thing the banding exists to
+    avoid). Also deliberately different geometry from the engine's
+    contiguous 8-bit blocks (pipeline/dedup.py), so a band-extraction
+    bug cannot cancel across engine and oracle."""
+    return ", ".join(
+        "("
+        + " + ".join(
+            [f"{j * 256}::BIGINT"]
+            + [
+                f"(((simhash >> {4 * m + j}) & 1) << {m})"
+                for m in range(8)
+            ]
+        )
+        + ")"
+        for j in range(N_CLASSES)
+    )
 
 
 def build_edges(con, *, brute: bool = False) -> int:
     """TEMP TABLE cc_edges(src, dst): the symmetric SimHash near-dup
     pair graph over ``documents`` (registered as a view/table in
-    ``con``). Returns the edge count."""
+    ``con``). Returns the edge count.
+
+    Signatures use the relational unnest-and-group form (hash each
+    token once) rather than the sql_simhash64 expression form (which
+    re-renders the token-hash list once per bit vote) — value-identical
+    (pinned by tests/test_round15_fixes.py), ~4x faster."""
+    votes = ", ".join(
+        f"SUM((((h >> {j}) & 1) * 2 - 1)) AS v{j}" for j in range(32)
+    )
+    acc = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j}::BIGINT ELSE 0 END)"
+        for j in range(32)
+    )
     toks = sql_tokenize("text")
     con.execute(
         f"""
         CREATE OR REPLACE TEMP TABLE cc_sigs AS
-        SELECT doc_id, {sql_simhash64('toks')} AS simhash
-        FROM (SELECT doc_id, {toks} AS toks FROM documents)
+        WITH __tok AS (
+            SELECT doc_id, {sql_hash64('tok')} AS h
+            FROM (SELECT doc_id, unnest({toks}) AS tok FROM documents)
+        ),
+        __votes AS (SELECT doc_id, {votes} FROM __tok GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(({acc}), 0::BIGINT) AS simhash
+        FROM documents d LEFT JOIN __votes v ON d.doc_id = v.doc_id
         """
     )
     if brute:
@@ -56,23 +97,15 @@ def build_edges(con, *, brute: bool = False) -> int:
             WHERE bit_count(xor(a.simhash, b.simhash)) <= {mh}
         """.format(mh=MAX_HAMMING)
     else:
-        # pigeonhole: hamming<=3 over 4 disjoint 16-bit blocks => at
-        # least one block equal; equi-join per block then verify
-        blocks = " UNION ALL ".join(
-            f"""
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM cc_sigs a JOIN cc_sigs b
-              ON ((a.simhash >> {16 * i}) & 65535)
-                 = ((b.simhash >> {16 * i}) & 65535)
-             AND a.doc_id < b.doc_id
-            """
-            for i in range(N_BLOCKS)
-        )
         pair_src = f"""
-            SELECT DISTINCT c.id_a, c.id_b
-            FROM ({blocks}) c
-            JOIN cc_sigs a ON a.doc_id = c.id_a
-            JOIN cc_sigs b ON b.doc_id = c.id_b
+            WITH cls AS (
+                SELECT doc_id, simhash,
+                       unnest([{_class_keys()}]) AS bk
+                FROM cc_sigs
+            )
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM cls a JOIN cls b
+              ON a.bk = b.bk AND a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= {MAX_HAMMING}
         """
     con.execute(

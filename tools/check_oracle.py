@@ -672,7 +672,17 @@ def main():
         )
 
     qs = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
+    if "--oracle-cache" in flags:
+        # VERDICT r14 #1: substitute the heavy IVF/PQ oracle CTEs with
+        # fingerprint-keyed parquet materializations (built on first
+        # use with the same DuckDB SQL — memoization, not a different
+        # algorithm; see tools/oracle_cache.py). Every other oracle is
+        # byte-identical to oracle_sql().
+        from tools.oracle_cache import cached_oracle_sql
+
+        oracles = cached_oracle_sql(con, sf_dir, entry_mod)
+    else:
+        oracles = entry_mod.oracle_sql()
     if iter_cc:
         # substitute the recursive-CTE CC oracles (DNF at sf1.0's
         # 12.4M-edge graph) with the iterative temp-table label
