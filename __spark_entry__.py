@@ -2048,27 +2048,27 @@ _REGISTRY: list[tuple[str, _T, bool]] = [
     ("doc_repetition_filter", q_doc_repetition_filter, True),
     ("emb_srp_topk", q_emb_srp_topk, True),
     ("emb_ivfpq_topk", q_emb_ivfpq_topk, True),  # r10: IVFADC composition
-    ("emb_ivf_topk", q_emb_ivf_topk, True),
-    ("mm_features", q_mm_features, True),
+    ("emb_ivf_topk", q_emb_ivf_topk, False),  # r15 out (13 rounds); twin: emb_ivfpq_topk (same coarse quantizer, probes, and quantized assignment)
+    ("mm_features", q_mm_features, False),  # r15 out (13 rounds); twin: mm_hash_features (same mapInPandas feature extractor)
     ("agg_multidim", q_agg_multidim, True),
     # -- ncagg core (events) --
-    ("agg_regularize_day", q_agg_regularize_day, True),
-    ("agg_dedup_cadence", q_agg_dedup_cadence, True),
+    ("agg_regularize_day", q_agg_regularize_day, False),  # r15 out after 14 straight green rounds; twin: agg_regularize_anchored (same grid/gapfill operator, G1-G7)
+    ("agg_dedup_cadence", q_agg_dedup_cadence, False),  # r15 out (14 rounds); twin: agg_dedup_phase (same overlap-chop operator, G5/G6)
     ("agg_nc_ingest", q_agg_nc_ingest, True),
-    ("stream_day_merge", q_stream_day_merge, True),
+    ("stream_day_merge", q_stream_day_merge, False),  # r15 out (10 rounds); twins: stream_late_drop (back in-window, same watermark dedup), stream_gap_fill_ooo
     ("agg_bounds_filter", q_agg_bounds_filter, True),
     ("agg_manifest_attrs", q_agg_manifest_attrs, True),
     ("agg_coalesce_alt", q_agg_coalesce_alt, False),  # r14 out; twin: agg_take_dim_index (same operators/projection.py family)
     ("agg_take_dim_index", q_agg_take_dim_index, True),
-    ("agg_flatten_by_index", q_agg_flatten_by_index, True),
-    ("agg_promote_dim", q_agg_promote_dim, True),
+    ("agg_flatten_by_index", q_agg_flatten_by_index, False),  # r15 out (14 rounds); twin: agg_flatten_overlay (back in-window, same flatten family J2)
+    ("agg_promote_dim", q_agg_promote_dim, False),  # r15 out (14 rounds); twin: agg_multidim (same multidim grain family G8)
     ("agg_block_diagonal", q_agg_block_diagonal, False),  # r14 out; twin: agg_multidim (multi-unlimited-dim grain family)
     ("agg_cf_time", q_agg_cf_time, False),  # r14 out; twin: agg_nc_ingest (CF time decode runs inside the granule ingest)
     ("evt_sessionize", q_evt_sessionize, False),  # r13 out; twin: stream_sessionize (same > gap split rule, streaming form)
     ("evt_json_props", q_evt_json_props, True),
-    ("evt_asof_purchase", q_evt_asof_purchase, True),
+    ("evt_asof_purchase", q_evt_asof_purchase, False),  # r15 out (14 rounds); twin: evt_asof_next_error (back in-window, same as-of join operator)
     # -- relational surface --
-    ("rel_q1_pricing", q_rel_q1_pricing, True),
+    ("rel_q1_pricing", q_rel_q1_pricing, False),  # r15 out (14 rounds); twins: rel_grouping_sets (back in-window, same lineitem agg family), rel_cube
     ("rel_q3_topk", q_rel_q3_topk, True),
     ("rel_q5_nation_volume", q_rel_q5_nation_volume, False),  # r14 out; twin: rel_q3_topk (multi-join agg family)
     # r10: rel_cube rotated back IN (VERDICT r9 #8) and emb_ivfpq_topk
@@ -2112,12 +2112,12 @@ _REGISTRY: list[tuple[str, _T, bool]] = [
     ("doc_token_count", q_doc_token_count, True),  # r14: back in-window
     ("agg_regularize_anchored", q_agg_regularize_anchored, True),  # r14: back in-window
     ("agg_dedup_phase", q_agg_dedup_phase, True),  # r14: back in-window
-    ("evt_asof_next_error", q_evt_asof_next_error, False),  # twin: evt_asof_purchase
+    ("evt_asof_next_error", q_evt_asof_next_error, True),  # r15: back in-window (tail since r6)
     ("evt_sessionize_skew", q_evt_sessionize_skew, False),  # twin: evt_sessionize (r11: skew-routed strategy)
     ("doc_simhash", q_doc_simhash, False),  # twin: doc_simhash_near_dup
     ("rel_window_topk", q_rel_window_topk, False),  # twin: emb_brute_topk
     ("rel_anti_join", q_rel_anti_join, True),  # r14: back in-window (r13 distinct-first fix)
-    ("stream_late_drop", q_stream_late_drop, False),  # twins: stream_gap_fill, stream_day_merge
+    ("stream_late_drop", q_stream_late_drop, True),  # r15: back in-window (tail since r8)
     # r12: eventtime-ordered gap fill under out-of-order granule
     # arrival — same oracle as stream_gap_fill (twin), tail slot
     ("stream_gap_fill_ooo", q_stream_gap_fill_ooo, True),  # r13: in-window
@@ -2130,19 +2130,19 @@ _REGISTRY: list[tuple[str, _T, bool]] = [
     # slot (the r12 pattern: new ops enter through the full-registry
     # gate, rotate into the driver window next round). In-window twin:
     # doc_stratified_split (same hash-ticket sampling kernel).
-    ("doc_mix_corpora", q_doc_mix_corpora, False),
+    ("doc_mix_corpora", q_doc_mix_corpora, True),  # r15: in-window (promised at r14 entry; count-driven mixing, now single-scan)
     # r5-retired variants, restored to the checked tail in r7 — their
     # fns + oracles never left; listing them here puts them back under
     # tools/check_oracle.py's full gate at zero new code
-    ("agg_flatten_overlay", q_agg_flatten_overlay, False),
+    ("agg_flatten_overlay", q_agg_flatten_overlay, True),  # r15: back in-window (tail since r1)
     ("doc_exact_duplicates", q_doc_exact_duplicates, False),
-    ("doc_winnow_fp", q_doc_winnow_fp, False),
-    ("rel_distinct_count", q_rel_distinct_count, False),
-    ("rel_grouping_sets", q_rel_grouping_sets, False),
-    ("rel_moving_avg", q_rel_moving_avg, False),
+    ("doc_winnow_fp", q_doc_winnow_fp, True),  # r15: back in-window (tail since r1)
+    ("rel_distinct_count", q_rel_distinct_count, True),  # r15: back in-window (tail since r4)
+    ("rel_grouping_sets", q_rel_grouping_sets, True),  # r15: back in-window (tail since r4)
+    ("rel_moving_avg", q_rel_moving_avg, True),  # r15: back in-window (tail since r3)
     ("rel_part_type_revenue", q_rel_part_type_revenue, False),
     ("rel_region_volume", q_rel_region_volume, False),
-    ("rel_scalar_subquery", q_rel_scalar_subquery, False),
+    ("rel_scalar_subquery", q_rel_scalar_subquery, True),  # r15: back in-window (tail since r4 — staleness rotation, VERDICT r14 #2)
 ]
 
 

@@ -34,8 +34,10 @@ Per-table treatment (replica r in 0..k-1):
     replicas aren't bitwise-identical vectors (which would make every
     query's top-k a tie pile-up) but geometry is preserved.
 
-Usage: python tools/gen_scale.py [k] [src] [out]
+Usage: python tools/gen_scale.py [k] [src] [out] [--tables=a,b]
 defaults: k=10, src=/root/testdata/sf0.1, out=<repo>/.scale/sf1.0
+--tables limits generation to a comma list (r15: the sf30/sf100 third
+scale decade for the heavy pipeline family needs documents only).
 """
 
 from __future__ import annotations
@@ -61,42 +63,57 @@ KEYED = {
 
 
 def main():
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    flags = [a for a in sys.argv[1:] if a.startswith("--")]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    only: set[str] | None = None
+    for fl in flags:
+        if fl.startswith("--tables="):
+            only = set(fl.split("=", 1)[1].split(","))
+    k = int(args[0]) if len(args) > 0 else 10
+    src = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
     out = (
-        sys.argv[3]
-        if len(sys.argv) > 3
+        args[2]
+        if len(args) > 2
         else os.path.join(REPO, ".scale", "sf1.0")
     )
+
+    def want(t: str) -> bool:
+        return only is None or t in only
+
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count() or 8}")
 
     for t in ["region", "nation"]:
+        if not want(t):
+            continue
         con.execute(
             f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet')) "
             f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
         )
         print(t, "copied")
 
-    # strides: max key + 1 per base table, so shifted ranges are disjoint
-    strides = {}
-    for base, keycol in [
-        ("customer", "c_custkey"),
-        ("supplier", "s_suppkey"),
-        ("part", "p_partkey"),
-        ("orders", "o_orderkey"),
-    ]:
-        strides[base] = (
-            con.execute(
-                f"SELECT max({keycol}) + 1 FROM "
-                f"read_parquet('{src}/{base}.parquet')"
-            ).fetchone()[0]
-        )
-
     rep = f"(SELECT unnest(generate_series(0, {k - 1})) AS r)"
 
+    # strides: max key + 1 per base table, so shifted ranges are disjoint
+    strides = {}
+    if any(want(t) for t in KEYED):
+        for base, keycol in [
+            ("customer", "c_custkey"),
+            ("supplier", "s_suppkey"),
+            ("part", "p_partkey"),
+            ("orders", "o_orderkey"),
+        ]:
+            strides[base] = (
+                con.execute(
+                    f"SELECT max({keycol}) + 1 FROM "
+                    f"read_parquet('{src}/{base}.parquet')"
+                ).fetchone()[0]
+            )
+
     for t, keymap in KEYED.items():
+        if not want(t):
+            continue
         cols = [
             r[0]
             for r in con.execute(
@@ -116,6 +133,16 @@ def main():
         ).fetchone()[0]
         print(t, n)
 
+    if want("events"):
+        _gen_events(con, src, out, k, rep)
+    if want("documents"):
+        _gen_documents(con, src, out, k, rep)
+    if want("embeddings"):
+        _gen_embeddings(con, src, out, k, rep)
+    print("wrote", out)
+
+
+def _gen_events(con, src, out, k, rep):
     ev_stride = con.execute(
         f"SELECT max(event_id) + 1 FROM read_parquet('{src}/events.parquet')"
     ).fetchone()[0]
@@ -132,6 +159,8 @@ def main():
     )
     print("events", k * 100000)
 
+
+def _gen_documents(con, src, out, k, rep):
     d_stride = con.execute(
         f"SELECT max(doc_id) + 1 FROM read_parquet('{src}/documents.parquet')"
     ).fetchone()[0]
@@ -158,6 +187,8 @@ def main():
     )
     print("documents done")
 
+
+def _gen_embeddings(con, src, out, k, rep):
     v_stride = con.execute(
         f"SELECT max(vec_id) + 1 FROM "
         f"read_parquet('{src}/embeddings.parquet')"
@@ -171,7 +202,6 @@ def main():
           TO '{out}/embeddings.parquet' (FORMAT PARQUET)"""
     )
     print("embeddings done")
-    print("wrote", out)
 
 
 if __name__ == "__main__":
