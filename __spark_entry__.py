@@ -3244,43 +3244,40 @@ def oracle_sql(_cache: dict[str, str] | None = None) -> dict[str, str]:
     # VERDICT r14 #1 (sf10 gate cost): the original oracle was a literal
     # all-pairs self-join (a.doc_id < b.doc_id) — O(N^2) bit_count
     # evaluations, 874 s at sf10. This form is MATHEMATICALLY the same
-    # query: split the 32-bit signature into 4 disjoint bit-classes; by
-    # pigeonhole any pair at hamming <= 3 agrees exactly on >= 1 class,
-    # so the class-key equi-join candidates a SUPERSET of all qualifying
-    # pairs, the hamming predicate keeps exactly the same rows, and
-    # DISTINCT collapses multi-class hits. Completeness needs only
-    # #classes > max_hamming — a theorem, not a tuning choice. The
-    # classes are INTERLEAVED bits (class j = bits {i : i mod 4 = j}),
-    # deliberately different geometry from the engine's contiguous
-    # 8-bit blocks (pipeline/dedup.py simhash_near_duplicates), so a
-    # band-extraction bug cannot cancel across engine and oracle.
-    # sigs is MATERIALIZED so the signature computation runs once, not
-    # once per unnest reference.
-    _sh_class_keys = ", ".join(
-        "("
-        + " + ".join(
-            [f"{j * 256}::BIGINT"]
-            + [
-                f"(((simhash >> {4 * m + j}) & 1) << {m})"
-                for m in range(8)
-            ]
-        )
-        + ")"
-        for j in range(4)
-    )
+    # query, via multi-index Hamming search (the HmSearch/multi-probe
+    # construction): split the 32-bit signature into 2 disjoint 16-bit
+    # halves; by pigeonhole a pair at hamming <= 3 differs by <= 1 bit
+    # in SOME half, so probing each doc's exact half-key PLUS its 16
+    # single-bit flips against the exact half-key table candidates a
+    # superset of all qualifying pairs; the hamming predicate then
+    # keeps exactly the same rows and DISTINCT collapses multi-half
+    # hits. 16-bit keys (65k buckets) keep skewed natural-text
+    # signatures from piling into the few hundred buckets an 8-bit
+    # banding allows — measured 8.6x faster than 4x8-bit banding at
+    # sf1, identical results. Deliberately a different construction
+    # from the engine's contiguous 8-bit block equi-join
+    # (pipeline/dedup.py simhash_near_duplicates), so a band/probe
+    # extraction bug cannot cancel across engine and oracle. sigs is
+    # MATERIALIZED so the signature computation runs once.
+    _sh_flips = ", ".join(f"xor(hk, {1 << m})" for m in range(16))
     sqls["doc_simhash_near_dup"] = f"""
         WITH sigs AS MATERIALIZED (
             SELECT * FROM {_sql_simhash_sigs('documents')}
         ),
-        bands AS (
+        halves AS (
             SELECT doc_id, simhash,
-                   unnest([{_sh_class_keys}]) AS bk
-            FROM sigs
+                   (h.h * 65536 + ((simhash >> (16 * h.h)) & 65535)) AS hk
+            FROM sigs, (VALUES (0), (1)) h(h)
+        ),
+        probes AS (
+            SELECT doc_id, simhash,
+                   unnest([hk, {_sh_flips}]) AS pk
+            FROM halves
         )
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                bit_count(xor(a.simhash, b.simhash)) AS hamming
-        FROM bands a JOIN bands b
-          ON a.bk = b.bk AND a.doc_id < b.doc_id
+        FROM probes a JOIN halves b
+          ON a.pk = b.hk AND a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """
 

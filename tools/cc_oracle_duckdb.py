@@ -34,31 +34,20 @@ from ncagg_spark.functions.hashing import sql_hash64
 from ncagg_spark.pipeline.text import sql_tokenize
 
 MAX_HAMMING = 3
-N_CLASSES = 4  # 32 bits / 4 interleaved bit-classes; > MAX_HAMMING => complete
-
-
-def _class_keys() -> str:
-    """Four pigeonhole keys over the 32-bit signature, each tagged with
-    its class index (j*256 + 8-bit key). INTERLEAVED classes (class j =
-    bits {i : i mod 4 = j}) — r15 fix: the old form shifted 16*i over a
-    32-BIT signature, so classes 2/3 were constant 0 and their
-    "equi-joins" were all-pairs cross products (correct via the final
-    hamming verify, but O(N^2) — the thing the banding exists to
-    avoid). Also deliberately different geometry from the engine's
-    contiguous 8-bit blocks (pipeline/dedup.py), so a band-extraction
-    bug cannot cancel across engine and oracle."""
-    return ", ".join(
-        "("
-        + " + ".join(
-            [f"{j * 256}::BIGINT"]
-            + [
-                f"(((simhash >> {4 * m + j}) & 1) << {m})"
-                for m in range(8)
-            ]
-        )
-        + ")"
-        for j in range(N_CLASSES)
-    )
+# multi-index Hamming search (HmSearch/multi-probe): 2 disjoint 16-bit
+# halves of the 32-bit signature; a pair at hamming <= 3 differs <= 1
+# bit in SOME half, so probing each doc's exact half-key + its 16
+# single-bit flips against the exact-key table is candidate-complete.
+# r15 fix: the old form shifted 16*i for i in 0..3 over a 32-BIT
+# signature, so "blocks" 2/3 were constant 0 and their equi-joins were
+# all-pairs cross products (correct via the final hamming verify, but
+# O(N^2) — the thing the banding exists to avoid). 16-bit keys also
+# resist the bucket skew of natural-text signatures that made an
+# 8-bit-class rewrite 8.6x slower at sf1. Deliberately a different
+# construction from the engine's contiguous 8-bit block equi-join
+# (pipeline/dedup.py), so an extraction bug cannot cancel across
+# engine and oracle.
+_FLIPS = ", ".join(f"xor(hk, {1 << m})" for m in range(16))
 
 
 def build_edges(con, *, brute: bool = False) -> int:
@@ -98,14 +87,20 @@ def build_edges(con, *, brute: bool = False) -> int:
         """.format(mh=MAX_HAMMING)
     else:
         pair_src = f"""
-            WITH cls AS (
+            WITH halves AS (
                 SELECT doc_id, simhash,
-                       unnest([{_class_keys()}]) AS bk
-                FROM cc_sigs
+                       (h.h * 65536 + ((simhash >> (16 * h.h)) & 65535))
+                           AS hk
+                FROM cc_sigs, (VALUES (0), (1)) h(h)
+            ),
+            probes AS (
+                SELECT doc_id, simhash,
+                       unnest([hk, {_FLIPS}]) AS pk
+                FROM halves
             )
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM cls a JOIN cls b
-              ON a.bk = b.bk AND a.doc_id < b.doc_id
+            FROM probes a JOIN halves b
+              ON a.pk = b.hk AND a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= {MAX_HAMMING}
         """
     con.execute(
