@@ -25,6 +25,8 @@ import random
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ncagg_spark.functions.binding import bind_once
+
 MERSENNE31 = (1 << 31) - 1
 SIMHASH_BITS = 32
 
@@ -54,12 +56,19 @@ def minhash_signature(
     """MinHash signature (array<long>, length num_perm) of a string-array
     column. Pure higher-order functions — no UDF, stays in codegen.
     """
-    hashes = F.transform(tokens, lambda t: hash64(t))
-    sig = [
-        F.array_min(F.transform(hashes, lambda h: _perm_expr(h, a, b)))
-        for a, b in minhash_perms(num_perm, seed)
-    ]
-    return F.array(*sig)
+    def sig_of(hashes: Column) -> Column:
+        return F.array(
+            *[
+                F.array_min(
+                    F.transform(hashes, lambda h: _perm_expr(h, a, b))
+                )
+                for a, b in minhash_perms(num_perm, seed)
+            ]
+        )
+
+    # bind the per-token hash array once — the inline form re-hashed
+    # every token num_perm times (see functions/binding.py)
+    return bind_once(F.transform(tokens, lambda t: hash64(t)), sig_of)
 
 
 def band_hashes(sig: Column, num_bands: int, rows_per_band: int) -> Column:
@@ -81,22 +90,27 @@ def simhash64(tokens: Column, bits: int = SIMHASH_BITS) -> Column:
 
     bit_j(doc) = 1 iff sum over tokens of (2*bit_j(hash(token)) - 1) > 0.
     """
-    hashes = F.transform(tokens, lambda t: hash64(t))
+    def sig_of(hashes: Column) -> Column:
+        def bit_vote(j: int) -> Column:
+            # closure (not default-arg capture): pyspark inspects lambda
+            # arity
+            return F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda a, h: a
+                + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1),
+            )
 
-    def bit_vote(j: int) -> Column:
-        # closure (not default-arg capture): pyspark inspects lambda arity
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda a, h: a + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1),
-        )
+        acc = F.lit(0).cast("long")
+        for j in range(bits):
+            acc = acc + F.when(
+                bit_vote(j) > 0, F.lit(1 << j).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return acc
 
-    acc = F.lit(0).cast("long")
-    for j in range(bits):
-        acc = acc + F.when(bit_vote(j) > 0, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return acc
+    # bind the per-token hash array once — the inline form re-hashed
+    # every token once per signature bit (32x; see functions/binding.py)
+    return bind_once(F.transform(tokens, lambda t: hash64(t)), sig_of)
 
 
 def hamming_distance64(a: Column, b: Column) -> Column:

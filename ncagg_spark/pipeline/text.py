@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ncagg_spark.functions.binding import bind_once
+
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
 # heuristic. Deliberately small + hard-coded so Spark and the SQL oracle
 # share them verbatim.
@@ -44,14 +46,23 @@ def word_ngrams(tokens: Column, n: int) -> Column:
 
     Guarded so docs shorter than n yield an empty array — Spark's
     sequence() would otherwise produce a DESCENDING range.
+
+    ``tokens`` is bound once (functions/binding.py): the old form
+    referenced the caller's token expression inside the transform
+    lambda, re-evaluating the whole tokenize tree per gram — O(T^2)
+    per document, measured 9.4x slower at sf0.1 (r15).
     """
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(tokens) - n),
-        lambda i: F.array_join(F.slice(tokens, i + 1, n), " "),
-    )
-    return F.when(F.size(tokens) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+
+    def grams_of(toks: Column) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+        return F.when(F.size(toks) >= n, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return bind_once(tokens, grams_of)
 
 
 def fingerprint(col: Column | str) -> Column:
@@ -63,17 +74,23 @@ def fingerprint(col: Column | str) -> Column:
 
 
 def stopword_ratio(tokens: Column, lang: str = "en") -> Column:
-    hits = F.size(
-        F.filter(tokens, lambda t: t.isin(*STOPWORDS[lang]))
-    )
-    return hits / F.greatest(F.size(tokens), F.lit(1))
+    def ratio_of(toks: Column) -> Column:
+        hits = F.size(
+            F.filter(toks, lambda t: t.isin(*STOPWORDS[lang]))
+        )
+        return hits / F.greatest(F.size(toks), F.lit(1))
+
+    return bind_once(tokens, ratio_of)
 
 
 def mean_token_length(tokens: Column) -> Column:
-    total = F.aggregate(
-        tokens, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
-    )
-    return total.cast("double") / F.greatest(F.size(tokens), F.lit(1))
+    def mean_of(toks: Column) -> Column:
+        total = F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+        )
+        return total.cast("double") / F.greatest(F.size(toks), F.lit(1))
+
+    return bind_once(tokens, mean_of)
 
 
 def quality_score(col: Column | str) -> Column:
@@ -81,19 +98,24 @@ def quality_score(col: Column | str) -> Column:
     sane token lengths; penalizes ultra-short docs. Mirrors the shape of
     common pretraining-corpus quality filters (length / stopword gates).
     """
-    toks = tokenize(col)
-    sw = stopword_ratio(toks)
-    mlen = mean_token_length(toks)
-    len_ok = F.when(
-        (F.size(toks) >= 10) & (F.size(toks) <= 100000), F.lit(1.0)
-    ).otherwise(F.lit(0.0))
-    mlen_ok = F.when((mlen >= 2.0) & (mlen <= 12.0), F.lit(1.0)).otherwise(
-        F.lit(0.0)
-    )
-    return F.round(
-        (F.least(sw * F.lit(5.0), F.lit(1.0)) + len_ok + mlen_ok) / F.lit(3.0),
-        6,
-    )
+    def score_of(toks: Column) -> Column:
+        sw = stopword_ratio(toks)
+        mlen = mean_token_length(toks)
+        len_ok = F.when(
+            (F.size(toks) >= 10) & (F.size(toks) <= 100000), F.lit(1.0)
+        ).otherwise(F.lit(0.0))
+        mlen_ok = F.when(
+            (mlen >= 2.0) & (mlen <= 12.0), F.lit(1.0)
+        ).otherwise(F.lit(0.0))
+        return F.round(
+            (F.least(sw * F.lit(5.0), F.lit(1.0)) + len_ok + mlen_ok)
+            / F.lit(3.0),
+            6,
+        )
+
+    # bind the token array once — the inline form evaluated tokenize()
+    # per sub-signal (4x per row; see functions/binding.py)
+    return bind_once(tokenize(col), score_of)
 
 
 def language_hits(tokens: Column) -> dict[str, Column]:
@@ -119,17 +141,21 @@ def detect_language(col: Column | str) -> Column:
     """Argmax over language stopword scores via a fixed-precedence CASE
     chain; 'und' (undetermined) when all scores are zero.
     """
-    toks = tokenize(col)
-    hits = language_hits(toks)
-    expr = F.lit("und")
-    for lang in reversed(LANG_PRECEDENCE):
-        others = [hits[o] for o in LANG_PRECEDENCE if o != lang]
-        is_max = (hits[lang] > 0) & F.lit(True)
-        for o in others:
-            is_max = is_max & (hits[lang] >= o)
-        # earlier langs override later ones on ties (loop is reversed)
-        expr = F.when(is_max, F.lit(lang)).otherwise(expr)
-    return expr
+    def lang_of(toks: Column) -> Column:
+        hits = language_hits(toks)
+        expr = F.lit("und")
+        for lang in reversed(LANG_PRECEDENCE):
+            others = [hits[o] for o in LANG_PRECEDENCE if o != lang]
+            is_max = (hits[lang] > 0) & F.lit(True)
+            for o in others:
+                is_max = is_max & (hits[lang] >= o)
+            # earlier langs override later ones on ties (loop is reversed)
+            expr = F.when(is_max, F.lit(lang)).otherwise(expr)
+        return expr
+
+    # bind the token array once — the inline form evaluated tokenize()
+    # once per language hit count (4x per row)
+    return bind_once(tokenize(col), lang_of)
 
 
 # BPE-ish pre-tokenization: the GPT-2-style coarse split into letter runs,
@@ -158,12 +184,20 @@ def winnow_fingerprint(tokens: Column, window: int = 8) -> Column:
     token sequence."""
     from ncagg_spark.functions.hashing import hash64
 
-    grams = word_ngrams(tokens, window)
-    whole = hash64(F.array_join(tokens, " "))
-    return F.when(
-        F.size(grams) > 0,
-        F.array_min(F.transform(grams, lambda g: hash64(g))),
-    ).otherwise(whole)
+    def fp_of(toks: Column) -> Column:
+        whole = hash64(F.array_join(toks, " "))
+
+        def from_grams(grams: Column) -> Column:
+            return F.when(
+                F.size(grams) > 0,
+                F.array_min(F.transform(grams, lambda g: hash64(g))),
+            ).otherwise(whole)
+
+        return bind_once(word_ngrams(toks, window), from_grams)
+
+    # bind tokens (referenced by grams AND the short-doc fallback) and
+    # the gram array (referenced by the guard AND the min) once each
+    return bind_once(tokens, fp_of)
 
 
 # ---------------------------------------------------------------------------
@@ -296,11 +330,13 @@ def _lines(col: Column | str) -> Column:
 def duplicate_line_fraction(col: Column | str) -> Column:
     """Fraction of (non-blank, trimmed) lines that are duplicates of an
     earlier line: 1 - distinct/total. 0 for empty docs."""
-    lines = _lines(col)
-    n = F.size(lines)
-    return F.when(n > 0, 1.0 - F.size(F.array_distinct(lines)) / n).otherwise(
-        F.lit(0.0)
-    )
+    def frac_of(lines: Column) -> Column:
+        n = F.size(lines)
+        return F.when(
+            n > 0, 1.0 - F.size(F.array_distinct(lines)) / n
+        ).otherwise(F.lit(0.0))
+
+    return bind_once(_lines(col), frac_of)
 
 
 def _paragraphs(col: Column | str) -> Column:
@@ -318,11 +354,13 @@ def _paragraphs(col: Column | str) -> Column:
 
 def duplicate_paragraph_fraction(col: Column | str) -> Column:
     """Same signal over blank-line-separated paragraphs."""
-    paras = _paragraphs(col)
-    n = F.size(paras)
-    return F.when(n > 0, 1.0 - F.size(F.array_distinct(paras)) / n).otherwise(
-        F.lit(0.0)
-    )
+    def frac_of(paras: Column) -> Column:
+        n = F.size(paras)
+        return F.when(
+            n > 0, 1.0 - F.size(F.array_distinct(paras)) / n
+        ).otherwise(F.lit(0.0))
+
+    return bind_once(_paragraphs(col), frac_of)
 
 
 def top_ngram_count(col: Column | str, n: int = 2) -> Column:
@@ -343,21 +381,27 @@ def top_ngram_count(col: Column | str, n: int = 2) -> Column:
 def top_ngram_fraction(col: Column | str, n: int = 2) -> Column:
     """Fraction of all n-gram occurrences taken by the single most
     frequent n-gram — high values mean one phrase dominates the doc."""
-    total = F.size(word_ngrams(tokenize(_c(col)), n))
-    return F.when(
-        total > 0, top_ngram_count(col, n) / total
-    ).otherwise(F.lit(0.0))
+    def frac_of(grams: Column) -> Column:
+        total = F.size(grams)
+        return F.when(
+            total > 0, _run_length_mode(F.array_sort(grams)) / total
+        ).otherwise(F.lit(0.0))
+
+    # one gram build shared by the mode count and the denominator
+    return bind_once(word_ngrams(tokenize(_c(col)), n), frac_of)
 
 
 def duplicated_ngram_fraction(col: Column | str, n: int = 5) -> Column:
     """Fraction of n-gram occurrences whose gram appears more than once
     (1 - distinct/total over the n-gram multiset) — boilerplate pages
     score high even when no single gram dominates."""
-    grams = word_ngrams(tokenize(_c(col)), n)
-    total = F.size(grams)
-    return F.when(
-        total > 0, 1.0 - F.size(F.array_distinct(grams)) / total
-    ).otherwise(F.lit(0.0))
+    def frac_of(grams: Column) -> Column:
+        total = F.size(grams)
+        return F.when(
+            total > 0, 1.0 - F.size(F.array_distinct(grams)) / total
+        ).otherwise(F.lit(0.0))
+
+    return bind_once(word_ngrams(tokenize(_c(col)), n), frac_of)
 
 
 def repetition_signals(col: Column | str) -> list[Column]:
