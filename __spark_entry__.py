@@ -17,6 +17,7 @@ pipeline.text for the shared builders):
 from __future__ import annotations
 
 import math
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -38,6 +39,7 @@ from ncagg_spark.operators.gapfill import gap_fill
 from ncagg_spark.operators.multidim import regularize_multidim
 from ncagg_spark.operators.normalize import drop_invalid_index
 from ncagg_spark.operators.projection import coalesce_alternates
+from ncagg_spark.streaming.tuning import stream_shuffle_partitions
 from ncagg_spark.pipeline.dedup import (
     exact_dedup,
     exact_duplicates,
@@ -166,6 +168,41 @@ def _work_dir(prefix: str, sf_dir: str) -> str:
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d, exist_ok=True)
     return d
+
+
+def _write_granules(
+    base: str,
+    in_dir: str,
+    parts: list[DataFrame],
+    *,
+    mtime: int | None = None,
+) -> None:
+    """Write each part as one single-file granule under ``in_dir``.
+
+    The parts are INDEPENDENT tiny jobs (each a filter of an
+    already-defined frame), so they are submitted concurrently from a
+    thread pool (optimization guide §2.6): the stream-prep phase pays
+    roughly one job latency instead of len(parts) sequential latencies.
+    Content is unchanged — each granule is still written by its own
+    deterministic coalesce(1) plan; ``mtime`` (when given) stamps
+    granule i with mtime + 100*i so the file source's micro-batch order
+    stays forced exactly as before.
+    """
+    import glob as _glob
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _one(item: tuple[int, DataFrame]) -> None:
+        i, part = item
+        tmp_out = os.path.join(base, f"tmp{i}")
+        part.coalesce(1).write.parquet(tmp_out)
+        (pf,) = _glob.glob(os.path.join(tmp_out, "part-*.parquet"))
+        dst = os.path.join(in_dir, f"granule_{i}.parquet")
+        os.rename(pf, dst)
+        if mtime is not None:
+            os.utime(dst, (mtime + 100 * i, mtime + 100 * i))
+
+    with ThreadPoolExecutor(max_workers=len(parts)) as pool:
+        list(pool.map(_one, list(enumerate(parts))))
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -332,7 +369,6 @@ def q_stream_day_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE-SHOT batch oracle — the reference's operational re-aggregation
     loop (a cron drops a granule, the day file is rebuilt) proven
     incremental == batch."""
-    import glob as _glob
     import os
 
     from ncagg_spark.streaming.regularize import incremental_aggregate
@@ -348,28 +384,35 @@ def q_stream_day_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev = drop_invalid_index(ev, "ts").select("ts", "event_id", "value")
     quarter_us = (DAY_HI_US - DAY_LO_US) // 4
-    for i in range(4):
-        qlo = DAY_LO_US + i * quarter_us
-        part = ev.filter(
-            (epoch_us("ts") >= qlo) & (epoch_us("ts") < qlo + quarter_us)
-        )
-        tmp_out = os.path.join(base, f"tmp{i}")
-        part.coalesce(1).write.parquet(tmp_out)
-        (pf,) = _glob.glob(os.path.join(tmp_out, "part-*.parquet"))
-        os.rename(pf, os.path.join(in_dir, f"granule_{i}.parquet"))
+    _write_granules(
+        base,
+        in_dir,
+        [
+            ev.filter(
+                (epoch_us("ts") >= DAY_LO_US + i * quarter_us)
+                & (epoch_us("ts") < DAY_LO_US + (i + 1) * quarter_us)
+            )
+            for i in range(4)
+        ],
+        # the sequential writes used to yield naturally increasing
+        # mtimes; stamp them explicitly so the concurrent writes keep
+        # the same quarter-by-quarter micro-batch order
+        mtime=1_700_000_000,
+    )
 
     out_dir = os.path.join(base, "out")
-    q = incremental_aggregate(
-        spark,
-        in_dir,
-        out_dir,
-        os.path.join(base, "ckpt"),
-        spark.read.parquet(in_dir).schema,
-        _day_cfg(),
-        available_now=True,
-        max_files_per_trigger=1,
-    )
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark):
+        q = incremental_aggregate(
+            spark,
+            in_dir,
+            out_dir,
+            os.path.join(base, "ckpt"),
+            spark.read.parquet(in_dir).schema,
+            _day_cfg(),
+            available_now=True,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination()
     return spark.read.parquet(out_dir).select(
         "ts", "event_id", "value", "is_fill"
     )
@@ -403,7 +446,6 @@ def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB oracle therefore sees ONLY g0: earliest-per-minute-slot
     over the %5 != 0 rows. If late rows leaked into the result, the
     hash comparison fails."""
-    import glob as _glob
     import os
 
     from ncagg_spark.streaming.regularize import (
@@ -427,24 +469,21 @@ def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_id") % 5 == 0)
         & (epoch_us("ts") < DAY_LO_US + 6 * 3_600_000_000)
     )
+    # single-partition JVM one-row sentinels (see q_stream_gap_fill_ooo)
     sent = [
-        spark.createDataFrame(
-            [(half_hi + (i + 1) * 3_600_000_000, 10**9 + i, 0.0)],
-            "us long, event_id long, value double",
-        ).select(
-            F.timestamp_micros("us").alias("ts"), "event_id", "value"
+        spark.range(0, 1, 1, 1).select(
+            F.timestamp_micros(
+                F.lit(half_hi + (i + 1) * 3_600_000_000)
+            ).alias("ts"),
+            F.lit(10**9 + i).cast("long").alias("event_id"),
+            F.lit(0.0).alias("value"),
         )
         for i in range(2)
     ]
-    mtime = 1_700_000_000
-    for i, part in enumerate([g0, sent[0], g1, sent[1]]):
-        tmp_out = os.path.join(base, f"tmp{i}")
-        part.coalesce(1).write.parquet(tmp_out)
-        (pf,) = _glob.glob(os.path.join(tmp_out, "part-*.parquet"))
-        dst = os.path.join(in_dir, f"granule_{i}.parquet")
-        os.rename(pf, dst)
-        # force micro-batch order: the file source orders by mtime
-        os.utime(dst, (mtime + 100 * i, mtime + 100 * i))
+    # force micro-batch order: the file source orders by mtime
+    _write_granules(
+        base, in_dir, [g0, sent[0], g1, sent[1]], mtime=1_700_000_000
+    )
 
     cfg = AggregationConfig(
         index_by="ts",
@@ -461,15 +500,16 @@ def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = stream_dedup_cadence(stream, cfg, watermark_delay="120 seconds")
     out_dir = os.path.join(base, "out")
-    q = (
-        out.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark):
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     got = spark.read.parquet(out_dir)
     return got.select(
         F.col("__bucket").alias("bucket"), "ts", "event_id", "value"
@@ -498,7 +538,6 @@ def q_stream_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     State carries across the batch boundary, so the micro-batched
     output must equal the one-shot batch rule — which is exactly what
     the DuckDB lag-window oracle computes."""
-    import glob as _glob
     import os
 
     from ncagg_spark.streaming.regularize import stream_granules
@@ -515,16 +554,12 @@ def q_stream_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev = drop_invalid_index(ev, "ts").select("ts", "event_type")
     mid = DAY_LO_US + (GF_HI_US - DAY_LO_US) // 2
-    mtime = 1_700_000_000
-    for i, part in enumerate(
-        [ev.filter(epoch_us("ts") < mid), ev.filter(epoch_us("ts") >= mid)]
-    ):
-        tmp_out = os.path.join(base, f"tmp{i}")
-        part.coalesce(1).write.parquet(tmp_out)
-        (pf,) = _glob.glob(os.path.join(tmp_out, "part-*.parquet"))
-        dst = os.path.join(in_dir, f"granule_{i}.parquet")
-        os.rename(pf, dst)
-        os.utime(dst, (mtime + 100 * i, mtime + 100 * i))
+    _write_granules(
+        base,
+        in_dir,
+        [ev.filter(epoch_us("ts") < mid), ev.filter(epoch_us("ts") >= mid)],
+        mtime=1_700_000_000,
+    )
 
     stream = stream_granules(
         spark,
@@ -540,15 +575,16 @@ def q_stream_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeout="none",  # bounded availableNow run; see fill_gaps_online
     )
     out_dir = os.path.join(base, "out")
-    q = (
-        out.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark):
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out_dir).select("key", "ts", "is_fill")
 
 
@@ -564,7 +600,6 @@ def q_stream_gap_fill_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
     sentinel granules (a key absent from the data, filtered out here
     and never present in the oracle) advance the watermark so the
     EventTimeTimeout flushes every real key's tail."""
-    import glob as _glob
     import os
 
     from ncagg_spark.streaming.regularize import stream_granules
@@ -586,26 +621,26 @@ def q_stream_gap_fill_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
     dtmax_us = GF_DTMAX_US
     sent_key = "zzzz__wm_sentinel"
     sent1_us = GF_HI_US + delay_us + dtmax_us + 3_600_000_000
-    sent = spark.createDataFrame(
-        [(sent1_us,), (sent1_us + 1_000_000,)], "us long"
-    ).select(
-        F.timestamp_micros(F.col("us")).alias("ts"),
-        F.lit(sent_key).alias("event_type"),
-    )
+
+    # single-partition JVM-side one-row frames: a Python-side
+    # createDataFrame gets defaultParallelism partitions, and
+    # coalesce(1) then walks all of them sequentially in one task
+    # (~150 ms per Python partition handshake — measured 4-5 s per
+    # sentinel write at r15); range(..., numPartitions=1) writes in
+    # ~0.2 s with identical rows
+    def _sent_row(us_val: int) -> DataFrame:
+        return spark.range(0, 1, 1, 1).select(
+            F.timestamp_micros(F.lit(us_val)).alias("ts"),
+            F.lit(sent_key).alias("event_type"),
+        )
+
     parts = [
         ev.filter(epoch_us("ts") >= mid),  # second day FIRST
         ev.filter(epoch_us("ts") < mid),
-        sent.filter(F.col("ts") == F.timestamp_micros(F.lit(sent1_us))),
-        sent.filter(F.col("ts") != F.timestamp_micros(F.lit(sent1_us))),
+        _sent_row(sent1_us),
+        _sent_row(sent1_us + 1_000_000),
     ]
-    mtime = 1_700_000_000
-    for i, part in enumerate(parts):
-        tmp_out = os.path.join(base, f"tmp{i}")
-        part.coalesce(1).write.parquet(tmp_out)
-        (pf,) = _glob.glob(os.path.join(tmp_out, "part-*.parquet"))
-        dst = os.path.join(in_dir, f"granule_{i}.parquet")
-        os.rename(pf, dst)
-        os.utime(dst, (mtime + 100 * i, mtime + 100 * i))
+    _write_granules(base, in_dir, parts, mtime=1_700_000_000)
 
     stream = stream_granules(
         spark,
@@ -622,15 +657,16 @@ def q_stream_gap_fill_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark_delay=f"{delay_us // 1_000_000} seconds",
     )
     out_dir = os.path.join(base, "out")
-    q = (
-        out.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark):
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.read.parquet(out_dir)
         .filter(F.col("key") != sent_key)
@@ -649,7 +685,6 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-shot batch rule, which is what the DuckDB lag-window session
     oracle computes. Far-future sentinel granules (key filtered here,
     absent from the oracle) advance the watermark to flush the tail."""
-    import glob as _glob
     import os
 
     from ncagg_spark.streaming.regularize import stream_granules
@@ -669,26 +704,21 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sent_key = "zzzz__wm_sentinel"
     delay_us = 3_600_000_000  # 1h watermark (granules arrive in order)
     sent1_us = GF_HI_US + delay_us + SESS_STREAM_GAP_US + 3_600_000_000
-    sent = spark.createDataFrame(
-        [(sent1_us,), (sent1_us + 1_000_000,)], "us long"
-    ).select(
-        F.timestamp_micros(F.col("us")).alias("ts"),
-        F.lit(sent_key).alias("event_type"),
-    )
+
+    # single-partition JVM one-row sentinels (see q_stream_gap_fill_ooo)
+    def _sent_row(us_val: int) -> DataFrame:
+        return spark.range(0, 1, 1, 1).select(
+            F.timestamp_micros(F.lit(us_val)).alias("ts"),
+            F.lit(sent_key).alias("event_type"),
+        )
+
     parts = [
         ev.filter(epoch_us("ts") < mid),
         ev.filter(epoch_us("ts") >= mid),
-        sent.filter(F.col("ts") == F.timestamp_micros(F.lit(sent1_us))),
-        sent.filter(F.col("ts") != F.timestamp_micros(F.lit(sent1_us))),
+        _sent_row(sent1_us),
+        _sent_row(sent1_us + 1_000_000),
     ]
-    mtime = 1_700_000_000
-    for i, part in enumerate(parts):
-        tmp_out = os.path.join(base, f"tmp{i}")
-        part.coalesce(1).write.parquet(tmp_out)
-        (pf,) = _glob.glob(os.path.join(tmp_out, "part-*.parquet"))
-        dst = os.path.join(in_dir, f"granule_{i}.parquet")
-        os.rename(pf, dst)
-        os.utime(dst, (mtime + 100 * i, mtime + 100 * i))
+    _write_granules(base, in_dir, parts, mtime=1_700_000_000)
 
     stream = stream_granules(
         spark,
@@ -703,15 +733,16 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark_delay=f"{delay_us // 1_000_000} seconds",
     )
     out_dir = os.path.join(base, "out")
-    q = (
-        out.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark):
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.read.parquet(out_dir)
         .filter(F.col("key") != sent_key)

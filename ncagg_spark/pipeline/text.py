@@ -74,23 +74,20 @@ def fingerprint(col: Column | str) -> Column:
 
 
 def stopword_ratio(tokens: Column, lang: str = "en") -> Column:
-    def ratio_of(toks: Column) -> Column:
-        hits = F.size(
-            F.filter(toks, lambda t: t.isin(*STOPWORDS[lang]))
-        )
-        return hits / F.greatest(F.size(toks), F.lit(1))
-
-    return bind_once(tokens, ratio_of)
+    # only two references to ``tokens`` — not worth a bind_once wrapper
+    # (callers on hot paths pass an already-bound variable anyway)
+    hits = F.size(
+        F.filter(tokens, lambda t: t.isin(*STOPWORDS[lang]))
+    )
+    return hits / F.greatest(F.size(tokens), F.lit(1))
 
 
 def mean_token_length(tokens: Column) -> Column:
-    def mean_of(toks: Column) -> Column:
-        total = F.aggregate(
-            toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
-        )
-        return total.cast("double") / F.greatest(F.size(toks), F.lit(1))
-
-    return bind_once(tokens, mean_of)
+    # only two references to ``tokens`` — not worth a bind_once wrapper
+    total = F.aggregate(
+        tokens, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+    )
+    return total.cast("double") / F.greatest(F.size(tokens), F.lit(1))
 
 
 def quality_score(col: Column | str) -> Column:
