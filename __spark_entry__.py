@@ -1650,7 +1650,9 @@ def q_doc_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     sigs = simhash_signatures(d)
     pairs = simhash_near_duplicates(sigs, max_hamming=3).select("id_a", "id_b")
-    return near_dedup(d, pairs, num_partitions=8).select("doc_id", "n_members")
+    return near_dedup(
+        d, pairs, num_partitions=8, unique_pairs=True
+    ).select("doc_id", "n_members")
 
 
 def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1746,9 +1748,9 @@ def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sigs = simhash_signatures(_t(spark, sf_dir, "documents"))
     pairs = simhash_near_duplicates(sigs, max_hamming=3).select("id_a", "id_b")
-    return connected_components(pairs, num_partitions=8).select(
-        F.col("node").alias("doc_id"), "cluster_id"
-    )
+    return connected_components(
+        pairs, num_partitions=8, unique_pairs=True
+    ).select(F.col("node").alias("doc_id"), "cluster_id")
 
 
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

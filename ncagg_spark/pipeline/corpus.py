@@ -126,8 +126,12 @@ def clean_corpus(
     # cc_num_partitions sizes the per-round CC shuffles to the PAIR
     # GRAPH (orders of magnitude smaller than the corpus); callers at
     # cluster scale pass ~|edges| / target_task_rows
+    # verified pairs are unique by construction (LSH candidates emit
+    # each pair once; the Jaccard verify is one row per pair) — skip
+    # the CC edge-dedup shuffle
     kept = near_dedup(
-        kept, verified, id_col=id_col, num_partitions=cc_num_partitions
+        kept, verified, id_col=id_col,
+        num_partitions=cc_num_partitions, unique_pairs=True,
     )
 
     if max_shared_span is not None:

@@ -434,6 +434,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 25,
     num_partitions: int | None = None,
+    unique_pairs: bool = False,
 ) -> DataFrame:
     """Duplicate clustering: connected components over a near-dup pair
     graph. Returns (node, cluster_id) where cluster_id is the minimum
@@ -451,12 +452,23 @@ def connected_components(
     check rides the same job that materializes the new labels. For graphs
     with giant diameters at 100 TB, swap in large-star/small-star
     (O(log n) rounds, same per-round shape).
+
+    ``unique_pairs=True`` skips the edge-dedup ``distinct()`` — one full
+    shuffle of the edge list saved per call. Correct whenever the input
+    emits each undirected pair at most once in the ``id_a < id_b``
+    convention (true by construction for minhash_lsh_candidates and
+    simhash_near_duplicates: the symmetric fwd/rev union then cannot
+    collide). Duplicate edges would not change the RESULT either way
+    (min-label is idempotent over multiplicity) — the distinct only
+    bounds per-round row counts when the caller cannot vouch.
     """
     # symmetric edge list; self-propagation is covered by unioning the
     # node's own label into the groupBy below
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    edges = fwd.union(rev).distinct()
+    edges = fwd.union(rev)
+    if not unique_pairs:
+        edges = edges.distinct()
     # size the per-round shuffles to the GRAPH, not the corpus: the pair
     # graph is orders of magnitude smaller than its source table, and an
     # iterative loop pays scheduling overhead per round per task. Callers
@@ -477,42 +489,53 @@ def connected_components(
         .persist()
     )
 
+    # scope EVERY per-round shuffle (the groupBy and both joins) to the
+    # graph-sized partition count for the whole eager loop: with the
+    # session default in force the per-round exchanges came out at
+    # corpus-scale width and the persisted edges' hash(src,
+    # num_partitions) layout never matched, so edges re-shuffled every
+    # round (r15, measured)
+    from ncagg_spark.tuning import scoped_shuffle_partitions
+
     prev_sum = None
-    for _ in range(max_iter):
-        msgs = (
-            edges.join(labels, edges.src == labels.node)
-            .select(F.col("dst").alias("node"), "label")
-        )
-        propagated = (
-            msgs.union(labels.select("node", "label"))
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-        )
-        # path compression (pointer jumping): replace each label by ITS
-        # label, squaring the propagation distance per round — O(log
-        # diameter) rounds instead of O(diameter), the difference between
-        # 5 and 50 shuffles on chain-shaped duplicate clusters
-        jump = propagated.select(
-            F.col("node").alias("label"), F.col("label").alias("jumped")
-        )
-        new_labels = (
-            propagated.join(jump, on="label", how="left")
-            .select(
-                "node", F.coalesce("jumped", "label").alias("label")
+    with scoped_shuffle_partitions(pairs.sparkSession, num_partitions):
+        for _ in range(max_iter):
+            msgs = (
+                edges.join(labels, edges.src == labels.node)
+                .select(F.col("dst").alias("node"), "label")
             )
-            .localCheckpoint()  # eager: cuts lineage, materializes once
-        )
-        # labels are monotonically non-increasing, so convergence is
-        # exactly "sum of labels unchanged" — a shuffle-free agg over the
-        # checkpointed rows, replacing a join-based diff action per round
-        cur_sum = new_labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)"))
-        ).collect()[0][0]
-        labels.unpersist()
-        labels = new_labels
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+            propagated = (
+                msgs.union(labels.select("node", "label"))
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+            )
+            # path compression (pointer jumping): replace each label by
+            # ITS label, squaring the propagation distance per round —
+            # O(log diameter) rounds instead of O(diameter), the
+            # difference between 5 and 50 shuffles on chain-shaped
+            # duplicate clusters
+            jump = propagated.select(
+                F.col("node").alias("label"), F.col("label").alias("jumped")
+            )
+            new_labels = (
+                propagated.join(jump, on="label", how="left")
+                .select(
+                    "node", F.coalesce("jumped", "label").alias("label")
+                )
+                .localCheckpoint()  # eager: cuts lineage, runs once
+            )
+            # labels are monotonically non-increasing, so convergence is
+            # exactly "sum of labels unchanged" — a shuffle-free agg over
+            # the checkpointed rows, replacing a join-based diff action
+            # per round
+            cur_sum = new_labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)"))
+            ).collect()[0][0]
+            labels.unpersist()
+            labels = new_labels
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
 
     edges.unpersist()
     return labels.select(
@@ -526,6 +549,7 @@ def near_dedup(
     id_col: str = "doc_id",
     *,
     num_partitions: int | None = None,
+    unique_pairs: bool = False,
 ) -> DataFrame:
     """End-to-end near-duplicate removal: cluster the near-dup pair graph
     (connected components) and keep exactly one representative per
@@ -537,7 +561,9 @@ def near_dedup(
     corpus-side joins are plain equi-joins on the id — the label table is
     O(duplicates), tiny next to the corpus, so AQE broadcasts it.
     """
-    labels = connected_components(pairs, num_partitions=num_partitions)
+    labels = connected_components(
+        pairs, num_partitions=num_partitions, unique_pairs=unique_pairs
+    )
     sizes = labels.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_members")
     )

@@ -231,6 +231,10 @@ def semantic_dedup(
         max_cell_size=max_cell_size,
         probes=probes,
     ).select("id_a", "id_b")
+    # pairs are unique by construction: one row per (id_a, id_b) in both
+    # branches of semantic_duplicate_pairs (probes>1 goes through
+    # _dedupe_probed) — skip the CC edge-dedup shuffle
     return near_dedup(
-        corpus, pairs, id_col, num_partitions=num_partitions
+        corpus, pairs, id_col,
+        num_partitions=num_partitions, unique_pairs=True,
     )
