@@ -1805,7 +1805,13 @@ def q_emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_cells = max(1, math.ceil(math.sqrt(em.count())))
     cents = sample_centroids(em, n_cells)
     kept = semantic_dedup(
-        em, cents, threshold=SEMDEDUP_THR, probes=SEMDEDUP_PROBES
+        em,
+        cents,
+        threshold=SEMDEDUP_THR,
+        probes=SEMDEDUP_PROBES,
+        # size the CC rounds to the pair graph, not the corpus — the
+        # same graph-sized convention as cc_num_partitions elsewhere
+        num_partitions=8,
     )
     return kept.select("vec_id", "n_members")
 

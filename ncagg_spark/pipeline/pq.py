@@ -335,9 +335,18 @@ def _encode_relational(
             )
             + ")"
         )
+        # bind the distance array once: inlining {dists} into both
+        # array_position and array_min evaluated all n_codes fold
+        # aggregates twice per row (Catalyst does no CSE across the two
+        # references — same finding as functions/binding.py, r15); the
+        # transform lambda's bound variable makes the second reference
+        # free. get(transform(array(e), f), 0) == f(e) exactly.
         df = df.withColumn(
             f"__code_{s}",
-            F.expr(f"array_position({dists}, array_min({dists})) - 1"),
+            F.expr(
+                f"get(transform(array({dists}), "
+                "d -> array_position(d, array_min(d)) - 1), 0)"
+            ),
         )
     return df
 
@@ -459,11 +468,21 @@ def pq_topk_relational(
     books = _anchor_codebooks(corpus, n_codes, id_col, vec_col)
 
     # -- encode: one int code per subspace, first-argmin tiebreak --
-    enc = _encode_relational(
+    # spread BEFORE encoding (pipeline/dedup.py:_spread_small_input):
+    # the m x n_codes fold-aggregate encode is the CPU-heavy step and
+    # must not run in the handful of tasks a small scan yields; a no-op
+    # at scale where the scan already gives >= parallelism partitions
+    from ncagg_spark.pipeline.dedup import _spread_small_input
+
+    base = _spread_small_input(
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("__cvec"),
         ),
+        "neighbor_id",
+    )
+    enc = _encode_relational(
+        base,
         books,
         m=m,
         sub=sub,
@@ -639,11 +658,17 @@ def ivf_pq_topk_relational(
     )
     books = _anchor_codebooks(corpus, n_codes, id_col, vec_col)
 
-    # -- corpus -> (cell, codes): ONE narrow projection, no shuffle --
+    # -- corpus -> (cell, codes): ONE narrow projection (the spread is
+    # a no-op at scale; see pq_topk_relational) --
+    from ncagg_spark.pipeline.dedup import _spread_small_input
+
     celled = assign_cells(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("__cvec"),
+        _spread_small_input(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("__cvec"),
+            ),
+            "neighbor_id",
         ),
         cents,
         vec_col="__cvec",
