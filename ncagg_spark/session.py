@@ -27,6 +27,11 @@ _DEFAULT_CONF = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # allow shuffled-hash join when its size conditions are met (no sort
+    # on either side); sort-merge remains the planner's fallback and AQE
+    # skew handling still applies. Measured 3-5% on the 20-query
+    # headline set at sf0.1 (r15, same-session A/B).
+    "spark.sql.join.preferSortMergeJoin": "false",
     "spark.sql.session.timeZone": "UTC",
     # testdata parquet carries TIMESTAMP(NANOS); read as long then convert
     # (sources/tables.py) — Spark has no native nanos timestamp type.
