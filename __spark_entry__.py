@@ -1651,7 +1651,7 @@ def q_doc_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = simhash_signatures(d)
     pairs = simhash_near_duplicates(sigs, max_hamming=3).select("id_a", "id_b")
     return near_dedup(
-        d, pairs, num_partitions=8, unique_pairs=True
+        d, pairs, num_partitions=None, unique_pairs=True
     ).select("doc_id", "n_members")
 
 
@@ -1697,7 +1697,7 @@ def q_doc_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         bench_ngram_n=8,
         max_shared_span=20,
         span_k=8,
-        cc_num_partitions=8,
+        cc_num_partitions=None,
     )
     return out.select("doc_id", "n_members")
 
@@ -1749,7 +1749,7 @@ def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = simhash_signatures(_t(spark, sf_dir, "documents"))
     pairs = simhash_near_duplicates(sigs, max_hamming=3).select("id_a", "id_b")
     return connected_components(
-        pairs, num_partitions=8, unique_pairs=True
+        pairs, num_partitions=None, unique_pairs=True
     ).select(F.col("node").alias("doc_id"), "cluster_id")
 
 
@@ -1809,9 +1809,9 @@ def q_emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents,
         threshold=SEMDEDUP_THR,
         probes=SEMDEDUP_PROBES,
-        # size the CC rounds to the pair graph, not the corpus — the
-        # same graph-sized convention as cc_num_partitions elsewhere
-        num_partitions=8,
+        # CC round width derives from the measured pair-graph size
+        # (connected_components adaptive default)
+        num_partitions=None,
     )
     return kept.select("vec_id", "n_members")
 

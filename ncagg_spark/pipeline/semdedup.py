@@ -84,10 +84,17 @@ def semantic_duplicate_pairs(
     """
     if int(probes) < 1:
         raise ValueError(f"probes must be >= 1, got {probes!r}")
+    # spread BEFORE the probe/assign expression and the per-pair cosine
+    # folds (pipeline/dedup.py:_spread_small_input): a small embeddings
+    # slice arrives as one parquet file -> one task, serializing ALL the
+    # centroid-distance and pair-cosine arithmetic; a no-op at scale
+    from ncagg_spark.pipeline.dedup import _spread_small_input
+
+    base = _spread_small_input(corpus.select(id_col, vec_col), id_col)
     if probes > 1:
         from ncagg_spark.pipeline.similarity import quantized_probe_col
 
-        assigned = corpus.select(id_col, vec_col).withColumn(
+        assigned = base.withColumn(
             "cell",
             F.explode(
                 quantized_probe_col(centroids, int(probes), vec_col)
@@ -95,7 +102,7 @@ def semantic_duplicate_pairs(
         )
     else:
         assigned = assign_cells(
-            corpus.select(id_col, vec_col),
+            base,
             centroids,
             vec_col=vec_col,
             out_col="cell",

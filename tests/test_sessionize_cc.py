@@ -101,6 +101,32 @@ def test_near_dedup_keeps_one_per_cluster(spark):
     assert got == {1: 4, 10: 2, 99: 1}
 
 
+def test_connected_components_adaptive_width(spark, monkeypatch):
+    # num_partitions=None sizes the loop from the measured edge count:
+    # a tiny graph takes the shuffle-free coalesce(1) branch, and with
+    # the per-partition target forced down to 2 edge rows the same graph
+    # exercises the multi-partition repartition branch — both must
+    # produce the identical clustering
+    import ncagg_spark.pipeline.dedup as dd
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)],
+        "id_a long, id_b long",
+    )
+    expect = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(pairs, num_partitions=None).collect()
+    }
+    assert got == expect
+    monkeypatch.setattr(dd, "_CC_EDGES_PER_PARTITION", 2)
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(pairs, num_partitions=None).collect()
+    }
+    assert got == expect
+
+
 def test_connected_components_long_chain_converges(spark):
     # a 24-node chain exercises the pointer-jumping path: min label must
     # traverse the full diameter well within max_iter rounds
