@@ -46,6 +46,67 @@ from ncagg_spark.pipeline.text import fingerprint, tokenize, word_ngrams
 # never schedules more loop tasks than the cluster has reduce slots.
 _CC_EDGES_PER_PARTITION = 64_000
 
+# size-gated driver solve for connected components: when the MEASURED
+# symmetric edge list fits comfortably on the driver, one vectorized
+# numpy pass replaces ~6 eager loop rounds (each a join + groupBy +
+# checkpoint + convergence action). The same "build side fits" logic as
+# a broadcast join, and the same bound class: 4M edge rows x 16 B =
+# 64 MB of key data, an order of magnitude under the default
+# spark.driver.maxResultSize (1g). The distributed loop remains the
+# path for every larger graph (the sf10 doc graph, ~124M edge rows,
+# stays on it — tools/verify_cc.py keeps checking that loop
+# independently at scale). Env-overridable for clusters with bigger or
+# smaller drivers.
+_CC_DRIVER_MAX_EDGES = 4_000_000
+
+
+def _cc_driver_max_edges() -> int:
+    import os
+
+    return int(
+        os.environ.get("NCAGG_CC_DRIVER_MAX_EDGES", _CC_DRIVER_MAX_EDGES)
+    )
+
+
+_INTEGRAL_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _cc_on_driver(edges: DataFrame) -> DataFrame:
+    """Solve min-label connected components on the driver: vectorized
+    numpy min-label propagation with pointer jumping (O(E) per round,
+    O(log n) rounds — the construction proven at the sf10 graph size in
+    tools/verify_cc.py). Identical output contract to the distributed
+    loop: (node, cluster_id = min node id reachable), one row per node
+    appearing in the edge list."""
+    import numpy as np
+    import pandas as pd
+
+    spark = edges.sparkSession
+    node_t = edges.schema["src"].dataType.simpleString()
+    schema = f"node {node_t}, cluster_id {node_t}"
+    pdf = edges.toPandas()  # Arrow transfer; bounded by the edge gate
+    if len(pdf) == 0:
+        return spark.createDataFrame([], schema)
+    arr = pdf.to_numpy(dtype=np.int64)
+    ids, inv = np.unique(arr, return_inverse=True)
+    inv = inv.reshape(-1, 2)
+    ia, ib = inv[:, 0], inv[:, 1]
+    labels = np.arange(len(ids), dtype=np.int64)
+    while True:
+        before = labels.copy()
+        m = np.minimum(labels[ia], labels[ib])
+        np.minimum.at(labels, ia, m)
+        np.minimum.at(labels, ib, m)
+        while True:  # pointer jumping: labels hold indices into ids
+            nl = labels[labels]
+            if np.array_equal(nl, labels):
+                break
+            labels = nl
+        if np.array_equal(labels, before):
+            break
+    out = pd.DataFrame({"node": ids, "cluster_id": ids[labels]})
+    return spark.createDataFrame(out, schema=schema)
+
 
 def _spread_small_input(df: DataFrame, id_col: str) -> DataFrame:
     """Hash-repartition by id when the input has fewer partitions than the
@@ -462,6 +523,13 @@ def connected_components(
     with giant diameters at 100 TB, swap in large-star/small-star
     (O(log n) rounds, same per-round shape).
 
+    With ``num_partitions=None`` the edge list is counted first and the
+    solve path derives from the MEASURED size: a graph within the
+    driver gate (``_CC_DRIVER_MAX_EDGES``, integral ids) is solved in
+    one vectorized pass on the driver — the broadcast-join "build side
+    fits" logic applied to an iterative algorithm — while larger graphs
+    run the distributed loop at a width derived from the edge count.
+
     ``unique_pairs=True`` skips the edge-dedup ``distinct()`` — one full
     shuffle of the edge list saved per call. Correct whenever the input
     emits each undirected pair at most once in the ``id_a < id_b``
@@ -490,6 +558,17 @@ def connected_components(
     if num_partitions is None:
         raw = edges.persist()
         n_edges = raw.count()
+        if n_edges <= _cc_driver_max_edges() and all(
+            pairs.schema[c].dataType.simpleString() in _INTEGRAL_TYPES
+            for c in (id_a, id_b)
+        ):
+            # the measured graph fits the driver gate — solve it there
+            # in one pass instead of paying ~6 eager loop rounds of
+            # fixed scheduling/shuffle cost (see _CC_DRIVER_MAX_EDGES)
+            try:
+                return _cc_on_driver(raw)
+            finally:
+                raw.unpersist()
         num_partitions = max(1, min(
             int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions")),
             -(-n_edges // _CC_EDGES_PER_PARTITION),

@@ -102,11 +102,12 @@ def test_near_dedup_keeps_one_per_cluster(spark):
 
 
 def test_connected_components_adaptive_width(spark, monkeypatch):
-    # num_partitions=None sizes the loop from the measured edge count:
-    # a tiny graph takes the shuffle-free coalesce(1) branch, and with
-    # the per-partition target forced down to 2 edge rows the same graph
-    # exercises the multi-partition repartition branch — both must
-    # produce the identical clustering
+    # num_partitions=None picks the path from the measured edge count:
+    # a tiny integral-id graph fits the driver gate (vectorized numpy
+    # solve); with the gate disabled it takes the shuffle-free
+    # coalesce(1) loop branch; and with the per-partition target forced
+    # down to 2 edge rows the same graph exercises the multi-partition
+    # repartition branch — all three must produce identical clusterings
     import ncagg_spark.pipeline.dedup as dd
 
     pairs = spark.createDataFrame(
@@ -114,17 +115,19 @@ def test_connected_components_adaptive_width(spark, monkeypatch):
         "id_a long, id_b long",
     )
     expect = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
-    got = {
-        r["node"]: r["cluster_id"]
-        for r in connected_components(pairs, num_partitions=None).collect()
-    }
-    assert got == expect
-    monkeypatch.setattr(dd, "_CC_EDGES_PER_PARTITION", 2)
-    got = {
-        r["node"]: r["cluster_id"]
-        for r in connected_components(pairs, num_partitions=None).collect()
-    }
-    assert got == expect
+    for setup in (
+        lambda: None,  # driver-gate path (default)
+        lambda: monkeypatch.setattr(dd, "_CC_DRIVER_MAX_EDGES", -1),
+        lambda: monkeypatch.setattr(dd, "_CC_EDGES_PER_PARTITION", 2),
+    ):
+        setup()
+        got = {
+            r["node"]: r["cluster_id"]
+            for r in connected_components(
+                pairs, num_partitions=None
+            ).collect()
+        }
+        assert got == expect
 
 
 def test_connected_components_long_chain_converges(spark):
