@@ -76,12 +76,22 @@ def ngram_lm(
     """
     counts = ngram_counts(ref, n=n, text_col=text_col)
     a = float(alpha)
+    # `counts` feeds BOTH the totals broadcast and the main select, and
+    # every scoring consumer uses the returned model at least twice (the
+    # gram join AND the backoff-constant agg) — without materialization
+    # the reference corpus was scanned 4x per score call (r15, measured
+    # in the executed plan). Persist the gram-count table (O(vocab^n),
+    # bounded by the vocabulary, not the corpus) for the one eager
+    # checkpoint below, which then serves every consumer; identical
+    # values (materialization does not change arithmetic), and the
+    # checkpointed RDD is released by the context cleaner on GC.
+    counts = counts.persist()
     totals = counts.agg(
         F.sum("cnt").cast("double").alias("t"),
         F.count(F.lit(1)).cast("double").alias("v"),
     )
     denom = F.col("t") + F.lit(a) * F.col("v")
-    return (
+    out = (
         counts.crossJoin(F.broadcast(totals))
         .select(
             "gram",
@@ -95,7 +105,9 @@ def ngram_lm(
             .cast("long")
             .alias("backoff_micro"),
         )
-    )
+    ).localCheckpoint(eager=True)
+    counts.unpersist()
+    return out
 
 
 def lm_score(

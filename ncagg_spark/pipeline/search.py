@@ -77,6 +77,12 @@ def bm25_scores(
             / F.count(F.lit(1)).cast("double")
         ).alias("avgdl"),
     )
+    # document frequency via groupBy + tiny broadcast — NOT a window
+    # over tok: this consumes tf twice (the corpus tokenize/explode runs
+    # twice per query), but the groupBy's partial aggregation is
+    # skew-immune, whereas a tok-partitioned window would funnel every
+    # match of a hot term into ONE task (r15: tried, rejected —
+    # tests/test_topk.py pins the bounded-window discipline).
     dfreq = tf.groupBy("tok").agg(
         F.count(F.lit(1)).cast("double").alias("df")
     )
