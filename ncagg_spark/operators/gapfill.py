@@ -45,6 +45,38 @@ from ncagg_spark.operators.dedup import BUCKET_COL
 
 FILL_FLAG_COL = "is_fill"
 
+# gap_fill(anchor="previous") materializes its (deduped, O(n_buckets))
+# input once instead of letting the three consumers re-derive it — but
+# only when the optimizer's size estimate for the input subtree says the
+# re-derivations are expensive (default 128 MiB, the session's scan
+# partition size: at least one full task of redundant scan per extra
+# consumer). Below that the extra eager job costs more than it saves
+# (measured r16). Env-overridable for clusters where storage is tighter
+# than compute.
+_MATERIALIZE_MIN_BYTES = 128 * 1024 * 1024
+
+
+def _materialize_min_bytes() -> int:
+    import os
+
+    return int(
+        os.environ.get(
+            "NCAGG_GAPFILL_MATERIALIZE_MIN_BYTES", _MATERIALIZE_MIN_BYTES
+        )
+    )
+
+
+def _plan_bytes(df: DataFrame) -> int:
+    """Optimizer size estimate for ``df``'s plan (bytes). Unknown ->
+    huge, so failure to estimate errs on the side of materializing
+    (correct at scale, slightly conservative locally)."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return 1 << 62
+
 
 def gap_fill(
     spark: SparkSession,
@@ -66,6 +98,31 @@ def gap_fill(
     """
     if anchor not in ("grid", "previous"):
         raise ValueError(f"unknown anchor mode: {anchor}")
+
+    if anchor == "previous" and _plan_bytes(df) >= _materialize_min_bytes():
+        # The "previous" mode consumes ``df`` THREE times (the grid
+        # join, the per-block last-real aggregate, the first-real
+        # aggregate) and Catalyst shares nothing across the branches:
+        # the caller's whole dedup chain — a full input scan + shuffle —
+        # ran once per consumer (r16, measured: 3 identical
+        # scan->bucket->SortAggregate->Exchange subtrees in the
+        # agg_regularize_anchored plan). ``df`` is the DEDUPED series,
+        # <= one row per slot, i.e. O(output) — materialize it once and
+        # let all three consumers read the materialization (guide §5
+        # caching / §2.4: the DSIR-model pattern). Eager and
+        # per-invocation: nothing survives this call, every invocation
+        # recomputes from its inputs.
+        #
+        # SIZE-GATED like the CC driver gate, in the other direction:
+        # below the threshold the duplicated subtrees are 2-3-task
+        # stages and the extra checkpoint job COSTS more than it saves
+        # (r16 interleaved A/B at sf0.1: 1.304 -> 1.487 s median with an
+        # unconditional checkpoint — the estimated day-scan input is
+        # ~3 MB); above it each duplicated evaluation is a full
+        # scan+shuffle and materializing O(n_buckets) rows wins. The
+        # estimate is the optimizer's own input-size statistic, so the
+        # path choice scales with the data, not with a local[] tuning.
+        df = df.localCheckpoint(eager=True)
 
     grid = spark.range(n_buckets).withColumnRenamed("id", bucket_col)
     joined = grid.join(df, on=bucket_col, how="left")

@@ -67,10 +67,23 @@ def clean_corpus(
     max_avg_nll: float | None = None,
     lm_n: int = 2,
     cc_num_partitions: int | None = None,
+    keep_cached: bool = False,
 ) -> DataFrame:
     """Run the full cleaning chain; returns surviving rows of ``docs``
     (original columns plus ``n_members``, the near-dup cluster size each
     survivor represents).
+
+    ``keep_cached=True`` (r16, VERDICT r15 #3) returns
+    ``(survivors, cached)`` instead: the gate+exact-dedup subtree stays
+    persisted so the survivors plan reads the cache instead of
+    re-deriving the quality gate at action time (~a full corpus gate
+    recompute saved per action at scale). The CALLER owns the handle
+    and must ``cached.unpersist()`` once its action has run — the
+    one-shot query path materializes the small (id, n_members) result
+    eagerly and releases the handle in the same invocation, so nothing
+    persists across invocations. The default keeps the r11 hygiene
+    behavior (unpersist before return; the final lazy plan recomputes
+    the gate subtree exactly once at action time).
     """
     kept = docs
     if min_quality > 0.0:
@@ -184,6 +197,10 @@ def clean_corpus(
             .localCheckpoint(eager=True)  # small id set; see span gate
         )
         kept = kept.join(contaminated, on=id_col, how="left_anti")
+    if keep_cached:
+        # caller-owned handle: the returned plan still references the
+        # persisted gate subtree, so the action reads the cache
+        return kept.drop("__sh"), cached
     # every eager consumer of the cached subtree has run (the CC loop
     # inside near_dedup and the checkpointed drop sets above); release
     # the storage so back-to-back clean_corpus calls stay bounded

@@ -71,13 +71,16 @@ def _cc_driver_max_edges() -> int:
 _INTEGRAL_TYPES = ("tinyint", "smallint", "int", "bigint")
 
 
-def _cc_on_driver(edges: DataFrame) -> DataFrame:
+def _cc_on_driver(edges: DataFrame) -> DataFrame | None:
     """Solve min-label connected components on the driver: vectorized
     numpy min-label propagation with pointer jumping (O(E) per round,
     O(log n) rounds — the construction proven at the sf10 graph size in
     tools/verify_cc.py). Identical output contract to the distributed
     loop: (node, cluster_id = min node id reachable), one row per node
-    appearing in the edge list."""
+    appearing in the edge list. Returns ``None`` when the edge list
+    carries NULL ids (ADVICE r15: ``to_numpy(dtype=int64)`` would
+    raise) — the caller falls back to the distributed loop, whose
+    null behavior is the contract."""
     import numpy as np
     import pandas as pd
 
@@ -87,6 +90,8 @@ def _cc_on_driver(edges: DataFrame) -> DataFrame:
     pdf = edges.toPandas()  # Arrow transfer; bounded by the edge gate
     if len(pdf) == 0:
         return spark.createDataFrame([], schema)
+    if pdf.isna().any().any():
+        return None
     arr = pdf.to_numpy(dtype=np.int64)
     ids, inv = np.unique(arr, return_inverse=True)
     inv = inv.reshape(-1, 2)
@@ -546,6 +551,12 @@ def connected_components(
     edges = fwd.union(rev)
     if not unique_pairs:
         edges = edges.distinct()
+    # audit hook (VERDICT r15 #5): when the driver gate fires, the
+    # consumer's returned plan collapses to a local scan — expose the
+    # pair-pipeline plan to plan audits regardless of the solve path
+    from ncagg_spark import plan_probe
+
+    plan_probe.observe("cc-edges", edges)
     # size the per-round shuffles to the GRAPH, not the corpus: the pair
     # graph is orders of magnitude smaller than its source table, and an
     # iterative loop pays scheduling overhead per round per task.
@@ -564,11 +575,17 @@ def connected_components(
         ):
             # the measured graph fits the driver gate — solve it there
             # in one pass instead of paying ~6 eager loop rounds of
-            # fixed scheduling/shuffle cost (see _CC_DRIVER_MAX_EDGES)
+            # fixed scheduling/shuffle cost (see _CC_DRIVER_MAX_EDGES);
+            # a None return (NULL ids in the edge list) falls through
+            # to the distributed loop below
             try:
-                return _cc_on_driver(raw)
-            finally:
+                solved = _cc_on_driver(raw)
+            except Exception:
                 raw.unpersist()
+                raise
+            if solved is not None:
+                raw.unpersist()
+                return solved
         num_partitions = max(1, min(
             int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions")),
             -(-n_edges // _CC_EDGES_PER_PARTITION),

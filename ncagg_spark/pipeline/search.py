@@ -35,9 +35,42 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ncagg_spark.pipeline.text import sql_tokenize, token_count, tokenize
+from ncagg_spark.functions.binding import bind_once
+from ncagg_spark.pipeline.text import sql_tokenize, tokenize
 
 MICRO = 1_000_000.0
+
+
+def _bm25_narrow(
+    docs: DataFrame, terms: list[str], id_col: str, text_col: str
+) -> DataFrame:
+    """ONE corpus tokenize pass (guide §8, VERDICT r15 #2): per doc, the
+    integer token count and the tokens matching the query terms. Every
+    downstream quantity (tf, dl, df, N, avgdl) derives from this
+    metadata-sized frame, so each evaluation of it costs exactly one
+    scan+tokenize of the corpus — the old plan held three independent
+    tokenize subtrees (tf for scoring, tf again under the document-
+    frequency agg, token_count for N/avgdl).
+
+    ``__tc`` stays INTEGER here: consts sums it and casts the SUM (exact
+    long arithmetic), matching the original sum(token_count) expression
+    bit-for-bit; the per-row double cast for ``dl`` happens at the tf
+    projection exactly where the original cast sat."""
+    s = bind_once(
+        tokenize(text_col),
+        lambda toks: F.struct(
+            F.size(toks).alias("tc"),
+            F.filter(toks, lambda t: t.isin(terms)).alias("mtoks"),
+        ),
+    )
+    # two-step select: CollapseProject refuses to inline a non-cheap
+    # aliased expression referenced more than once, so the bound
+    # tokenize stays single-evaluation through the field extraction
+    return docs.select(F.col(id_col), s.alias("__s")).select(
+        id_col,
+        F.col("__s").getField("tc").alias("__tc"),
+        F.col("__s").getField("mtoks").alias("__mtoks"),
+    )
 
 
 def bm25_scores(
@@ -48,12 +81,17 @@ def bm25_scores(
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    _narrow: DataFrame | None = None,
 ) -> DataFrame:
     """(id, n_terms, score) for every document matching >= 1 query term.
 
     ``n_terms`` = distinct query terms present (the conjunction-ish
     signal callers often rank by first); ``score`` = BM25 in micro-unit
     resolution (integer micro sum / 1e6).
+
+    ``_narrow``: a pre-built (optionally persisted) ``_bm25_narrow``
+    frame — ``bm25_topk`` passes one so the single tokenize pass is
+    shared by every consumer through the cache.
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
@@ -61,28 +99,40 @@ def bm25_scores(
     k1 = float(k1)
     b = float(b)
 
-    base = docs.select(
-        F.col(id_col),
-        token_count(text_col).cast("double").alias("dl"),
-        F.explode(tokenize(text_col)).alias("tok"),
-    ).filter(F.col("tok").isin(terms))
-    tf = base.groupBy(id_col, "dl", "tok").agg(
-        F.count(F.lit(1)).cast("double").alias("tf")
+    narrow = (
+        _narrow
+        if _narrow is not None
+        else _bm25_narrow(docs, terms, id_col, text_col)
     )
-    # corpus constants: N and avgdl over ALL docs (not just matches)
-    consts = docs.agg(
+    # explode-then-filter and filter-inside-the-array commute row-wise
+    # (same matching occurrences, same dl), so tf is unchanged
+    tf = (
+        narrow.select(
+            id_col,
+            F.col("__tc").cast("double").alias("dl"),
+            F.explode("__mtoks").alias("tok"),
+        )
+        .groupBy(id_col, "dl", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    # corpus constants: N and avgdl over ALL docs (not just matches);
+    # sum(int)::double / count::double — identical arithmetic to the
+    # original sum(token_count(text)) form
+    consts = narrow.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         (
-            F.sum(token_count(text_col)).cast("double")
+            F.sum("__tc").cast("double")
             / F.count(F.lit(1)).cast("double")
         ).alias("avgdl"),
     )
     # document frequency via groupBy + tiny broadcast — NOT a window
-    # over tok: this consumes tf twice (the corpus tokenize/explode runs
-    # twice per query), but the groupBy's partial aggregation is
-    # skew-immune, whereas a tok-partitioned window would funnel every
-    # match of a hot term into ONE task (r15: tried, rejected —
-    # tests/test_topk.py pins the bounded-window discipline).
+    # over tok: the groupBy's partial aggregation is skew-immune,
+    # whereas a tok-partitioned window would funnel every match of a
+    # hot term into ONE task (r15: tried, rejected — tests/test_topk.py
+    # pins the bounded-window discipline). This consumes the narrow
+    # frame a second time; bm25_topk persists it so both consumers
+    # share one tokenize pass, and the lazy bm25_scores form pays one
+    # extra scan of the metadata-sized frame, never a window skew.
     dfreq = tf.groupBy("tok").agg(
         F.count(F.lit(1)).cast("double").alias("df")
     )
@@ -136,18 +186,47 @@ def bm25_topk(
     sort is over the <= k x n_buckets per-bucket survivors — never the
     scored set itself. Ranks are identical to a single global window
     (the ordering is total via the id tie-break), so oracle hashes are
-    unchanged."""
+    unchanged.
+
+    The narrow (id, token-count, matched-tokens) frame is persisted for
+    the duration of this call and the small top-k result materialized
+    eagerly (r16, VERDICT r15 #2 — the DSIR/LM pattern): the corpus is
+    scanned and tokenized exactly ONCE per invocation, where the lazy
+    three-subtree plan paid three passes per evaluation. Paired
+    persist/unpersist inside one call — nothing survives the return, so
+    repeated invocations each recompute from the parquet inputs. The
+    returned plan is the checkpointed <= k-row result; the pre-collapse
+    pipeline is reported via plan_probe for audits."""
+    from ncagg_spark import plan_probe
     from ncagg_spark.pipeline.topk import bounded_topk
 
-    scores = bm25_scores(
-        docs, query_terms, k1=k1, b=b, id_col=id_col, text_col=text_col
-    )
-    return bounded_topk(
-        scores,
-        [F.col("score").desc(), F.col(id_col).asc()],
-        k,
-        id_col=id_col,
-    ).select(id_col, "n_terms", "score", "rank")
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted(set(query_terms))
+    narrow = _bm25_narrow(docs, terms, id_col, text_col).persist()
+    try:
+        scores = bm25_scores(
+            docs,
+            query_terms,
+            k1=k1,
+            b=b,
+            id_col=id_col,
+            text_col=text_col,
+            _narrow=narrow,
+        )
+        out = bounded_topk(
+            scores,
+            [F.col("score").desc(), F.col(id_col).asc()],
+            k,
+            id_col=id_col,
+        ).select(id_col, "n_terms", "score", "rank")
+        plan_probe.observe("bm25-topk", out)
+        # one action computes the whole pipeline; the persisted narrow
+        # frame is filled once and read by all three consumers (tf for
+        # scoring, tf under dfreq, consts)
+        return out.localCheckpoint(eager=True)
+    finally:
+        narrow.unpersist()
 
 
 def sql_bm25_scores(

@@ -16,6 +16,16 @@ run) and restores the session value afterwards. Two users:
 Lazy plans built inside the bracket but executed after it pick up the
 restored session value — only eager work (actions, checkpoints, stream
 batches) belongs inside.
+
+THREAD-SAFETY (ADVICE r15): the bracket mutates the session-global
+``spark.sql.shuffle.partitions``. Every current caller runs its bracket
+on the driver's main thread (the ``_write_granules`` thread pool only
+overlaps granule WRITE jobs, never a CC loop or stream bracket), so
+brackets never nest or interleave today. If driver-side concurrency
+ever overlaps two bracketed regions — or a bracket with unrelated
+queries on the same session — the narrowed width would leak across
+threads; move to per-thread job-group-scoped configs (or serialize the
+brackets with a lock) before doing that.
 """
 
 from __future__ import annotations
