@@ -653,10 +653,28 @@ def ivf_pq_topk_relational(
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
     query_id_col = query_id_col or id_col
-    cents = centroids or sample_centroids(
-        corpus, n_cells, id_col=id_col, vec_col=vec_col
-    )
-    books = _anchor_codebooks(corpus, n_codes, id_col, vec_col)
+    if centroids is None:
+        # the centroid sample and the anchor codebooks are independent
+        # small collects over the corpus — submit them from two driver
+        # threads so the second job's tasks back-fill the first's tail
+        # (guide §2.6) instead of paying two sequential job round
+        # trips (VERDICT r15 #7: the count -> centroids -> codebooks
+        # chain). Results are pure functions of the data — identical
+        # in any completion order.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_cents = pool.submit(
+                sample_centroids, corpus, n_cells,
+                id_col=id_col, vec_col=vec_col,
+            )
+            f_books = pool.submit(
+                _anchor_codebooks, corpus, n_codes, id_col, vec_col
+            )
+            cents, books = f_cents.result(), f_books.result()
+    else:
+        cents = centroids
+        books = _anchor_codebooks(corpus, n_codes, id_col, vec_col)
 
     # -- corpus -> (cell, codes): ONE narrow projection (the spread is
     # a no-op at scale; see pq_topk_relational) --

@@ -27,11 +27,13 @@ _DEFAULT_CONF = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
-    # allow shuffled-hash join when its size conditions are met (no sort
-    # on either side); sort-merge remains the planner's fallback and AQE
-    # skew handling still applies. Measured 3-5% on the 20-query
-    # headline set at sf0.1 (r15, same-session A/B).
-    "spark.sql.join.preferSortMergeJoin": "false",
+    # preferSortMergeJoin stays at its DEFAULT (true). The r15 session
+    # default `false` was a local wash; r16 proved it a measured LOSS at
+    # scale with same-session conf-toggle A/B over the join-heavy set
+    # (tools/ab_shj.py): geomean +6.6% at sf1, +5.3% at sf10 (worst:
+    # rel_q5_nation_volume +22% at sf10), plus the per-partition
+    # hash-map OOM exposure ADVICE r15 flagged. VERDICT r15 #5:
+    # "prove at scale or revert" — reverted, numbers in SCALE.md.
     "spark.sql.session.timeZone": "UTC",
     # testdata parquet carries TIMESTAMP(NANOS); read as long then convert
     # (sources/tables.py) — Spark has no native nanos timestamp type.

@@ -78,9 +78,18 @@ def _assert_bounded_windows(plan: str):
 
 
 def test_bm25_topk_plan_is_bounded(spark):
+    # r16: bm25_topk executes eagerly (single-tokenize-pass persist +
+    # checkpointed <= k-row result), so the returned frame is a local
+    # scan — the real pipeline plan is captured via plan_probe, the
+    # audit hook for eager-collapsing operators
     from __spark_entry__ import q_doc_bm25_topk
+    from ncagg_spark import plan_probe
 
-    plan = _plan(q_doc_bm25_topk(spark, SF_DIR))
+    with plan_probe.capture() as jobs:
+        q_doc_bm25_topk(spark, SF_DIR)
+    plans = {label: df for label, df in jobs}
+    assert "bm25-topk" in plans
+    plan = _plan(plans["bm25-topk"])
     _assert_bounded_windows(plan)
 
 
