@@ -48,34 +48,16 @@ FILL_FLAG_COL = "is_fill"
 # gap_fill(anchor="previous") materializes its (deduped, O(n_buckets))
 # input once instead of letting the three consumers re-derive it — but
 # only when the optimizer's size estimate for the input subtree says the
-# re-derivations are expensive (default 128 MiB, the session's scan
-# partition size: at least one full task of redundant scan per extra
-# consumer). Below that the extra eager job costs more than it saves
-# (measured r16). Env-overridable for clusters where storage is tighter
-# than compute.
-_MATERIALIZE_MIN_BYTES = 128 * 1024 * 1024
+# re-derivations are expensive (tuning.plan_bytes gate, shared with
+# pipeline/packing.py; default 128 MiB — see tuning.MATERIALIZE_MIN_BYTES).
+from ncagg_spark.tuning import materialize_min_bytes, plan_bytes
 
 
 def _materialize_min_bytes() -> int:
-    import os
-
-    return int(
-        os.environ.get(
-            "NCAGG_GAPFILL_MATERIALIZE_MIN_BYTES", _MATERIALIZE_MIN_BYTES
-        )
-    )
+    return materialize_min_bytes("NCAGG_GAPFILL_MATERIALIZE_MIN_BYTES")
 
 
-def _plan_bytes(df: DataFrame) -> int:
-    """Optimizer size estimate for ``df``'s plan (bytes). Unknown ->
-    huge, so failure to estimate errs on the side of materializing
-    (correct at scale, slightly conservative locally)."""
-    try:
-        return int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
-    except Exception:
-        return 1 << 62
+_plan_bytes = plan_bytes
 
 
 def gap_fill(

@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ncagg_spark.tuning import materialize_min_bytes, plan_bytes
+
 from .text import token_count
 
 
@@ -54,8 +56,10 @@ def token_offsets(
     Zero-token documents keep a well-defined ``start`` and occupy no
     stream positions. The two collects are one-row aggregates (id range
     + nothing else); the bucket-offset window runs over <= n_buckets
-    rows. At corpus scale, persist the counts projection if the caller
-    reuses it (the packer scans it twice).
+    rows. At corpus scale the narrow (id, n_tok) projection is
+    materialized once (size-gated ``localCheckpoint``, see below) so
+    the tokenize pass runs once regardless of how many downstream
+    branches consume the counts.
     """
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
@@ -65,6 +69,36 @@ def token_offsets(
     counts = docs.select(
         F.col(id_col).cast("long").alias(id_col), n_tok.alias("n_tok")
     )
+    # The counts frame is consumed FOUR times downstream (the id-range
+    # collect below, the bucketed main branch, the bucket-subtotal
+    # aggregate, and — via pack_sequences — the drop_incomplete total)
+    # and Catalyst shares nothing across the branches: each consumer
+    # re-runs the full corpus scan + tokenize (r16, measured: 4 parquet
+    # scans in the doc_pack_sequences plan + the eager range collect =
+    # 5 source passes, of which 4 tokenize). ``counts`` is two longs
+    # per doc — O(n_docs * 16 B) — so materialize it once and let every
+    # consumer read the materialization (guide §8 "decide with small
+    # rows": the tokenize pass is the heavy step; everything after it
+    # needs only the narrow proxy). Eager and per-invocation: nothing
+    # survives this call, every invocation recomputes from its input.
+    #
+    # Size gate shared with gap_fill(anchor="previous")
+    # (tuning.plan_bytes) but with a 0 default — materialize at every
+    # size: unlike gap_fill's post-shuffle dedup subtree (where the
+    # unconditional checkpoint REGRESSED at sf0.1), the duplicated work
+    # here is the corpus tokenize expression, and the checkpointed arm
+    # won or washed at EVERY measured size (same-session ABAB medians:
+    # sf0.01 1.14->0.90 / 0.77->0.76, sf0.1 1.26->1.06 / 1.02->0.78,
+    # sf30 13.7->3.8 / 84.3->23.1 s lazy->ckpt for pack_sequences /
+    # pack_bpeish) — fewer jobs even when the corpus is tiny. The env
+    # override remains for clusters where executor storage is tighter
+    # than compute; the gate reads the estimate of the SOURCE subtree
+    # (with the text column), not the narrow projection — what the
+    # re-derivations cost is the source pass.
+    if plan_bytes(docs) >= materialize_min_bytes(
+        "NCAGG_PACK_MATERIALIZE_MIN_BYTES", default=0
+    ):
+        counts = counts.localCheckpoint(eager=True)
     rng = counts.agg(
         F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
     ).first()

@@ -30,12 +30,49 @@ brackets with a lock) before doing that.
 
 from __future__ import annotations
 
+import os
 from contextlib import contextmanager
 from typing import Iterator
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 _KEY = "spark.sql.shuffle.partitions"
+
+# Size gate shared by the "materialize a multiply-consumed subtree once"
+# optimizations (operators/gapfill.py anchor="previous",
+# pipeline/packing.py token_offsets): only when the optimizer's size
+# estimate for the re-derived input subtree says the duplicate
+# evaluations are expensive (default 128 MiB, the session's scan
+# partition size: at least one full task of redundant scan per extra
+# consumer). Below that the extra eager job costs more than it saves
+# (measured r16 on agg_regularize_anchored at sf0.1). Env-overridable
+# per call site for clusters where storage is tighter than compute.
+MATERIALIZE_MIN_BYTES = 128 * 1024 * 1024
+
+
+def materialize_min_bytes(
+    env_var: str, default: int = MATERIALIZE_MIN_BYTES
+) -> int:
+    """Per-call-site gate threshold. ``default`` is the call site's
+    measured crossover: gap_fill keeps 128 MiB (its duplicated subtree
+    is a post-shuffle dedup whose re-derivation is cheap below one scan
+    task — an unconditional checkpoint REGRESSED at sf0.1), packing
+    passes 0 (its duplicated subtree is the corpus tokenize pass; the
+    checkpointed arm won or washed at every measured size, 65 KB to
+    179 MB source estimate — see OPTIMIZATION_r16.md)."""
+    return int(os.environ.get(env_var, default))
+
+
+def plan_bytes(df: DataFrame) -> int:
+    """Optimizer size estimate for ``df``'s plan (bytes). Unknown ->
+    huge, so failure to estimate errs on the side of materializing
+    (correct at scale, slightly conservative locally)."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return 1 << 62
 
 
 @contextmanager

@@ -212,3 +212,46 @@ def test_gap_fill_previous_materialized_rows_unchanged(
     # real records untouched
     for b, (_eid, us) in zip((3, 4, 8), data):
         assert not rows[b].is_fill and us_of(rows[b].ts) == us
+
+
+@pytest.mark.parametrize("materialize", [False, True])
+def test_pack_sequences_materialized_rows_unchanged(
+    spark, monkeypatch, materialize
+):
+    # size-gate override: 0 forces the checkpointed-counts path, a huge
+    # value forces the lazy (re-derived-counts) path — the manifest must
+    # be identical row for row. Mixed doc lengths so sequences cross
+    # document boundaries, plus a zero-token doc (occupies no stream
+    # positions) and a dropped trailing partial sequence.
+    from ncagg_spark.pipeline.packing import pack_sequences
+
+    monkeypatch.setenv(
+        "NCAGG_PACK_MATERIALIZE_MIN_BYTES",
+        "0" if materialize else str(1 << 60),
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),          # 5 tokens
+            (2, ""),                   # 0 tokens -> no stream positions
+            (3, "f g h"),              # 3 tokens
+            (4, "i j k l m n o"),      # 7 tokens
+            (5, "p q"),                # 2 tokens -> 17 total, seq_len 4
+        ],
+        "doc_id long, text string",
+    )
+    out = pack_sequences(docs, seq_len=4, drop_incomplete=True)
+    rows = sorted(
+        (r.seq_id, r.doc_id, r.doc_offset, r.seq_offset, r.seg_len)
+        for r in out.collect()
+    )
+    # 17 tokens // 4 = 4 complete sequences; doc 1 spans seqs 0-1,
+    # doc 3 spans 1-2, doc 4 spans 2-3, doc 5 starts at offset 15
+    # (seq 3) and its tail falls in the dropped partial seq 4
+    assert rows == [
+        (0, 1, 0, 0, 4),
+        (1, 1, 4, 0, 1),
+        (1, 3, 0, 1, 3),
+        (2, 4, 0, 0, 4),
+        (3, 4, 4, 0, 3),
+        (3, 5, 0, 3, 1),
+    ]
