@@ -1726,11 +1726,12 @@ def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-duplicate pairs via pigeonhole block self-join.
-    max_hamming=3 with 4 blocks keeps the pigeonhole guarantee complete
-    (a pair within distance 3 must agree on >=1 of 4 blocks), so the
-    sub-quadratic join returns EXACTLY what the oracle's quadratic scan
-    finds."""
+    """SimHash near-duplicate pairs via pigeonhole block keys.
+    max_hamming=3 over 8 4-bit blocks leaves >=5 blocks clean, so any
+    pair within distance 3 agrees exactly on one of the C(8,5)=56
+    5-block combination keys (r16; the r15 form was the degenerate
+    >=1-of-4-byte-blocks case) — the sub-quadratic join returns EXACTLY
+    what the oracle's quadratic scan finds."""
     sigs = simhash_signatures(_t(spark, sf_dir, "documents"))
     return simhash_near_duplicates(sigs, max_hamming=3)
 

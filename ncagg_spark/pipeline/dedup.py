@@ -25,13 +25,16 @@ than the cap, the standard trade-off in web-scale dedup).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ncagg_spark.functions.hashing import (
     MERSENNE31,
+    SIMHASH_BITS,
     band_hashes,
-    hamming_distance64,
     hash64,
     minhash_perms,
 )
@@ -45,6 +48,15 @@ from ncagg_spark.pipeline.text import fingerprint, tokenize, word_ngrams
 # while the session shuffle width caps the count so a 100 TB pair graph
 # never schedules more loop tasks than the cluster has reduce slots.
 _CC_EDGES_PER_PARTITION = 64_000
+
+# above this measured edge count the loop's edge cache goes DISK_ONLY
+# and the pre-repartition cache is dropped before the loop instead of
+# after round 1: ~100M edge rows x 16 B is the point where heap-resident
+# caches start competing with the loop's own sorters/aggregates on
+# memory-per-core ratios like the 8 GiB local[32] gate (guide §5)
+_CC_HEAP_CACHE_MAX_EDGES = int(
+    os.environ.get("NCAGG_CC_HEAP_CACHE_MAX_EDGES", 100_000_000)
+)
 
 # size-gated driver solve for connected components: when the MEASURED
 # symmetric edge list fits comfortably on the driver, one vectorized
@@ -61,8 +73,6 @@ _CC_DRIVER_MAX_EDGES = 4_000_000
 
 
 def _cc_driver_max_edges() -> int:
-    import os
-
     return int(
         os.environ.get("NCAGG_CC_DRIVER_MAX_EDGES", _CC_DRIVER_MAX_EDGES)
     )
@@ -586,20 +596,49 @@ def connected_components(
             if solved is not None:
                 raw.unpersist()
                 return solved
+        # cap at the session's adaptive ceiling (initialPartitionNum,
+        # r16), not the static shuffle.partitions: a 0.9B-edge graph at
+        # the 32-wide static cap put ~28M edge rows through every
+        # per-round task; the ceiling is what the session already
+        # declares "the widest a shuffle may sensibly start"
+        sess = pairs.sparkSession
+        cap = int(
+            sess.conf.get(
+                "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+                None,
+            )
+            or sess.conf.get("spark.sql.shuffle.partitions")
+        )
         num_partitions = max(1, min(
-            int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions")),
-            -(-n_edges // _CC_EDGES_PER_PARTITION),
+            cap, -(-n_edges // _CC_EDGES_PER_PARTITION)
         ))
+        if n_edges > _CC_HEAP_CACHE_MAX_EDGES:
+            # guide §5: a graph this size cached in the block manager
+            # competes with every sorter/aggregate in the loop (a
+            # 0.9B-edge list is ~14 GB — measured OOM on the 8 GiB
+            # local JVM with BOTH the pre- and post-repartition caches
+            # heap-resident). Recomputing the edge list once into the
+            # repartitioned DISK_ONLY cache is cheaper than thrashing:
+            # drop the pre-repartition cache now instead of after
+            # round 1.
+            raw.unpersist()
+            raw = None
         if num_partitions == 1:
             # SinglePartition satisfies every clustered-distribution
             # requirement in the loop, so a shuffle-free coalesce of the
             # cached edge list replaces the repartition outright
-            edges = raw.coalesce(1)
+            edges = (raw if raw is not None else edges).coalesce(1)
         else:
-            edges = raw.repartition(num_partitions, "src")
+            edges = (raw if raw is not None else edges).repartition(
+                num_partitions, "src"
+            )
+        big_graph = n_edges > _CC_HEAP_CACHE_MAX_EDGES
     else:
         edges = edges.repartition(num_partitions, "src")
-    edges = edges.persist()
+        big_graph = False
+    edges = edges.persist(
+        StorageLevel.DISK_ONLY if big_graph else StorageLevel.MEMORY_AND_DISK
+    )
 
     # init = min(self, min neighbor): the same single groupBy-src shuffle
     # a plain distinct() would cost, but it performs the first
@@ -655,6 +694,16 @@ def connected_components(
             cur_sum = new_labels.agg(
                 F.sum(F.col("label").cast("decimal(38,0)"))
             ).collect()[0][0]
+            # the first round's actions have now filled the
+            # repartitioned `edges` cache — the pre-repartition cache
+            # (`raw`, kept only for the measured count and as the
+            # repartition's input) is dead weight from here on; holding
+            # both doubled peak storage for the whole loop (guide §5 —
+            # at a 10^9-edge-row graph that is the difference between
+            # caches that fit and caches that thrash)
+            if raw is not None:
+                raw.unpersist()
+                raw = None
             labels.unpersist()
             labels = new_labels
             if cur_sum == prev_sum:
@@ -716,17 +765,37 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     *,
     max_hamming: int = 3,
-    block_bits: int = 8,
+    block_bits: int = 4,
     max_block_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
 
-    Sub-quadratic via block keys: split the 32-bit signature into
-    ceil((max_hamming+1)) byte blocks — by pigeonhole, any pair within
-    distance max_hamming agrees on >= 1 block; self-join per block.
+    Sub-quadratic via the multi-block combination scheme (Manku et al.,
+    "Detecting Near-Duplicates for Web Crawling", WWW 2007): split the
+    32-bit signature into ``n_blocks = 32 / block_bits`` blocks. A pair
+    within distance ``max_hamming`` corrupts at most ``max_hamming``
+    blocks, so it agrees EXACTLY on some ``k = n_blocks - max_hamming``
+    of them (pigeonhole) — and therefore on at least one of the
+    C(n_blocks, k) k-block combinations. Each signature is keyed under
+    every combination (table id + the k concatenated block values);
+    bucket-mates of any table are candidates, verified by the exact
+    hamming filter below. Recall-complete for every ``block_bits``; the
+    knob only trades probe rows (C(n_blocks, k) per doc) against key
+    width (k * block_bits bits), i.e. against CHANCE candidates per
+    table, which fall off as 2^-(k * block_bits).
+
+    ``block_bits=8`` is the degenerate k=1 form (4 tables of 8-bit
+    keys, the r15 shape): at 5M docs every 8-bit bucket holds ~20k
+    signatures, the in-bucket expansion is quadratic (~2 * 10^11
+    candidate pairs) and the bucket gather OOMs (measured: sf100 third-
+    decade run, OPTIMIZATION_r16.md). The default is now
+    ``block_bits=4`` — k=5, 56 tables of 20-bit keys — the SAME exact
+    pair set (pigeonhole + hamming filter + distinct are unchanged,
+    pinned by test) for ~2^9 fewer chance candidates per doc pair.
     """
-    n_blocks = 32 // block_bits
-    if max_hamming + 1 > n_blocks:
+    n_blocks = SIMHASH_BITS // block_bits
+    k = n_blocks - max_hamming
+    if k < 1:
         # pigeonhole guarantee needs distance < n_blocks: a pair with
         # max_hamming >= n_blocks differing bits can differ in EVERY
         # block and would silently never be candidated.
@@ -735,23 +804,63 @@ def simhash_near_duplicates(
             f"with {n_blocks} blocks (need max_hamming < {n_blocks}); "
             f"use smaller block_bits"
         )
+    from itertools import combinations
+
+    from ncagg_spark.functions.binding import bind_once
+    from ncagg_spark.tuning import plan_bytes
+
+    combos = list(combinations(range(n_blocks), k))
+
+    def probe_structs(blks: Column) -> Column:
+        out = []
+        for cid, combo in enumerate(combos):
+            key = F.lit(0).cast("long")
+            for j, b in enumerate(combo):
+                key = key + F.shiftleft(
+                    F.element_at(blks, b + 1), j * block_bits
+                )
+            out.append(
+                F.struct(
+                    F.lit(cid).alias("blk"), key.alias("key")
+                )
+            )
+        return F.array(*out)
+
+    # the 8 block extractions are bound once per row (bind_once); each
+    # is referenced by C(n_blocks-1, k-1) combination keys
+    block_arr = F.array(
+        *[
+            F.shiftright(F.col("simhash"), i * block_bits)
+            .bitwiseAND(F.lit((1 << block_bits) - 1))
+            for i in range(n_blocks)
+        ]
+    )
     blocks = sigs.select(
         F.col(id_col),
         F.col("simhash"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("blk"),
-                        F.shiftright(F.col("simhash"), i * block_bits)
-                        .bitwiseAND(F.lit((1 << block_bits) - 1))
-                        .alias("key"),
-                    )
-                    for i in range(n_blocks)
-                ]
-            )
-        ).alias("b"),
+        F.explode(bind_once(block_arr, probe_structs)).alias("b"),
     ).select(id_col, "simhash", F.col("b.blk"), F.col("b.key"))
+    # Size the bucket-gather shuffle to the PROBE volume, not the
+    # session constant (guide §2): the explode above multiplies every
+    # signature row by C(n_blocks, k) ~28-byte structs, so at 5M docs
+    # the gather moves ~8 GB through whatever width the session says —
+    # at the local default 32 that put ~260M probe rows plus their
+    # expanded candidates through EACH task and OOMed the 8 GiB JVM
+    # (measured, sf100 third-decade run). Derived from the optimizer's
+    # size estimate of the signature subtree: ~35 bytes per (id, sig)
+    # row (measured stable sf0.001-sf100), ~28 bytes per probe struct
+    # row, targeting ~64 MiB of probe rows per task. Only widens (the
+    # session width stands when it is already enough), so small-scale
+    # plans are byte-identical.
+    n_probe_rows = max(1, plan_bytes(sigs) // 35) * len(combos)
+    gather_width = -(-n_probe_rows * 28 // (64 * 1024 * 1024))
+    session_width = int(
+        sigs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    if gather_width > session_width:
+        blocks = blocks.repartition(
+            min(gather_width, 4096), "blk", "key"
+        )
     # Same single-shuffle bucket-gather as minhash_lsh_candidates: a
     # self-join would shuffle the block table twice AND run the whole
     # signature pipeline (tokenize -> shingle -> hash -> 32 bit votes)
@@ -780,20 +889,71 @@ def simhash_near_duplicates(
     )
     if max_block_bucket is not None:
         buckets = buckets.filter(F.size("ms") <= max_block_bucket)
-    return (
-        buckets.select(F.col("ms"), F.posexplode("ms").alias("i", "a"))
+    expanded = (
+        buckets.select(
+            F.col("blk"), F.col("ms"), F.posexplode("ms").alias("i", "a")
+        )
         .select(
+            "blk",
             F.col("a.id").alias("id_a"),
             F.col("a.simhash").alias("__sig_a"),
             F.explode(F.expr("slice(ms, i + 2, size(ms))")).alias("b"),
         )
         .select(
+            "blk",
             "id_a",
             F.col("b.id").alias("id_b"),
-            hamming_distance64(
-                F.col("__sig_a"), F.col("b.simhash")
-            ).alias("hamming"),
+            F.col("__sig_a").bitwiseXOR(F.col("b.simhash")).alias("__xor"),
         )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+        .filter(F.bit_count(F.col("__xor")) <= max_hamming)
     )
+    if max_block_bucket is None:
+        # First-clean-combo emission instead of a global DISTINCT
+        # (guide §2.4 remove shuffles outright, r16): a true pair is
+        # bucket-mates under every all-clean combination (up to
+        # C(n_blocks, k) of them), so the old form emitted it with that
+        # multiplicity and collapsed it with a full shuffle + two hash
+        # aggregates — at 5M docs ~0.5B surviving pairs times the
+        # multiplicity, the OOM wall of the sf100 run. Each pair is now
+        # emitted EXACTLY once: combo c is the lexicographically first
+        # all-clean combination iff the clean-block mask m satisfies
+        # (m & below_mask[c]) == combo_mask[c] (both per-combo
+        # constants: c must be clean, and every block below c's highest
+        # member that is not in c must be dirty — otherwise swapping it
+        # in gives a lex-smaller clean combo). One AND + one equality
+        # per candidate, no distinct needed.
+        clean_mask = sum(
+            (
+                F.when(
+                    F.shiftright(F.col("__xor"), i * block_bits)
+                    .bitwiseAND(F.lit((1 << block_bits) - 1))
+                    == 0,
+                    F.lit(1 << i),
+                ).otherwise(F.lit(0))
+                for i in range(n_blocks)
+            ),
+            F.lit(0),
+        )
+        combo_masks = [sum(1 << b for b in c) for c in combos]
+        below_masks = [(1 << (max(c) + 1)) - 1 for c in combos]
+        first_clean = (
+            clean_mask.bitwiseAND(
+                F.element_at(
+                    F.array(*[F.lit(m) for m in below_masks]),
+                    F.col("blk") + 1,
+                )
+            )
+            == F.element_at(
+                F.array(*[F.lit(m) for m in combo_masks]),
+                F.col("blk") + 1,
+            )
+        )
+        return expanded.filter(first_clean).select(
+            "id_a", "id_b", F.bit_count(F.col("__xor")).alias("hamming")
+        )
+    # capped path: truncation can drop a pair's FIRST clean combo while
+    # a later one survives, so first-combo emission would lose pairs
+    # the old form kept — keep the distinct here (bounded by the cap)
+    return expanded.select(
+        "id_a", "id_b", F.bit_count(F.col("__xor")).alias("hamming")
+    ).distinct()

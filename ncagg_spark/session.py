@@ -20,6 +20,20 @@ _DEFAULT_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
     "spark.sql.shuffle.partitions": "32",
+    # Reduce-side width is a CEILING, not a constant (guide §2.2/§9):
+    # AQE plans every exchange at this initial width and coalesces down
+    # to the 64 MiB advisory target, so small shuffles still run 1-4
+    # tasks while a genuinely large one (e.g. the simhash candidate
+    # DISTINCT at 5M docs: ~0.5B surviving pairs) gets hundreds of
+    # partitions instead of 32 x 14M-row hash-aggregate states that OOM
+    # an 8 GiB JVM (measured, r16 sf100 third-decade run). Sort-based
+    # shuffle writes one indexed file per map task regardless of this
+    # value, so a high ceiling costs only scheduler/planning overhead
+    # on queries AQE coalesces anyway. Env-parameterised for clusters
+    # (set it to ~2-3x total cores there).
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": (
+        os.environ.get("SPARK_GRAFT_INITIAL_SHUFFLE_PARTITIONS", "512")
+    ),
     "spark.sql.files.maxPartitionBytes": "128m",
     "spark.sql.parquet.compression.codec": "zstd",
     "spark.sql.parquet.filterPushdown": "true",

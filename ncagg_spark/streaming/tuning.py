@@ -31,6 +31,7 @@ from typing import Iterator
 from pyspark.sql import SparkSession
 
 _KEY = "spark.sql.shuffle.partitions"
+_INITIAL_KEY = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
 
 
 def default_stream_state_partitions() -> int:
@@ -49,8 +50,19 @@ def stream_shuffle_partitions(
     """
     n = int(n or default_stream_state_partitions())
     old = spark.conf.get(_KEY)
+    old_initial = spark.conf.get(_INITIAL_KEY, None)
     spark.conf.set(_KEY, str(n))
+    # pin AQE's initial width too (r16): state partitioning reads
+    # spark.sql.shuffle.partitions directly, but the STATELESS
+    # exchanges of every micro-batch would otherwise be planned at the
+    # session's high adaptive ceiling, paying plan/coalesce overhead
+    # per batch for key-sized data
+    spark.conf.set(_INITIAL_KEY, str(n))
     try:
         yield n
     finally:
         spark.conf.set(_KEY, old)
+        if old_initial is None:
+            spark.conf.unset(_INITIAL_KEY)
+        else:
+            spark.conf.set(_INITIAL_KEY, old_initial)

@@ -75,19 +75,35 @@ def plan_bytes(df: DataFrame) -> int:
         return 1 << 62
 
 
+_INITIAL_KEY = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+
+
 @contextmanager
 def scoped_shuffle_partitions(
     spark: SparkSession, n: int | None
 ) -> Iterator[None]:
     """Set ``spark.sql.shuffle.partitions`` to ``n`` for the block;
     restore the prior value on exit (errors included). ``n=None`` is a
-    no-op bracket."""
+    no-op bracket.
+
+    Also pins AQE's ``initialPartitionNum`` to ``n`` for the block
+    (r16): the session sets a high initial width as the adaptive
+    ceiling, and with it in force AQE would ignore the bracket's
+    narrow ``spark.sql.shuffle.partitions`` — the bracketed regions
+    exist precisely because their right width is KNOWN (graph-sized CC
+    rounds, key-sized stream state), so both knobs move together."""
     if n is None:
         yield
         return
     old = spark.conf.get(_KEY)
+    old_initial = spark.conf.get(_INITIAL_KEY, None)
     spark.conf.set(_KEY, str(int(n)))
+    spark.conf.set(_INITIAL_KEY, str(int(n)))
     try:
         yield
     finally:
         spark.conf.set(_KEY, old)
+        if old_initial is None:
+            spark.conf.unset(_INITIAL_KEY)
+        else:
+            spark.conf.set(_INITIAL_KEY, old_initial)

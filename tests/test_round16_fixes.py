@@ -255,3 +255,62 @@ def test_pack_sequences_materialized_rows_unchanged(
         (3, 4, 4, 0, 3),
         (3, 5, 0, 3, 1),
     ]
+
+
+# ---------------------------------------------------------------------------
+# r16: simhash combination-scheme candidates (block_bits=4, k=5) must
+# return EXACTLY the quadratic-scan pair set — and exactly what the
+# degenerate r15 scheme (block_bits=8, k=1) returns. The fixture is
+# adversarial for the pigeonhole: errors concentrated in one block,
+# spread 1-per-block across 4 blocks (defeats any single-combo scheme
+# that skips a table), identical-signature clusters, and just-over-the-
+# threshold distances that a sloppy key would still bucket together.
+def test_simhash_combination_scheme_parity(spark):
+    import random
+
+    from ncagg_spark.pipeline.dedup import simhash_near_duplicates
+
+    rng = random.Random(416)
+    base = rng.getrandbits(32)
+
+    def flip(sig, *bits):
+        for b in bits:
+            sig ^= 1 << b
+        return sig & 0xFFFFFFFF
+
+    sigs = [
+        base,                          # identical cluster (d=0)
+        base,
+        flip(base, 7),                 # d=1, inside block 1
+        flip(base, 0, 1, 2),           # d=3, all in block 0
+        flip(base, 3, 11, 19),         # d=3, one bit in 3 blocks
+        flip(base, 0, 8, 16, 24),      # d=4 spread 1-per-byte-block: OUT
+        flip(base, 28, 29, 30, 31),    # d=4 concentrated: OUT
+    ] + [rng.getrandbits(32) for _ in range(60)]
+    rows = [(i, s) for i, s in enumerate(sigs)]
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+
+    def popcount(x):
+        return bin(x).count("1")
+
+    expected = {
+        (a, b)
+        for i, (a, sa) in enumerate(rows)
+        for b, sb in rows[i + 1 :]
+        if popcount(sa ^ sb) <= 3
+    }
+    got_new = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_duplicates(df, max_hamming=3).collect()
+    }
+    got_old = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_duplicates(
+            df, max_hamming=3, block_bits=8
+        ).collect()
+    }
+    assert got_new == expected
+    assert got_old == expected
+    # the adversarial cases actually exercise both sides of the gate
+    assert (0, 1) in expected and (0, 3) in expected and (0, 4) in expected
+    assert (0, 5) not in expected and (0, 6) not in expected

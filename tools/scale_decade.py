@@ -39,6 +39,21 @@ HEAVY = [
     "doc_repetition_filter",
 ]
 
+# cells known to exceed the 8 GiB local-JVM gate, skipped with the
+# reason in the log so a run doesn't spend 25 min producing a known
+# OOM (r16): doc_near_dedup at 5M docs builds a ~0.9B-edge-row pair
+# graph (~26 -> 56 true pairs/doc measured sf0.1 -> sf10, alpha~1.17 —
+# the synthetic corpus's near-dup density, not an engine artifact);
+# the CC loop on it needs cluster-parity memory (completes with
+# SPARK_GRAFT_DRIVER_MEM=24g, OPTIMIZATION_r16.md) while the local
+# gate gives 8 GiB / 32 cores = 250 MB per concurrent task.
+SKIP: dict[tuple[str, str], str] = {
+    ("doc_near_dedup", "sf100"): (
+        "0.9B-edge CC graph exceeds the 8 GiB local gate; "
+        "measured separately at 24g (see OPTIMIZATION_r16.md)"
+    ),
+}
+
 
 def main() -> None:
     sf_dirs = sys.argv[1:] or [
@@ -59,10 +74,29 @@ def main() -> None:
         )
         print(f"# {name}: {sizes[name]} docs", flush=True)
         for q in HEAVY:
+            if (q, name) in SKIP:
+                print(
+                    json.dumps(
+                        {"query": q, "sf": name, "skipped": SKIP[(q, name)]}
+                    ),
+                    flush=True,
+                )
+                continue
             t0 = time.time()
-            qs[q](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            try:
+                qs[q](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as exc:  # record and keep going (r16): a
+                # cell that exceeds the local gate must not lose the
+                # remaining cells' measurements
+                print(
+                    json.dumps(
+                        {"query": q, "sf": name, "error": str(exc)[:200]}
+                    ),
+                    flush=True,
+                )
+                continue
             dt = round(time.time() - t0, 1)
             results[q][name] = dt
             print(
@@ -77,8 +111,9 @@ def main() -> None:
     print("|" + "---|" * (len(names) + len(names)))
     verdict = {"docs": sizes, "queries": {}}
     for q in HEAVY:
-        ts = [results[q][n] for n in names]
-        ns = [sizes[n] for n in names]
+        have = [n for n in names if n in results[q]]
+        ts = [results[q][n] for n in have]
+        ns = [sizes[n] for n in have]
         alphas = [
             round(math.log(t2 / t1) / math.log(n2 / n1), 2)
             for (t1, t2, n1, n2) in zip(ts, ts[1:], ns, ns[1:])
